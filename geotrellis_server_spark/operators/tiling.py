@@ -1,0 +1,75 @@
+"""Tile assignment & vector→raster rasterization (SURVEY.md R4/J2 — the
+core tile-assignment op, GeoTrellis ``tileToLayout`` +
+``SpatialKey`` parity, ogc/.../TiledOgcLayer.scala:97-113).
+
+All key math is Spark SQL floor arithmetic (whole-stage codegen; identical
+fragments drive the DuckDB oracle via sqlgen). Rasterization is a
+two-phase aggregation: (1) groupBy (tile, pixel) count — partial map-side
+aggregation collapses hot cells before any shuffle, so skewed doc
+clusters don't skew the exchange; (2) pixel rows → dense cells array with
+JVM-side map_from_entries + transform (no Python in the path at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import sqlgen
+
+
+def assign_tiles(points: DataFrame, zoom: int, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    return points.withColumn("tile_x", F.expr(sqlgen.tile_x_sql(lon, zoom))).withColumn(
+        "tile_y", F.expr(sqlgen.tile_y_sql(lat, zoom))
+    )
+
+
+def tile_counts(points: DataFrame, zoom: int, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Per-tile document counts at ``zoom`` — the benchmark aggregation."""
+    return (
+        assign_tiles(points, zoom, lon, lat)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def pixel_index_sql(lon: str, lat: str, zoom: int, tile_size: int = 256) -> tuple[str, str, str, str]:
+    """(tile_x, tile_y, px, py) SQL fragments. Global pixel grid at zoom z
+    is 2^z * tile_size; within-tile pixel = global - tile * tile_size.
+    Mirrors GridExtent.mapToGrid floor convention (SURVEY.md §1.1)."""
+    gx = sqlgen.tile_x_sql(lon, zoom)  # tile level
+    gy = sqlgen.tile_y_sql(lat, zoom)
+    n_px = (1 << zoom) * tile_size
+    gpx = f"CAST(greatest(least(floor(({sqlgen.mercator_x_sql(lon)}) * {n_px}), {n_px - 1}), 0) AS BIGINT)"
+    gpy = f"CAST(greatest(least(floor(({sqlgen.mercator_y_sql(lat)}) * {n_px}), {n_px - 1}), 0) AS BIGINT)"
+    px = f"(({gpx}) - ({gx}) * {tile_size})"
+    py = f"(({gpy}) - ({gy}) * {tile_size})"
+    return gx, gy, px, py
+
+
+def rasterize_count(
+    points: DataFrame, zoom: int, tile_size: int = 256, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Vector→raster: per-tile density grid (docs per pixel) as a dense
+    ``cells: array<double>`` row per tile — the raster↔vector map-algebra
+    bridge (north rule). Output matches sources.synth.TILE_SCHEMA core
+    columns."""
+    tx, ty, px, py = pixel_index_sql(lon, lat, zoom, tile_size)
+    pix = points.select(
+        F.expr(tx).alias("tile_x"),
+        F.expr(ty).alias("tile_y"),
+        (F.expr(py) * tile_size + F.expr(px)).alias("pixel"),
+    )
+    per_pixel = pix.groupBy("tile_x", "tile_y", "pixel").agg(F.count("*").alias("cnt"))
+    per_tile = per_pixel.groupBy("tile_x", "tile_y").agg(
+        F.map_from_entries(F.collect_list(F.struct("pixel", "cnt"))).alias("m")
+    )
+    cells = f"transform(sequence(0, {tile_size * tile_size - 1}), i -> CAST(coalesce(element_at(m, CAST(i AS BIGINT)), 0) AS DOUBLE))"
+    return per_tile.select(
+        F.lit(zoom).alias("zoom"),
+        "tile_x",
+        "tile_y",
+        F.lit(tile_size).alias("width"),
+        F.lit(tile_size).alias("height"),
+        F.expr(cells).alias("cells"),
+    )

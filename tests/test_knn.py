@@ -1,0 +1,40 @@
+"""kNN ring expansion vs brute force — exactness incl. forced expansion."""
+
+from geotrellis_server_spark.operators import knn
+from geotrellis_server_spark.sources import synth
+
+N = 2500
+
+
+def _brute(pdf, qlon, qlat, k):
+    ds = (pdf.lon.values - qlon) ** 2 + (pdf.lat.values - qlat) ** 2
+    return [x[1] for x in sorted(zip(ds, pdf.doc_id.values))[:k]]
+
+
+def test_knn_exact_various_queries(spark):
+    d = synth.extract_geometry(synth.docs(spark, N))
+    pdf = d.select("doc_id", "lon", "lat").toPandas()
+    queries = [
+        (0, -74.0, 40.5),   # inside a hot cluster
+        (1, 10.0, 10.0),    # sparse mid-world
+        (2, 179.0, -80.0),  # world corner (clipped rings)
+        (3, 0.25, 0.25),
+    ]
+    res = knn.knn_join(d, queries, k=7).toPandas()
+    for qid, qlon, qlat in queries:
+        got = res[res.query_id == qid].sort_values("rank").doc_id.tolist()
+        assert got == _brute(pdf, qlon, qlat, 7), f"query {qid}"
+
+
+def test_knn_forces_ring_expansion(spark):
+    # k larger than any initial disk can hold at coarse res → must expand
+    d = synth.extract_geometry(synth.docs(spark, 400))
+    pdf = d.select("doc_id", "lon", "lat").toPandas()
+    res = knn.knn_join(d, [(0, 0.0, 0.0)], k=50, res=6, initial_ring=1).toPandas()
+    assert res.sort_values("rank").doc_id.tolist() == _brute(pdf, 0.0, 0.0, 50)
+
+
+def test_knn_k_exceeds_population(spark):
+    d = synth.extract_geometry(synth.docs(spark, 30))
+    res = knn.knn_join(d, [(0, 0.0, 0.0)], k=100).toPandas()
+    assert len(res) == 30

@@ -1,0 +1,128 @@
+"""Layout / SpatialKey goldens — FIXTURES.md F5 (WMTS GoogleMapsCompatible
+parity, reference GeotrellisTileMatrix.scala:37-49) and extent fold
+order-insensitivity (reference ExtentMergeStrategyTest.scala:33-98)."""
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+
+from geotrellis_server_spark.grids.layout import (
+    Extent,
+    ZoomedLayoutScheme,
+    WEBMERCATOR_BOUND,
+    lonlat_to_mercator,
+    mercator_to_lonlat,
+    tile_key_np,
+)
+
+
+def test_zoom0_single_tile():
+    scheme = ZoomedLayoutScheme()
+    layout = scheme.layout(0)
+    assert layout.layout_cols == 1 and layout.layout_rows == 1
+    assert layout.key_for(0.0, 0.0) == (0, 0)
+    assert layout.key_for(-WEBMERCATOR_BOUND, WEBMERCATOR_BOUND) == (0, 0)
+
+
+def test_key_extent_roundtrip_bench_tile():
+    # the reference JMH bench tile (TmsReificationBench.scala:57-58)
+    scheme = ZoomedLayoutScheme()
+    layout = scheme.layout(9)
+    e = layout.extent_for(454, 200)
+    cx, cy = (e.xmin + e.xmax) / 2, (e.ymin + e.ymax) / 2
+    assert layout.key_for(cx, cy) == (454, 200)
+    # any strictly-interior point maps back (boundary points are
+    # ulp-sensitive by the floor convention; see test below with exact
+    # binary coordinates)
+    assert layout.key_for(e.xmin + e.width * 0.01, e.ymax - e.height * 0.01) == (454, 200)
+
+
+def test_boundary_convention_exact_coords():
+    # At z=1 the shared tile boundary is x=0 / y=0 — exactly representable,
+    # so the convention is observable without FP noise: a point ON the
+    # boundary belongs to the east/south tile (floor convention).
+    layout = ZoomedLayoutScheme().layout(1)
+    assert layout.key_for(0.0, 1.0) == (1, 0)   # x=0 → east tile
+    assert layout.key_for(-1.0, 0.0) == (0, 1)  # y=0 → south tile
+    assert layout.key_for(0.0, 0.0) == (1, 1)
+
+
+def test_hand_computed_keys():
+    scheme = ZoomedLayoutScheme()
+    l1 = scheme.layout(1)
+    # quadrants at z=1: (x>0, y>0) → (1, 0)
+    assert l1.key_for(1.0, 1.0) == (1, 0)
+    assert l1.key_for(-1.0, 1.0) == (0, 0)
+    assert l1.key_for(-1.0, -1.0) == (0, 1)
+    assert l1.key_for(1.0, -1.0) == (1, 1)
+    # world edge clamps into last tile
+    l2 = scheme.layout(2)
+    assert l2.key_for(WEBMERCATOR_BOUND, -WEBMERCATOR_BOUND) == (3, 3)
+
+
+def test_lonlat_tile_keys_match_layout():
+    # tile_key_np (normalized lon/lat path) agrees with mercator layout math
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-179.9, 179.9, 500)
+    lat = rng.uniform(-84.9, 84.9, 500)
+    for zoom in (1, 4, 9):
+        tx, ty = tile_key_np(lon, lat, zoom)
+        mx, my = lonlat_to_mercator(lon, lat)
+        layout = ZoomedLayoutScheme().layout(zoom)
+        tx2, ty2 = layout.keys_np(mx, my)
+        assert (tx == tx2).all() and (ty == ty2).all()
+
+
+def test_mercator_roundtrip():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 100)
+    lat = rng.uniform(-85, 85, 100)
+    x, y = lonlat_to_mercator(lon, lat)
+    lon2, lat2 = mercator_to_lonlat(x, y)
+    assert np.allclose(lon, lon2, atol=1e-9) and np.allclose(lat, lat2, atol=1e-9)
+
+
+def test_extent_folds_order_insensitive():
+    # reference ExtentMergeStrategyTest: intersect/union folds invariant
+    # under permutation, three overlap regimes
+    regimes = [
+        [Extent(0, 0, 4, 4), Extent(2, 2, 6, 6), Extent(3, 1, 5, 5)],  # all overlap
+        [Extent(0, 0, 2, 2), Extent(1, 1, 4, 4), Extent(6, 6, 9, 9)],  # partial
+        [Extent(0, 0, 1, 1), Extent(2, 2, 3, 3), Extent(4, 4, 5, 5)],  # disjoint
+    ]
+    for exts in regimes:
+        unions, inters = set(), set()
+        for perm in itertools.permutations(exts):
+            u = perm[0]
+            for e in perm[1:]:
+                u = u.combine(e)
+            unions.add((u.xmin, u.ymin, u.xmax, u.ymax))
+            i = perm[0]
+            for e in perm[1:]:
+                i = i.intersection(e) if i is not None else None
+            inters.add(None if i is None else (i.xmin, i.ymin, i.xmax, i.ymax))
+        assert len(unions) == 1
+        assert len(inters) == 1
+
+
+def test_keys_for_extent_pruning_bounds():
+    scheme = ZoomedLayoutScheme()
+    layout = scheme.layout(3)
+    t = layout.extent_for(2, 5)
+    # the exact tile extent prunes to exactly that tile
+    assert layout.keys_for_extent(t) == (2, 5, 2, 5)
+    # a window spanning 2x2 tiles
+    e = Extent(t.xmin, t.ymin - 1.0, t.xmax + 1.0, t.ymax)
+    tx0, ty0, tx1, ty1 = layout.keys_for_extent(e)
+    assert (tx0, ty0, tx1, ty1) == (2, 5, 3, 6)
+
+
+def test_zoom_for_cell_size():
+    scheme = ZoomedLayoutScheme()
+    # requesting exactly zoom-5 resolution picks zoom 5; anything finer → 6
+    cs5 = scheme.cell_size(5)
+    assert scheme.zoom_for_cell_size(cs5) == 5
+    assert scheme.zoom_for_cell_size(cs5 * 0.99) == 6
+    assert scheme.zoom_for_cell_size(cs5 * 2) == 4

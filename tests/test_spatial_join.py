@@ -1,0 +1,70 @@
+"""Broadcast PIP join vs brute-force oracles (FIXTURES.md expected-output
+strategy: engine output must match cross-join + PIP row-for-row)."""
+
+import duckdb
+import pyspark.sql.functions as F
+
+from geotrellis_server_spark import sqlgen
+from geotrellis_server_spark.geometry.pip import points_in_ring
+from geotrellis_server_spark.operators import spatial_join
+from geotrellis_server_spark.sources import synth
+
+N = 3000
+
+
+def test_rect_join_matches_duckdb_oracle(spark):
+    d = synth.extract_geometry(synth.docs(spark, N))
+    zones = synth.zone_grid(spark)
+    res = (
+        spatial_join.pip_join_rect(d, zones)
+        .select("doc_id", "zone_id")
+        .toPandas()
+        .sort_values(["doc_id", "zone_id"])
+        .reset_index(drop=True)
+    )
+    o = duckdb.connect().execute(
+        f"""SELECT printf('doc-%012d', id) doc_id,
+               {sqlgen.zone_id_for_point_sql(sqlgen.lon_sql('id'), sqlgen.lat_sql('id'))} zone_id
+        FROM range({N}) t(id) ORDER BY doc_id, zone_id"""
+    ).df()
+    assert len(res) == N  # half-open tiling: every doc in exactly one zone
+    assert (res.doc_id.values == o.doc_id.values).all()
+    assert (res.zone_id.values == o.zone_id.values).all()
+
+
+def test_poly_join_matches_numpy_bruteforce(spark):
+    d = synth.extract_geometry(synth.docs(spark, N))
+    pdf = d.select("doc_id", "lon", "lat").toPandas()
+    pz = synth.poly_zone_df(spark)
+    got = set(
+        map(
+            tuple,
+            spatial_join.pip_join_poly(d, pz).select("doc_id", "zone_id").toPandas().values.tolist(),
+        )
+    )
+    exp = set()
+    for zid, ring in synth.POLY_ZONES:
+        m = points_in_ring(pdf.lon.values, pdf.lat.values, ring)
+        exp.update((did, zid) for did in pdf.doc_id.values[m])
+    assert got == exp
+    assert len(exp) > 0
+
+
+def test_pip_covers_boundary_semantics():
+    # covers: boundary points count in (Contains≡covers quirk,
+    # RasterSourceRepository.scala:60)
+    import numpy as np
+
+    ring = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    lon = np.array([0.0, 5.0, 10.0, 10.1, 5.0, 0.0])
+    lat = np.array([0.0, 0.0, 10.0, 5.0, 5.0, 10.0])
+    got = points_in_ring(lon, lat, ring)
+    assert got.tolist() == [True, True, True, False, True, True]
+
+
+def test_broadcast_join_in_plan(spark):
+    d = synth.extract_geometry(synth.docs(spark, 100))
+    zones = synth.zone_grid(spark)
+    plan = spatial_join.pip_join_rect(d, zones)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,64 @@
+"""Tile assignment + rasterization vs oracles (SURVEY.md R4; exact tile
+assignments are a correctness gate per BASELINE.json)."""
+
+import duckdb
+import numpy as np
+import pyspark.sql.functions as F
+
+from geotrellis_server_spark import sqlgen
+from geotrellis_server_spark.grids.layout import tile_key_np
+from geotrellis_server_spark.operators import tiling
+from geotrellis_server_spark.sources import synth
+
+N = 3000
+
+
+def test_tile_counts_match_duckdb(spark):
+    d = synth.extract_geometry(synth.docs(spark, N))
+    tc = tiling.tile_counts(d, 8).toPandas().sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    o = duckdb.connect().execute(
+        f"""SELECT {sqlgen.tile_x_sql(sqlgen.lon_sql('id'), 8)} tile_x,
+                  {sqlgen.tile_y_sql(sqlgen.lat_sql('id'), 8)} tile_y, count(*) n_docs
+        FROM range({N}) t(id) GROUP BY 1, 2 ORDER BY tile_x, tile_y"""
+    ).df()
+    assert (tc.values == o.values).all()
+
+
+def test_assign_tiles_matches_numpy(spark):
+    d = synth.extract_geometry(synth.docs(spark, N))
+    pdf = tiling.assign_tiles(d, 12).select("lon", "lat", "tile_x", "tile_y").toPandas()
+    tx, ty = tile_key_np(pdf.lon.values, pdf.lat.values, 12)
+    assert (tx == pdf.tile_x.values).all()
+    assert (ty == pdf.tile_y.values).all()
+
+
+def test_rasterize_count_conserves_mass_and_placement(spark):
+    d = synth.extract_geometry(synth.docs(spark, N))
+    r = tiling.rasterize_count(d, 3, tile_size=32)
+    rows = r.collect()
+    total = sum(sum(row.cells) for row in rows)
+    assert total == N  # every doc lands in exactly one pixel
+    # cross-check one tile against numpy bincount
+    pdf = d.select("lon", "lat").toPandas()
+    zoom, ts = 3, 32
+    n_px = (1 << zoom) * ts
+    gx, gy = tile_key_np(pdf.lon.values, pdf.lat.values, zoom)
+    # global pixel indices via the same normalized-mercator math
+    mx = (pdf.lon.values + 180.0) / 360.0
+    lat = np.clip(pdf.lat.values, -sqlgen.MAX_LAT, sqlgen.MAX_LAT)
+    my = 0.5 - np.log(np.tan(np.pi / 4 + np.radians(lat) / 2)) / (2 * np.pi)
+    gpx = np.minimum(np.floor(mx * n_px), n_px - 1).astype(np.int64)
+    gpy = np.minimum(np.floor(my * n_px), n_px - 1).astype(np.int64)
+    row = max(rows, key=lambda r: sum(r.cells))
+    m = (gx == row.tile_x) & (gy == row.tile_y)
+    px = gpx[m] - row.tile_x * ts
+    py = gpy[m] - row.tile_y * ts
+    exp = np.bincount(py * ts + px, minlength=ts * ts).astype(float)
+    assert (np.array(row.cells) == exp).all()
+
+
+def test_rasterize_plan_has_no_python_and_partial_agg(spark):
+    d = synth.extract_geometry(synth.docs(spark, 100))
+    plan = tiling.rasterize_count(d, 3, tile_size=16)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan  # partial+final agg, skew-safe
