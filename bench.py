@@ -1,0 +1,210 @@
+"""Benchmark harness — prints ONE JSON line per driver contract.
+
+Headline metric: spatial-join + tile-assignment throughput (docs/sec) on
+the interleaved-document table (BASELINE.json). The docs table is
+materialized to parquet once per (sf, N) and read back, so measured time
+is engine work (scan → extract → join → key → agg), not synthesis.
+
+Usage:
+  python bench.py                 # single run at local[$SPARK_GRAFT_CPUS]
+  python bench.py --scaling       # run N and 4N cores in subprocesses,
+                                  # write BENCH/BASELINE.md with efficiency
+  python bench.py --cores 8 --json-only   # internal (scaling subprocess)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "800"))  # docs per documents-row
+# Scaling-run core pair. The sandbox host carries external load (~8 busy
+# cores observed), so the N→4N evidence pair defaults to 4→16 to stay
+# under the free-core ceiling; override with SPARK_GRAFT_SCALE_CORES.
+SCALE_CORES = os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16")
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        return -1.0
+
+
+def materialize_docs(spark, sf_dir: str, n: int) -> str:
+    """Write the synthetic docs table once; subsequent runs read parquet."""
+    from geotrellis_server_spark.sources import synth
+
+    path = os.path.join(CACHE_DIR, f"docs_{_sf_of(sf_dir)}_{n}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # 8 splits per core at the widest configuration → several task
+        # waves, so stragglers from external host load amortize
+        synth.docs(spark, n, partitions=CPUS * 8).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_bench(cores: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from geotrellis_server_spark.operators import knn as knn_op
+    from geotrellis_server_spark.operators import spatial_join, tiling
+    from geotrellis_server_spark.session import get_spark
+    from geotrellis_server_spark.sources import synth
+
+    spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    n_documents = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    n = n_documents * MULT
+    docs_path = materialize_docs(spark, SF_DIR, n)
+
+    def load():
+        return synth.extract_geometry(spark.read.parquet(docs_path))
+
+    zones = synth.zone_grid(spark)
+    # one-time broadcast grid build (fixed per-job cost, untimed — a real
+    # deployment builds it once and amortizes over 10^12 docs)
+    zone_cells = spatial_join.build_rect_zone_cells(zones)
+    zone_cells.cache().count()
+    queries = {}
+
+    # page-cache the input once so scan I/O doesn't dominate run 1
+    spark.read.parquet(docs_path).write.mode("overwrite").format("noop").save()
+
+    n_runs = 3 if os.environ.get("SPARK_GRAFT_BENCH_RUNS") is None else int(
+        os.environ["SPARK_GRAFT_BENCH_RUNS"])
+
+    def timed(name, fn):
+        best = float("inf")
+        for _ in range(n_runs):  # JIT warmup + external-load noise → min
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        queries[name] = round(best, 3)
+
+    # q1 — flagship: scan → extract → broadcast PIP join → z12 tile key →
+    # per-(zone, tile) agg. The BASELINE.json headline job.
+    timed(
+        "q1_pip_tile_pipeline",
+        lambda: tiling.assign_tiles(
+            spatial_join.pip_join_rect(load(), zones, zone_cells=zone_cells), 12)
+        .groupBy("zone_id", "tile_x", "tile_y")
+        .agg(F.count("*").alias("n_docs"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save(),
+    )
+    timed(
+        "q2_tile_counts_z8",
+        lambda: tiling.tile_counts(load(), 8).write.mode("overwrite").format("noop").save(),
+    )
+    timed(
+        "q3_cell_encode_r6",
+        lambda: load()
+        .selectExpr(f"{__import__('geotrellis_server_spark.sqlgen', fromlist=['x']).cell_key_sql('lon', 'lat', 6)} AS cell")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save(),
+    )
+    timed(
+        "q4_rasterize_z4",
+        lambda: tiling.rasterize_count(load(), 4, tile_size=64)
+        .write.mode("overwrite")
+        .format("noop")
+        .save(),
+    )
+    timed(
+        "q5_knn_k10",
+        lambda: knn_op.knn_join(
+            load(), [(0, -74.0, 40.5), (1, 10.0, 10.0), (2, 179.0, -80.0)], k=10
+        ).count(),
+    )
+
+    docs_per_sec = round(n / queries["q1_pip_tile_pipeline"], 1)
+    spark.stop()
+    return {
+        "metric": "spatial-join+tile-assignment throughput",
+        "value": docs_per_sec,
+        "unit": "docs/sec",
+        "queries": queries,
+        "sf": _sf_of(SF_DIR),
+        "n_docs": n,
+        "cores": cores,
+    }
+
+
+def run_scaling() -> None:
+    lo, hi = (int(x) for x in SCALE_CORES.split(","))
+    mult = os.environ.get("SPARK_GRAFT_SCALE_MULT", "3200")
+    results = {}
+    for cores in (lo, hi):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_MULT=mult)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cores", str(cores), "--json-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    t_lo = results[lo]["queries"]["q1_pip_tile_pipeline"]
+    t_hi = results[hi]["queries"]["q1_pip_tile_pipeline"]
+    speedup = t_lo / t_hi
+    eff = speedup / (hi / lo)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — measured throughput + scaling evidence
+
+Sandbox protocol (BASELINE.md): same job, same input, two parallelism
+levels standing in for N and 4N executors.
+
+Job: q1 flagship — parquet scan of the interleaved docs table → span
+geometry extraction → broadcast-grid PIP join → zoom-12 tile assignment →
+per-(zone, tile) aggregation. Input: {results[hi]['n_docs']:,} docs
+(sf={results[hi]['sf']}, {MULT}x documents rows).
+
+| cores | q1 time (s) | docs/sec |
+|---|---|---|
+| {lo} | {t_lo:.2f} | {results[lo]['n_docs']/t_lo:,.0f} |
+| {hi} | {t_hi:.2f} | {results[hi]['n_docs']/t_hi:,.0f} |
+
+Speedup {lo}->{hi} cores: **{speedup:.2f}x** over a {hi//lo}x core increase.
+Scaling efficiency: **{eff:.2f}** (target ≥ 0.8 per BASELINE.json).
+
+Full per-query timings:
+
+```json
+{json.dumps(results, indent=2)}
+```
+"""
+        )
+    print(json.dumps({"scaling_efficiency": round(eff, 3), "cores": [lo, hi],
+                      "t_lo": t_lo, "t_hi": t_hi}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+    if args.scaling:
+        run_scaling()
+        return
+    print(json.dumps(run_bench(args.cores)))
+
+
+if __name__ == "__main__":
+    main()

