@@ -118,6 +118,74 @@ def _q_pixel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-data ops over the driver's documents/embeddings tables -----
+
+
+def _read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotrellis_server_spark.operators import dedup
+
+    return dedup.exact_dedup(_read_documents(spark, sf_dir), id_col="doc_id")
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotrellis_server_spark.operators import dedup
+
+    return dedup.minhash_dedup_pairs(
+        _read_documents(spark, sf_dir), k=8, bands=4, rows_per_band=2, threshold=0.5
+    ).select("a", "b")  # jaccard value excluded: double hash-compare fragility
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotrellis_server_spark.operators import dedup
+
+    return dedup.simhash_dup_classes(_read_documents(spark, sf_dir), n_bits=16, id_col="doc_id")
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotrellis_server_spark.operators import text
+
+    return text.text_stats(_read_documents(spark, sf_dir)).select(
+        "doc_id", "n_chars", "n_tokens", "stopword_ratio"
+    )
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotrellis_server_spark.operators import text
+
+    return text.token_count(_read_documents(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotrellis_server_spark.operators import text
+
+    return text.fingerprint(_read_documents(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotrellis_server_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter("vec_id = 0").first().embedding]
+    return similarity.cosine_topk(emb, qvec, 20).select("vec_id", "rank")
+
+
+def _q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row span-sequence signature AFTER join + repartition — the
+    input_hint invariant, checked value-for-value by the oracle which
+    reconstructs the signature arithmetically."""
+    d = _docs(spark, sf_dir)
+    joined = spatial_join.pip_join_rect(d, synth.zone_grid(spark)).repartition(16, "zone_id")
+    sig = (
+        "concat_ws('|', transform(spans, s -> concat(s.kind, ':', s.text, ':', "
+        "s.media_ref, ':', CAST(s.offset AS STRING))))"
+    )
+    return joined.select("doc_id", F.expr(sig).alias("span_sig"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geo_cell_encode_r6": _q_cell_encode,
@@ -128,6 +196,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn_ring_k10": _q_knn,
         "doc_span_kind_counts": _q_span_kinds,
         "geo_rasterize_pixel_counts_z4": _q_pixel_counts,
+        "doc_span_sequence_invariant": _q_span_invariant,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh_pairs": _q_minhash_pairs,
+        "dedup_simhash_classes": _q_simhash,
+        "text_stats": _q_text_stats,
+        "text_token_count": _q_token_count,
+        "text_fingerprint": _q_fingerprint,
+        "sim_cosine_topk20": _q_cosine_topk,
     }
 
 
@@ -188,4 +264,112 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM ({pts}) GROUP BY 1, 2, 3
         """,
+        "doc_span_sequence_invariant": _span_invariant_oracle(),
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_lsh_pairs": _minhash_oracle(),
+        "dedup_simhash_classes": _simhash_oracle(),
+        "text_stats": """
+            SELECT doc_id, length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS stopword_ratio
+            FROM documents
+        """,
+        "text_token_count": """
+            SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens_est
+            FROM documents
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "sim_cosine_topk20": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            s AS (SELECT vec_id,
+                         list_dot_product(embedding::DOUBLE[], qv)
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(qv, qv))) AS cosine
+                  FROM embeddings, q)
+            SELECT vec_id, rank FROM (
+              SELECT vec_id,
+                     CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+              FROM s) WHERE rank <= 20
+        """,
     }
+
+
+_LOREM_LIST = "['alpha','beta','gamma','delta','epsilon','zeta','eta','theta']"
+
+
+def _span_invariant_oracle() -> str:
+    lon = sqlgen.lon_sql("t.id")
+    lat = sqlgen.lat_sql("t.id")
+    return f"""
+    WITH sp AS (
+      SELECT t.id, s.i,
+        CASE
+          WHEN s.i = t.id % ((t.id % 7) + 1) THEN
+            'geo:POINT(' || printf('%.10f', {lon}) || ' ' || printf('%.10f', {lat})
+            || ')::' || CAST(s.i AS VARCHAR)
+          WHEN (t.id + s.i) % 3 = 0 THEN
+            'media::ref://' || lpad(lower(to_hex((t.id * 2654435761 + s.i * 97) % 4294967296)), 8, '0')
+            || ':' || CAST(s.i AS VARCHAR)
+          ELSE
+            'text:' || ({_LOREM_LIST})[CAST((t.id * 7 + s.i) % 8 AS INT) + 1]
+            || '::' || CAST(s.i AS VARCHAR)
+        END AS part
+      FROM {_IDS_SQL} t JOIN range(8) s(i) ON s.i <= t.id % 7)
+    SELECT printf('doc-%012d', id) AS doc_id,
+           string_agg(part, '|' ORDER BY i) AS span_sig
+    FROM sp GROUP BY id
+    """
+
+
+def _minhash_oracle(k: int = 8, bands: int = 4, rows: int = 2, thr: float = 0.5) -> str:
+    sig_cols = ", ".join(f"min(md5(tok || '#{i}')) AS mh{i}" for i in range(k))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sigs".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    sigs AS (SELECT doc_id, {sig_cols} FROM toks GROUP BY doc_id),
+    bandt AS ({band_selects}),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bandt x JOIN bandt y ON x.band = y.band AND x.bucket = y.bucket
+             WHERE x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (SELECT c.a, c.b, count(*) AS n
+              FROM cand c
+              JOIN toks ta ON ta.doc_id = c.a
+              JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+              GROUP BY c.a, c.b)
+    SELECT i.a, i.b
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+    WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= {thr}
+    """
+
+
+def _simhash_oracle(n_bits: int = 16) -> str:
+    hexes = "('8','9','a','b','c','d','e','f')"
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(md5(tok), {j + 1}, 1) IN {hexes} THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(n_bits)
+    )
+    bits = " || ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(n_bits))
+    return f"""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+    sig AS (SELECT doc_id, {bits} AS simhash FROM votes)
+    SELECT simhash, min(doc_id) AS survivor_id, count(*) AS n_docs FROM sig GROUP BY 1
+    """

@@ -1,0 +1,139 @@
+"""MAML evaluation over tile DataFrames — the engine's LayerExtent /
+LayerTms analog (core/.../LayerExtent.scala:46-66, LayerTms.scala:50-80).
+
+- ``eval_local``: n-way equi-join of the expression's raster vars on the
+  tile key (SURVEY.md J4: multi-var param alignment, e.g. red × nir for
+  NDVI) then ONE Arrow-batched pandas UDF applying the fused numpy kernel
+  to the whole batch at once (cells stacked to a (batch, npix) matrix —
+  never per-row Python).
+- ``eval_focal``: single-var expressions containing focal ops; tiles are
+  padded via the halo join (operators/focal.py — the reference's 3×3
+  neighborhood read, GTLayerNode.scala:88-130) and the kernel consumes the
+  pad.
+
+Tile DataFrame contract: columns (zoom, tile_x, tile_y, width, height,
+cells: array<double>); NaN = NoData.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .ast import Expr, FOCAL_OPS
+from .kernels import compile_node, fold_constants
+
+KEY = ["zoom", "tile_x", "tile_y"]
+
+
+def _has_focal(e: Expr) -> bool:
+    return e.symbol in FOCAL_OPS or any(_has_focal(a) for a in e.args)
+
+
+def eval_expr(expr: Expr, params: dict[str, DataFrame], tile_size: int | None = None) -> DataFrame:
+    """Dispatch: local-only → joined batch kernel; focal → halo path."""
+    expr = fold_constants(expr)
+    if _has_focal(expr):
+        return eval_focal(expr, params)
+    return eval_local(expr, params)
+
+
+def eval_local(expr: Expr, params: dict[str, DataFrame]) -> DataFrame:
+    names = sorted(expr.var_names())
+    missing = [n for n in names if n not in params]
+    if missing:
+        raise KeyError(f"unbound MAML vars: {missing}")
+    kernel = compile_node(expr)
+
+    dfs = []
+    for n in names:
+        dfs.append(params[n].select(*KEY, F.col("width"), F.col("height"), F.col("cells").alias(f"__c_{n}")))
+    joined = reduce(
+        lambda a, b: a.join(b.drop("width", "height"), KEY, "inner"), dfs[1:], dfs[0]
+    )
+
+    cell_cols = [f"__c_{n}" for n in names]
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def apply_kernel(*cols: pd.Series) -> pd.Series:
+        env = {n: np.stack(c.to_numpy()) for n, c in zip(names, cols)}
+        out = kernel(env)
+        out = np.broadcast_to(out, next(iter(env.values())).shape) if np.isscalar(out) else out
+        return pd.Series(list(np.asarray(out, dtype=np.float64)))
+
+    return joined.select(
+        *KEY, "width", "height", apply_kernel(*[F.col(c) for c in cell_cols]).alias("cells")
+    )
+
+
+def eval_focal(expr: Expr, params: dict[str, DataFrame]) -> DataFrame:
+    from ..operators.focal import with_halo
+
+    names = sorted(expr.var_names())
+    if len(names) != 1:
+        raise NotImplementedError(
+            "focal expressions currently support a single raster var "
+            "(reference focal ops are single-source too)"
+        )
+    name = names[0]
+    buf = expr.vars_with_buffer()[name]
+    kernel = compile_node(expr)
+    padded = with_halo(params[name], buf)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def apply_kernel(cells: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+        out = []
+        for c, w, h in zip(cells, width, height):
+            block = np.asarray(c, dtype=np.float64).reshape(h + 2 * buf, w + 2 * buf)
+            env = {name: block, "__pad__": {name: buf}}
+            out.append(np.asarray(kernel(env), dtype=np.float64).ravel())
+        return pd.Series(out)
+
+    return padded.select(
+        *KEY,
+        "width",
+        "height",
+        apply_kernel(F.col("cells_padded"), F.col("width"), F.col("height")).alias("cells"),
+    )
+
+
+def crop_to_extent(
+    tiles: DataFrame,
+    extent: tuple[float, float, float, float],
+    layout_extent_for,
+) -> DataFrame:
+    """R6 crop: keep tiles intersecting the window; edge tiles get cells
+    outside the window set to NaN (reference crops to
+    RasterExtent(extent).gridBoundsFor, LayerExtent.scala:63-65). The
+    window is expressed in the tiles' own CRS coordinates.
+
+    ``layout_extent_for``: fn(zoom, tx, ty) -> Extent of the tile."""
+    xmin, ymin, xmax, ymax = extent
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def crop(cells, w_s, h_s, zoom_s, tx_s, ty_s):
+        out = []
+        for c, w, h, z, tx, ty in zip(cells, w_s, h_s, zoom_s, tx_s, ty_s):
+            te = layout_extent_for(int(z), int(tx), int(ty))
+            a = np.asarray(c, dtype=np.float64).reshape(h, w)
+            cw = (te.xmax - te.xmin) / w
+            ch = (te.ymax - te.ymin) / h
+            cols = np.arange(w) * cw + te.xmin + cw / 2  # cell centers
+            rows = te.ymax - (np.arange(h) * ch + ch / 2)
+            keep = (
+                (cols >= xmin)[None, :]
+                & (cols <= xmax)[None, :]
+                & (rows >= ymin)[:, None]
+                & (rows <= ymax)[:, None]
+            )
+            out.append(np.where(keep, a, np.nan).ravel())
+        return pd.Series(out)
+
+    return tiles.withColumn(
+        "cells", crop("cells", "width", "height", "zoom", "tile_x", "tile_y")
+    )

@@ -1,0 +1,184 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing is md5-hex-string based so every stage is expressible
+identically in Spark SQL and DuckDB (md5() returns the same lowercase hex
+in both; string min() is lexicographic in both) — the correctness oracle
+runs the same algorithm end-to-end.
+
+Scale design:
+- exact: hash-groupBy, partial agg collapses duplicates map-side.
+- MinHash+LSH: docs → token sets → k min-hashes (ONE groupBy with k
+  min() aggregates — no k-fold explosion) → b bands → bucket self-join
+  (equi-join on band key; bucket sizes are bounded by near-dup cluster
+  size, AQE skew-join splits pathological buckets) → exact Jaccard verify
+  on candidates only.
+- SimHash: per-token ±1 votes over h bit positions from the token's md5
+  hex digits → sign vector as a bit string; Hamming-bucket join on the
+  full signature (exact-duplicate-class detector at h=16).
+- n-gram Jaccard: character shingles instead of word tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One survivor (min id) per distinct text; returns
+    (content_hash, survivor_id, n_dups)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("survivor_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def doc_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word tokens per doc."""
+    return docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).distinct()
+
+
+def minhash_signatures(
+    tokens: DataFrame, k: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """k min-hash values per doc. Hash_i(tok) = md5(tok || '#' || i) —
+    min() over hex strings is a valid uniform min-hash (lexicographic
+    order on uniformly distributed hex = uniform order)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"mh{i}") for i in range(k)
+    ]
+    return tokens.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band → bucket → within-bucket pairs (a < b). bands*rows_per_band
+    must equal the signature length."""
+    pair_dfs = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        banded = sigs.select(
+            F.col(id_col), F.md5(F.concat_ws("|", *[F.col(c) for c in cols])).alias("bucket")
+        )
+        other = banded.select(F.col(id_col).alias("_b"), "bucket")
+        pair_dfs.append(
+            banded.join(other, "bucket")
+            .filter(F.col(id_col) < F.col("_b"))
+            .select(F.col(id_col).alias("a"), F.col("_b").alias("b"))
+        )
+    out = pair_dfs[0]
+    for p in pair_dfs[1:]:
+        out = out.union(p)
+    return out.distinct()
+
+
+def jaccard_verify(
+    pairs: DataFrame, tokens: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via token-set join; returns
+    (a, b, jaccard) for pairs >= threshold. |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = tokens.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ta = tokens.select(F.col(id_col).alias("a"), "tok")
+    tb = tokens.select(F.col(id_col).alias("b"), "tok")
+    inter = (
+        pairs.join(ta, "a").join(tb, ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    toks = doc_tokens(docs, text_col, id_col)
+    sigs = minhash_signatures(toks, k, id_col)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
+    return jaccard_verify(cand, toks, threshold, id_col)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    tokens: DataFrame, n_bits: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-bit vote: hex digit j of md5(tok) >= '8' → +1 else -1; sign of
+    the sum is bit j. Signature returned as an n_bits 0/1 string (portable
+    to DuckDB: substring + CASE + sum + concat)."""
+    votes = [
+        F.sum(
+            F.when(F.substring(F.md5("tok"), j + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(n_bits)
+    ]
+    agg = tokens.groupBy(id_col).agg(*votes)
+    bits = F.concat(*[F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(n_bits)])
+    return agg.select(F.col(id_col), bits.alias("simhash"))
+
+
+def simhash_dup_classes(docs: DataFrame, n_bits: int = 16,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group docs by identical simhash → (simhash, survivor_id, n_docs)."""
+    toks = doc_tokens(docs, text_col, id_col)
+    sigs = simhash_signatures(toks, n_bits, id_col)
+    return sigs.groupBy("simhash").agg(
+        F.min(id_col).alias("survivor_id"), F.count("*").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def char_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Distinct character n-grams per doc (JVM-side: sequence + transform +
+    explode)."""
+    grams = F.expr(
+        f"explode(array_distinct(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f" i -> substring({text_col}, i, {n}))))"
+    )
+    return docs.select(F.col(id_col), grams.alias("tok"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        k: int = 8, bands: int = 4, rows_per_band: int = 2,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by character-shingle Jaccard, MinHash-LSH accelerated."""
+    toks = char_ngrams(docs, n, text_col, id_col)
+    sigs = minhash_signatures(toks, k, id_col)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
+    return jaccard_verify(cand, toks, threshold, id_col)

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k per query — the baseline. Dot
+  products via ``F.aggregate``/``zip_with`` (JVM-side, no UDF); per-query
+  top-k via window row_number with deterministic (sim desc, id) ordering.
+- ``lsh_ann_topk``: the scale path — random-hyperplane LSH bucketing:
+  sign-pattern key over h deterministic pseudo-random hyperplanes, then
+  brute-force only within the query's bucket (multi-probe: Hamming-1
+  neighbors included). Recall measured in tests against the exact
+  baseline.
+- ``embedding_near_dup_pairs``: cosine near-duplicate pairs via LSH
+  buckets + exact verify.
+
+At 10^12 scale: buckets are the shuffle key (uniform by construction —
+hyperplane signs split mass ~evenly); queries broadcast.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)")
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(F.expr(f"aggregate({a}, 0D, (s, v) -> s + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
+
+
+def with_cosine(df: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
+    qn = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+    q = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in query_vec) + ")"
+    dot = F.expr(
+        f"aggregate(zip_with({vec_col}, {q}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)"
+    )
+    return df.withColumn("cosine", dot / (_norm(vec_col) * F.lit(qn)))
+
+
+def cosine_topk(
+    df: DataFrame, query_vec: list[float], k: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine; ties broken by id. Returns (id, cosine, rank)."""
+    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        with_cosine(df, query_vec, vec_col)
+        .select(id_col, "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: h[i][j] = sin(i*dim + j) —
+    no RNG state, reproducible everywhere."""
+    return [[math.sin(i * dim + j + 1.0) for j in range(dim)] for i in range(n_planes)]
+
+
+def lsh_bucket_col(vec_col: str, planes: list[list[float]]) -> F.Column:
+    bits = []
+    for p in planes:
+        arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in p) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)"
+        )
+        bits.append(F.when(dot >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(
+    df: DataFrame, query_vec: list[float], k: int, n_planes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding", multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: scan only the query's LSH bucket (+ Hamming-1
+    probes). ~2^n_planes-fold scan reduction at bounded recall loss."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes)
+    qbits = "".join(
+        "1" if sum(a * b for a, b in zip(p, query_vec)) >= 0 else "0" for p in planes
+    )
+    probes = {qbits}
+    if multiprobe:
+        for i in range(n_planes):
+            flipped = qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1 :]
+            probes.add(flipped)
+    bucketed = df.withColumn("_bkt", lsh_bucket_col(vec_col, planes)).filter(
+        F.col("_bkt").isin(list(probes))
+    )
+    return cosine_topk(bucketed.drop("_bkt"), query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.95, n_planes: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs: bucket by full sign pattern (near-identical
+    vectors share all signs with high probability), verify exactly within
+    buckets. Returns (a, b, cosine)."""
+    dim = int(df.select(F.size(vec_col)).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    b = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket_col(vec_col, planes).alias("_bkt")
+    )
+    o = b.select(
+        F.col(id_col).alias("_b"), F.col(vec_col).alias("_vb"), F.col("_bkt")
+    )
+    pairs = (
+        b.join(o, "_bkt")
+        .filter(F.col(id_col) < F.col("_b"))
+        .withColumn(
+            "cosine",
+            _dot(vec_col, "_vb") / (_norm(vec_col) * _norm("_vb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(id_col).alias("a"), F.col("_b").alias("b"), "cosine")
+    )
+    return pairs

@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    # RAM-backed shuffle spill when a tmpfs is available: shuffle-heavy
+    # stages scale with cores instead of bottlenecking on one disk. On a
+    # real cluster this is the NVMe-local-disk equivalent.
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    if shm and os.path.isdir(os.path.dirname(shm) or "/"):
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

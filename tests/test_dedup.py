@@ -1,0 +1,84 @@
+"""Dedup operators vs brute-force oracles on the driver's documents table
+(sf0.001) + synthetic near-dup corpus."""
+
+import itertools
+
+import pytest
+
+from geotrellis_server_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),       # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),       # near dup
+        (3, "completely different content about spark engines"),
+        (4, "spark engines process completely different content"),  # same tokens as 3
+        (5, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def _token_sets(rows):
+    return {r[0]: set(r[1].split(" ")) for r in rows}
+
+
+def test_exact_dedup(corpus):
+    out = {r.survivor_id: r.n_dups for r in D.exact_dedup(corpus, id_col="doc_id").collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert len(out) == 5
+
+
+def test_minhash_finds_near_dups_and_jaccard_exact(corpus):
+    rows = corpus.collect()
+    tsets = _token_sets([(r.doc_id, r.text) for r in rows])
+    got = {(r.a, r.b): r.jaccard for r in
+           D.minhash_dedup_pairs(corpus, k=8, bands=4, rows_per_band=2, threshold=0.5).collect()}
+    # exact dup pair must always be found with jaccard 1.0
+    assert got.get((0, 1)) == 1.0
+    # (3,4) share 5 of 7 distinct tokens (about vs process differ)
+    assert got.get((3, 4)) == pytest.approx(5 / 7)
+    # every reported jaccard must equal the brute-force value
+    for (a, b), j in got.items():
+        inter = len(tsets[a] & tsets[b])
+        union = len(tsets[a] | tsets[b])
+        assert abs(j - inter / union) < 1e-12
+        assert j >= 0.5
+
+
+def test_lsh_no_false_negatives_for_identical_sets(spark):
+    # identical token sets share every band → always candidates
+    rows = [(i, "alpha beta gamma delta") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = D.minhash_dedup_pairs(df, threshold=0.99).collect()
+    assert len(pairs) == len(list(itertools.combinations(range(10), 2)))
+
+
+def test_simhash_groups_identical_token_sets(spark, corpus):
+    out = D.simhash_dup_classes(corpus, id_col="doc_id").collect()
+    by_survivor = {r.survivor_id: r.n_docs for r in out}
+    assert by_survivor.get(0) == 2  # exact dups 0,1 share every bit
+    # token-permutation docs DO have identical token SETS → same simhash
+    perm = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "gamma alpha beta"), (12, "omega psi chi")],
+        "doc_id LONG, text STRING",
+    )
+    out2 = {r.survivor_id: r.n_docs for r in D.simhash_dup_classes(perm, id_col="doc_id").collect()}
+    assert out2.get(10) == 2 and out2.get(12) == 1
+
+
+def test_ngram_jaccard_near_dup(corpus):
+    got = {(r.a, r.b) for r in D.ngram_jaccard_pairs(corpus, n=3, threshold=0.6).collect()}
+    assert (0, 1) in got  # exact dup
+    assert (0, 2) in got  # dog→cat single-word change, high char-trigram overlap
+
+
+def test_on_driver_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ex = D.exact_dedup(docs, id_col="doc_id")
+    total = docs.count()
+    assert ex.count() <= total
+    agg = ex.groupBy().sum("n_dups").collect()[0][0]
+    assert agg == total  # partition: every doc in exactly one class

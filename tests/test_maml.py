@@ -1,0 +1,190 @@
+"""MAML parity tests: NDVI (bench AST, TmsReificationBench.scala:39-41),
+NoData→NaN semantics (NoDataHandlingTest.scala:28-58), crop golden sum
+1596 (LayerExtentTest.scala:29-37), focal ops vs numpy oracle, JSON
+round-trip, constant folding, custom kernel registry."""
+
+import math
+
+import numpy as np
+import pytest
+
+
+def cells_np(cells):
+    """Materialized arrays may carry NoData as SQL NULL (Arrow converts
+    NaN→null on pandas→Arrow list conversion); kernels treat both as NaN.
+    Normalize for assertions."""
+    return np.array([np.nan if v is None else v for v in cells], dtype=np.float64)
+
+from geotrellis_server_spark.maml import ast as M
+from geotrellis_server_spark.maml.ast import Expr
+from geotrellis_server_spark.maml.eval import crop_to_extent, eval_expr, eval_local
+from geotrellis_server_spark.maml.kernels import compile_node, fold_constants, register_kernel
+from geotrellis_server_spark.sources import synth
+
+
+def tile_df(spark, name, cells, w=4, h=4, key=(0, 0, 0)):
+    z, x, y = key
+    row = (name, z, x, y, 0, w, h, 0.0, 0.0, float(w), float(h), "float64", float("nan"),
+           [float(v) for v in cells])
+    return spark.createDataFrame([row], synth.TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# kernel-level
+# ---------------------------------------------------------------------------
+
+
+def test_ndvi_kernel():
+    red = np.array([[0.1, 0.2], [0.3, 0.4]])
+    nir = np.array([[0.5, 0.6], [0.7, 0.8]])
+    e = (M.var("nir") - M.var("red")) / (M.var("nir") + M.var("red"))
+    out = compile_node(e)({"red": red, "nir": nir})
+    assert np.allclose(out, (nir - red) / (nir + red))
+
+
+def test_nodata_nan_propagation():
+    # NoDataHandlingTest: t1 + t2 yields NaN at NoData cells
+    a = np.array([1.0, np.nan, 3.0])
+    b = np.array([10.0, 20.0, np.nan])
+    out = compile_node(M.var("a") + M.var("b"))({"a": a, "b": b})
+    assert out[0] == 11.0 and np.isnan(out[1]) and np.isnan(out[2])
+
+
+def test_comparison_nodata_and_branch():
+    a = np.array([1.0, np.nan, 3.0])
+    lt = compile_node(M.var("a") < 2.0)({"a": a})
+    assert lt[0] == 1.0 and np.isnan(lt[1]) and lt[2] == 0.0
+    br = compile_node(M.ifelse(M.var("a") < 2.0, 100.0, 200.0))({"a": a})
+    assert br[0] == 100.0 and np.isnan(br[1]) and br[2] == 200.0
+    d = compile_node(Expr("def", (M.var("a"),)))({"a": a})
+    assert d.tolist() == [1.0, 0.0, 1.0]
+
+
+def test_classify_clamp_normalize():
+    a = np.array([-5.0, 0.5, 5.0, np.nan])
+    cl = compile_node(M.classify(M.var("a"), [0.0, 1.0], [10.0, 20.0, 30.0]))({"a": a})
+    assert cl[0] == 10.0 and cl[1] == 20.0 and cl[2] == 30.0 and np.isnan(cl[3])
+    cp = compile_node(M.clamp(M.var("a"), 0.0, 1.0))({"a": a})
+    assert cp[0] == 0.0 and cp[1] == 0.5 and cp[2] == 1.0 and np.isnan(cp[3])
+    nm = compile_node(M.normalize(M.var("a"), -5.0, 5.0, 0.0, 100.0))({"a": a})
+    assert nm[0] == 0.0 and nm[2] == 100.0
+
+
+def test_constant_folding():
+    e = M.var("x") * (M.lit(2) + M.lit(3))
+    folded = fold_constants(e)
+    assert folded.args[1].symbol == "dbl" and folded.args[1].p("value") == 5.0
+
+
+def test_json_roundtrip():
+    e = M.ifelse(M.var("x") < 0.5, M.clamp(M.var("y"), 0, 1), M.lit(2) ** M.lit(3))
+    assert Expr.from_json(e.to_json()) == e
+
+
+def test_vars_with_buffer():
+    e = M.focal("fmean", M.var("dem"), radius=2) + M.var("x")
+    assert e.vars_with_buffer() == {"dem": 2, "x": 0}
+    nested = M.focal("fmax", M.focal("fmean", M.var("dem"), radius=1), radius=1)
+    assert nested.vars_with_buffer() == {"dem": 2}
+
+
+def test_custom_kernel_registry():
+    register_kernel("plus1", lambda a: a[0] + 1.0)
+    out = compile_node(Expr("plus1", (M.var("x"),)))({"x": np.array([1.0, 2.0])})
+    assert out.tolist() == [2.0, 3.0]
+
+
+def test_unhandled_symbol_raises():
+    with pytest.raises(ValueError, match="unhandled"):
+        compile_node(Expr("nope", (M.var("x"),)))
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level
+# ---------------------------------------------------------------------------
+
+
+def test_ndvi_over_tiles(spark):
+    red = tile_df(spark, "red", range(1, 17))
+    nir = tile_df(spark, "nir", range(17, 33))
+    e = (M.var("nir") - M.var("red")) / (M.var("nir") + M.var("red"))
+    out = eval_local(e, {"red": red, "nir": nir}).collect()
+    assert len(out) == 1
+    r = np.arange(1, 17, dtype=float)
+    n = np.arange(17, 33, dtype=float)
+    assert np.allclose(out[0].cells, (n - r) / (n + r))
+
+
+def test_layer_extent_crop_golden_1596(spark):
+    """8×8 fixture values 1..64, crop to Extent(0,1,8,8) excises the bottom
+    row → sum 1596 (LayerExtentTest.scala:29-37)."""
+    from geotrellis_server_spark.grids.layout import Extent
+
+    r8 = synth.raster8(spark)
+    out = crop_to_extent(
+        eval_local(M.var("r8"), {"r8": r8}),
+        (0.0, 1.0, 8.0, 8.0),
+        lambda z, tx, ty: Extent(0.0, 0.0, 8.0, 8.0),
+    ).collect()[0]
+    assert np.nansum(cells_np(out.cells)) == 1596.0
+
+
+def test_nodata_over_tiles(spark):
+    """NoDataHandlingTest parity: two 10×10 tiles 1..100, NoData at value 1
+    (t1) and 2.0 (t2) → sum NaN at those cells, numeric elsewhere."""
+    v1 = [float("nan") if v == 1 else float(v) for v in range(1, 101)]
+    v2 = [float("nan") if v == 2.0 else float(v) for v in range(1, 101)]
+    t1 = tile_df(spark, "t1", v1, w=10, h=10)
+    t2 = tile_df(spark, "t2", v2, w=10, h=10)
+    out = eval_local(M.var("t1") + M.var("t2"), {"t1": t1, "t2": t2}).collect()[0]
+    cells = cells_np(out.cells)
+    assert np.isnan(cells[0]) and np.isnan(cells[1])
+    assert cells[2] == 6.0 and not np.isnan(cells[2:]).any()
+
+
+def test_focal_mean_with_halo(spark):
+    """3 adjacent tiles in a row; fmean(radius 1) at a tile's edge must see
+    the neighbor's cells — compare against a numpy oracle on the stitched
+    array."""
+    import pandas as pd
+
+    w = h = 4
+    t_left = tile_df(spark, "d", range(0, 16), key=(1, 0, 0))
+    t_mid = tile_df(spark, "d", range(16, 32), key=(1, 1, 0))
+    t_right = tile_df(spark, "d", range(32, 48), key=(1, 2, 0))
+    tiles = t_left.union(t_mid).union(t_right)
+    e = M.focal("fmean", M.var("d"), radius=1)
+    out = {(r.tile_x, r.tile_y): cells_np(r.cells).reshape(h, w)
+           for r in eval_expr(e, {"d": tiles}).collect()}
+    assert set(out) == {(0, 0), (1, 0), (2, 0)}
+    # numpy oracle: stitch 3 tiles horizontally, pad with NaN, nanmean windows
+    stitched = np.hstack([np.arange(0, 16).reshape(4, 4),
+                          np.arange(16, 32).reshape(4, 4),
+                          np.arange(32, 48).reshape(4, 4)]).astype(float)
+    padded = np.full((h + 2, 12 + 2), np.nan)
+    padded[1:-1, 1:-1] = stitched
+    from numpy.lib.stride_tricks import sliding_window_view
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        exp = np.nanmean(sliding_window_view(padded, (3, 3)), axis=(-2, -1))
+    got = np.hstack([out[(0, 0)], out[(1, 0)], out[(2, 0)]])
+    assert np.allclose(got, exp, equal_nan=True)
+
+
+def test_focal_skipped_for_local_expr(spark):
+    # local expressions must not pay the halo shuffle
+    red = tile_df(spark, "red", range(1, 17))
+    plan = eval_expr(M.var("red") * 2.0, {"red": red})._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_hillshade_flat_surface(spark):
+    # flat DEM → slope 0 → hillshade = 255*sin(altitude); with 45° default
+    # = 180.31... exact: clip(255 * sin(45°)) = 180.31
+    flat = tile_df(spark, "dem", [100.0] * 16, key=(0, 5, 5))
+    e = M.focal("fhillshade", M.var("dem"), radius=1, cellsize=1.0)
+    out = eval_expr(e, {"dem": flat}).collect()[0]
+    cells = cells_np(out.cells).reshape(4, 4)
+    # interior cells (edges see NaN halo) — value = 255*sin(45°)
+    assert np.allclose(cells[1:-1, 1:-1], 255.0 * math.sin(math.radians(45.0)))

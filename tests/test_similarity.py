@@ -1,0 +1,85 @@
+"""Similarity search vs numpy brute force on the driver's embeddings
+table."""
+
+import numpy as np
+import pytest
+
+from geotrellis_server_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _brute_topk(ids, mat, q, k):
+    qn = np.asarray(q, dtype=np.float64)
+    sims = mat @ qn / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qn))
+    order = sorted(zip(-sims, ids))[:k]
+    return [int(i) for _, i in order]
+
+
+def test_exact_topk_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    q = mat[0].tolist()
+    got = [r.vec_id for r in S.cosine_topk(emb, q, 10).orderBy("rank").collect()]
+    assert got == _brute_topk(ids, mat, q, 10)
+    assert got[0] == 0  # self-similarity = 1
+
+
+def test_topk_plan_has_no_python(emb, emb_np):
+    _, mat = emb_np
+    plan = S.cosine_topk(emb, mat[0].tolist(), 5)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_lsh_ann_recall(emb, emb_np):
+    # random 64-dim embeddings have weakly-correlated neighbors, so use a
+    # coarse 4-plane bucketing (multi-probe covers 5/16 of the space);
+    # production picks n_planes from the recall/scan-fraction tradeoff
+    ids, mat = emb_np
+    recalls = []
+    for qi in (0, 7, 42):
+        q = mat[qi].tolist()
+        exact = set(_brute_topk(ids, mat, q, 10))
+        approx = {r.vec_id for r in S.lsh_ann_topk(emb, q, 10, n_planes=4).collect()}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.4
+    # the query vector itself always survives bucketing
+    assert 0 in {r.vec_id for r in S.lsh_ann_topk(emb, mat[0].tolist(), 10, n_planes=4).collect()}
+
+
+def test_lsh_scan_reduction(emb, emb_np):
+    _, mat = emb_np
+    planes = S._hyperplanes(mat.shape[1], 8)
+    bucketed = emb.withColumn("_b", S.lsh_bucket_col("embedding", planes))
+    sizes = bucketed.groupBy("_b").count().collect()
+    total = sum(r["count"] for r in sizes)
+    biggest = max(r["count"] for r in sizes)
+    assert total == emb.count()
+    assert biggest < total * 0.25  # buckets actually split the space
+
+
+def test_near_dup_pairs_self_join(spark, emb_np):
+    ids, mat = emb_np
+    # duplicate a few vectors with tiny noise → must be found
+    import pyspark.sql.functions as F
+
+    rows = [(1000 + i, (mat[i] + 1e-6).astype(float).tolist()) for i in range(5)]
+    extra = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    base = spark.createDataFrame(
+        [(int(i), v.astype(float).tolist()) for i, v in zip(ids[:50], mat[:50])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    pairs = S.embedding_near_dup_pairs(base.union(extra), threshold=0.999)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, 1000 + i) in got
