@@ -1,0 +1,199 @@
+"""Engine entry points — the reference's OGC service surface re-expressed
+as DataFrame-producing batch APIs (SURVEY.md §2.8: E1–E6 →
+get_extent / get_tile / get_histogram / get_values / describe).
+
+A ``Layer`` binds a name to tile data (+ optional MAML expression and
+style); a ``Catalog`` is the queryable layer table (Repository[OgcSource]
+analog, broadcastable). The request lifecycle mirrors §3.1:
+parse → query AST → catalog filter → tile-key prune → kernel eval →
+style/render.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .grids.layout import Extent, ZoomedLayoutScheme
+from .maml import ast as M
+from .maml.eval import crop_to_extent, eval_expr
+from .operators import histogram as H
+from .query import ast as Q
+from .query.compile import ogc_layer_predicate
+from .styles import colormap as CM
+from .styles.png import encode_png
+
+SCHEME = ZoomedLayoutScheme()
+
+
+@dataclass
+class Layer:
+    """SimpleOgcLayer / MapAlgebraOgcLayer analog (ogc/.../OgcSource.scala)."""
+
+    name: str
+    tiles: DataFrame  # TILE_SCHEMA rows (possibly multiple zooms = pyramid)
+    expression: M.Expr | None = None  # None → identity (SimpleOgcLayer)
+    style: dict | None = None  # {'poles': {...}, 'clip': ...} for the LUT
+    sources: dict[str, DataFrame] = field(default_factory=dict)  # MAML vars
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, layers: dict[str, Layer], catalog: DataFrame | None = None):
+        self.spark = spark
+        self.layers = layers
+        self.catalog = catalog  # name/xmin..ymax/times metadata table
+
+    # -- catalog resolution (WmsModel.getLayer analog) ---------------------
+    def find_layers(self, query: Q.Query) -> list[str]:
+        if self.catalog is None:
+            raise ValueError("no catalog bound")
+        rows = self.catalog.filter(ogc_layer_predicate(query)).select("name").collect()
+        return [r.name for r in rows]
+
+    def _eval(self, layer: Layer, zoom_filter=None) -> DataFrame:
+        tiles = layer.tiles
+        if zoom_filter is not None:
+            tiles = tiles.filter(F.col("zoom") == zoom_filter)
+        if layer.expression is None:
+            return tiles
+        params = dict(layer.sources)
+        params.setdefault(layer.name, tiles)
+        return eval_expr(layer.expression, params)
+
+    # -- E2/E6: WMTS GetTile / TMS z/x/y -----------------------------------
+    def get_tile(self, layer_name: str, z: int, x: int, y: int) -> DataFrame:
+        """Point lookup on the pyramid: zoom + key filter = partition
+        pruning, then kernel eval on the ≤9 tiles involved."""
+        layer = self.layers[layer_name]
+        tiles = layer.tiles.filter(
+            (F.col("zoom") == z)
+            & (F.col("tile_x").between(x - 1, x + 1))
+            & (F.col("tile_y").between(y - 1, y + 1))
+        )
+        sub = Layer(layer.name, tiles, layer.expression, layer.style, layer.sources)
+        out = self._eval(sub)
+        return out.filter((F.col("tile_x") == x) & (F.col("tile_y") == y))
+
+    # -- E1/E3: WMS GetMap / WCS GetCoverage --------------------------------
+    def get_extent(self, layer_name: str, extent: tuple, cell_size: float) -> DataFrame:
+        """Evaluate at the zoom matching cell_size (overview pruning R5/O3),
+        restricted to tiles intersecting the extent (O4), cropped (R6)."""
+        layer = self.layers[layer_name]
+        first = layer.tiles.select("width").first()
+        tile_px = int(first.width) if first else SCHEME.tile_size
+        # coarsest zoom whose cell size (for THIS layer's tile size) is
+        # <= requested — overview pruning R5/O3 with layer-specific grids
+        world_w = SCHEME.world.width
+        z = 0
+        while world_w / ((1 << z) * tile_px) > cell_size and z < 30:
+            z += 1
+        zooms = [r.zoom for r in layer.tiles.select("zoom").distinct().collect()]
+        z = min(zooms, key=lambda zz: (abs(zz - z), zz)) if zooms else z
+        layout = SCHEME.layout(z)
+        e = Extent(*extent)
+        tx0, ty0, tx1, ty1 = layout.keys_for_extent(e)
+        tiles = layer.tiles.filter(
+            (F.col("zoom") == z)
+            & F.col("tile_x").between(tx0 - 1, tx1 + 1)
+            & F.col("tile_y").between(ty0 - 1, ty1 + 1)
+        )
+        sub = Layer(layer.name, tiles, layer.expression, layer.style, layer.sources)
+        out = self._eval(sub).filter(
+            F.col("tile_x").between(tx0, tx1) & F.col("tile_y").between(ty0, ty1)
+        )
+        return crop_to_extent(out, extent, lambda zz, tx, ty: SCHEME.layout(zz).extent_for(tx, ty))
+
+    # -- histogram (A1) -----------------------------------------------------
+    def get_histogram(self, layer_name: str, max_cells: int = 512, n_bins: int = 80) -> DataFrame:
+        layer = self.layers[layer_name]
+        return H.layer_histogram(self._eval_all_zooms(layer), n_bins=n_bins, max_cells=max_cells)
+
+    def _eval_all_zooms(self, layer: Layer) -> DataFrame:
+        out = self._eval(layer)
+        if "band" not in out.columns:
+            out = out.withColumn("band", F.lit(0))
+        return out
+
+    # -- E4: GetFeatureInfo (point sampling, J6) ----------------------------
+    def get_values(self, layer_name: str, points: list[tuple[float, float]], zoom: int) -> DataFrame:
+        """Multipoint bulk sampling: points → tile-key equi-join → in-tile
+        pixel index lookup (GetFeatureInfoExtended.scala:57-105)."""
+        from . import sqlgen
+
+        layer = self.layers[layer_name]
+        pts = self.spark.createDataFrame(
+            [(i, float(lo), float(la)) for i, (lo, la) in enumerate(points)],
+            "point_id INT, lon DOUBLE, lat DOUBLE",
+        )
+        tiles = self._eval(layer, zoom_filter=zoom)
+        ts = tiles.select("width").first()
+        w = int(ts.width) if ts else 256
+        n_px = (1 << zoom) * w
+        gx = sqlgen.tile_x_sql("lon", zoom)
+        gy = sqlgen.tile_y_sql("lat", zoom)
+        gpx = f"CAST(greatest(least(floor(({sqlgen.mercator_x_sql('lon')}) * {n_px}), {n_px - 1}), 0) AS BIGINT)"
+        gpy = f"CAST(greatest(least(floor(({sqlgen.mercator_y_sql('lat')}) * {n_px}), {n_px - 1}), 0) AS BIGINT)"
+        keyed = pts.select(
+            "point_id", "lon", "lat",
+            F.expr(gx).alias("tile_x"), F.expr(gy).alias("tile_y"),
+            (F.expr(gpy) % w).alias("py"), (F.expr(gpx) % w).alias("px"),
+        )
+        joined = tiles.join(F.broadcast(keyed), ["tile_x", "tile_y"], "inner")
+        return joined.select(
+            "point_id", "lon", "lat",
+            F.expr("cells[CAST(py * width + px AS INT)]").alias("value"),
+        )
+
+    # -- E5: GetCapabilities / DescribeCoverage ------------------------------
+    def describe(self) -> list[dict]:
+        out = []
+        for name, layer in self.layers.items():
+            zooms = [r.zoom for r in layer.tiles.select("zoom").distinct().orderBy("zoom").collect()]
+            if "xmin" in layer.tiles.columns:
+                ext = layer.tiles.agg(
+                    F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")
+                ).collect()[0]
+            else:
+                # derive from tile keys at the finest zoom (mapTransform)
+                z = max(zooms) if zooms else 0
+                layout = SCHEME.layout(z)
+                k = layer.tiles.filter(F.col("zoom") == z).agg(
+                    F.min("tile_x"), F.min("tile_y"), F.max("tile_x"), F.max("tile_y")
+                ).collect()[0]
+                nw = layout.extent_for(int(k[0]), int(k[1]))
+                se = layout.extent_for(int(k[2]), int(k[3]))
+                ext = (nw.xmin, se.ymin, se.xmax, nw.ymax)
+            out.append(
+                {
+                    "name": name,
+                    "zooms": zooms,
+                    "extent": tuple(ext),
+                    "expression": layer.expression.to_dict() if layer.expression else None,
+                    "styled": layer.style is not None,
+                }
+            )
+        return out
+
+    # -- render (E1 tail): tiles → PNG bytes --------------------------------
+    def render_png(self, tiles: DataFrame, style: dict | None = None) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        poles = (style or {}).get("poles")
+        clip = (style or {}).get("clip", CM.CLIP_NONE)
+
+        @F.pandas_udf(T.BinaryType())
+        def to_png(cells, w_s, h_s):
+            out = []
+            for c, w, h in zip(cells, w_s, h_s):
+                a = np.array([np.nan if v is None else v for v in c], dtype=np.float64).reshape(h, w)
+                rgba = (
+                    CM.interpolated_colormap(a, poles, clip) if poles else CM.render_rgba(a)
+                )
+                out.append(encode_png(rgba))
+            return pd.Series(out)
+
+        return tiles.withColumn("png", to_png("cells", "width", "height"))
