@@ -186,8 +186,112 @@ def _q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("doc_id", F.expr(sig).alias("span_sig"))
 
 
+# --- mosaic / temporal / histogram / zoom ops ------------------------------
+
+
+def _q_pip_poly_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic ray-cast PIP kernel vs an independent half-plane oracle
+    (convex zones 1000 square + 1001 triangle)."""
+    d = _docs(spark, sf_dir)
+    pz = synth.poly_zone_df(spark).filter("zone_id IN (1000, 1001)")
+    return spatial_join.pip_join_poly(d, pz).select("doc_id", "zone_id")
+
+
+def _mosaic_sources(spark: SparkSession) -> DataFrame:
+    base = spark.range(25).selectExpr(
+        "CAST(0 AS INT) AS zoom",
+        "id % 5 AS tile_x",
+        "CAST((id - id % 5) / 5 AS BIGINT) AS tile_y",
+        "CAST(0 AS INT) AS band",
+        "CAST(4 AS INT) AS width",
+        "CAST(4 AS INT) AS height",
+        "id",
+    )
+    a = base.selectExpr(
+        "zoom", "tile_x", "tile_y", "band", "width", "height",
+        "CAST(0 AS INT) AS src_rank",
+        "transform(sequence(0, 15), i -> CASE WHEN (id * 16 + i) % 5 = 0 THEN CAST(NULL AS DOUBLE)"
+        " ELSE CAST(id + i AS DOUBLE) END) AS cells",
+    )
+    b = base.selectExpr(
+        "zoom", "tile_x", "tile_y", "band", "width", "height",
+        "CAST(1 AS INT) AS src_rank",
+        "transform(sequence(0, 15), i -> CASE WHEN (id * 16 + i) % 7 = 0 THEN CAST(NULL AS DOUBLE)"
+        " ELSE CAST(100 + id - i AS DOUBLE) END) AS cells",
+    )
+    return a.unionByName(b)
+
+
+def _q_mosaic_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotrellis_server_spark.operators import mosaic
+
+    merged = mosaic.mosaic_merge(_mosaic_sources(spark))
+    return merged.selectExpr("tile_x", "tile_y", "posexplode(cells) AS (idx, value)")
+
+
+def _q_between_half_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from geotrellis_server_spark.query import ast as Qa
+    from geotrellis_server_spark.query.compile import raster_source_predicate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = Qa.between(
+        dt.datetime(2024, 1, 10, tzinfo=dt.timezone.utc),
+        dt.datetime(2024, 1, 20, tzinfo=dt.timezone.utc),
+        field_name="ts",
+    )
+    return ev.filter(raster_source_predicate(q)).select("event_id")
+
+
+def _q_between_ogc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from geotrellis_server_spark.query import ast as Qa
+    from geotrellis_server_spark.query.compile import ogc_layer_predicate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # one "layer" per (user, day): interval = that day's event span
+    intervals = ev.groupBy(
+        "user_id", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(
+        F.lit(None).cast("array<timestamp>").alias("times"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+    )
+    q = Qa.between(
+        dt.datetime(2024, 1, 10, 12, tzinfo=dt.timezone.utc),
+        dt.datetime(2024, 1, 11, 12, tzinfo=dt.timezone.utc),
+    )
+    return intervals.filter(ogc_layer_predicate(q)).select("user_id", "day")
+
+
+def _q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotrellis_server_spark.operators import histogram as H
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return H.column_histogram(li, "l_extendedprice", n_bins=16)
+
+
+def _q_zoom_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview/zoom selection rule as a pure expression (R5/O3): coarsest
+    zoom whose 256-px cell size <= requested."""
+    world = 2 * 20037508.342789244
+    return spark.range(1, 60).selectExpr(
+        "id AS req_id",
+        f"{world} / (100.0 + CAST(id AS DOUBLE) * 37.0) AS req_cell_size",
+        f"greatest(0, CAST(ceil(log2({world} / (({world} / (100.0 + CAST(id AS DOUBLE) * 37.0)) * 256.0))) AS INT)) AS zoom",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "geo_pip_join_poly_convex": _q_pip_poly_convex,
+        "raster_mosaic_merge": _q_mosaic_merge,
+        "time_between_half_open": _q_between_half_open,
+        "time_between_ogc_overlap": _q_between_ogc_overlap,
+        "agg_price_histogram": _q_price_histogram,
+        "geo_zoom_select": _q_zoom_select,
         "geo_cell_encode_r6": _q_cell_encode,
         "geo_tile_assign_z8": _q_tile_assign(8),
         "geo_tile_assign_z12": _q_tile_assign(12),
@@ -263,6 +367,55 @@ def oracle_sql() -> dict[str, str]:
                    (({gpy}) - ({ty4}) * 64) * 64 + (({gpx}) - ({tx4}) * 64) AS pixel,
                    count(*) AS cnt
             FROM ({pts}) GROUP BY 1, 2, 3
+        """,
+        "geo_pip_join_poly_convex": f"""
+            WITH p AS ({pts})
+            SELECT printf('doc-%012d', id) AS doc_id, 1000 AS zone_id FROM p
+            WHERE lon BETWEEN -10.0 AND 30.0 AND lat BETWEEN -10.0 AND 30.0
+            UNION ALL
+            SELECT printf('doc-%012d', id) AS doc_id, 1001 AS zone_id FROM p
+            WHERE 50.0 * (lat + 80.0) >= 0.0
+              AND (-25.0) * (lat + 80.0) - 50.0 * (lon + 120.0) >= 0.0
+              AND (-25.0) * (lat + 30.0) + 50.0 * (lon + 145.0) >= 0.0
+        """,
+        "raster_mosaic_merge": """
+            SELECT t.id % 5 AS tile_x, CAST((t.id - t.id % 5) / 5 AS BIGINT) AS tile_y,
+                   CAST(s.i AS INT) AS idx,
+                   COALESCE(
+                     CASE WHEN (t.id * 16 + s.i) % 5 = 0 THEN NULL
+                          ELSE CAST(t.id + s.i AS DOUBLE) END,
+                     CASE WHEN (t.id * 16 + s.i) % 7 = 0 THEN NULL
+                          ELSE CAST(100 + t.id - s.i AS DOUBLE) END) AS value
+            FROM range(25) t(id) CROSS JOIN range(16) s(i)
+        """,
+        "time_between_half_open": """
+            SELECT event_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        "time_between_ogc_overlap": """
+            WITH iv AS (SELECT user_id, date_trunc('day', ts) AS day,
+                               min(ts) AS s, max(ts) AS e
+                        FROM events GROUP BY 1, 2)
+            SELECT user_id, day FROM iv
+            WHERE (TIMESTAMP '2024-01-10 12:00:00' <= s AND s <= TIMESTAMP '2024-01-11 12:00:00')
+               OR (TIMESTAMP '2024-01-10 12:00:00' <= e AND e <= TIMESTAMP '2024-01-11 12:00:00')
+        """,
+        "agg_price_histogram": """
+            WITH v AS (SELECT l_extendedprice AS v FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+            mm AS (SELECT min(v) AS lo, max(v) AS hi FROM v)
+            SELECT greatest(least(CAST(floor((v - lo) / (CASE WHEN hi - lo = 0 THEN 1.0
+                                  ELSE hi - lo END) * 16) AS INT), 15), 0) AS bucket,
+                   count(*) AS count
+            FROM v, mm GROUP BY 1
+        """,
+        "geo_zoom_select": f"""
+            SELECT id AS req_id,
+                   {2 * 20037508.342789244} / (100.0 + CAST(id AS DOUBLE) * 37.0) AS req_cell_size,
+                   greatest(0, CAST(ceil(log2({2 * 20037508.342789244}
+                     / (({2 * 20037508.342789244} / (100.0 + CAST(id AS DOUBLE) * 37.0)) * 256.0))) AS INT)) AS zoom
+            FROM range(1, 60) t(id)
         """,
         "doc_span_sequence_invariant": _span_invariant_oracle(),
         "dedup_exact": """

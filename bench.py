@@ -60,7 +60,8 @@ def run_bench(cores: int) -> dict:
     from geotrellis_server_spark.session import get_spark
     from geotrellis_server_spark.sources import synth
 
-    spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores)
+    # 4x shuffle partitions per core: straggler smoothing (AQE coalesces)
+    spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores * 4)
     spark.sparkContext.setLogLevel("ERROR")
     n_documents = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     n = n_documents * MULT
@@ -81,8 +82,11 @@ def run_bench(cores: int) -> dict:
 
     n_runs = 3 if os.environ.get("SPARK_GRAFT_BENCH_RUNS") is None else int(
         os.environ["SPARK_GRAFT_BENCH_RUNS"])
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")  # e.g. "q1" for scaling
 
     def timed(name, fn):
+        if only and not name.startswith(only):
+            return
         best = float("inf")
         for _ in range(n_runs):  # JIT warmup + external-load noise → min
             t0 = time.time()
@@ -130,7 +134,7 @@ def run_bench(cores: int) -> dict:
         ).count(),
     )
 
-    docs_per_sec = round(n / queries["q1_pip_tile_pipeline"], 1)
+    docs_per_sec = round(n / queries["q1_pip_tile_pipeline"], 1) if "q1_pip_tile_pipeline" in queries else None
     spark.stop()
     return {
         "metric": "spatial-join+tile-assignment throughput",
@@ -148,7 +152,7 @@ def run_scaling() -> None:
     mult = os.environ.get("SPARK_GRAFT_SCALE_MULT", "3200")
     results = {}
     for cores in (lo, hi):
-        env = dict(os.environ, SPARK_GRAFT_BENCH_MULT=mult)
+        env = dict(os.environ, SPARK_GRAFT_BENCH_MULT=mult, SPARK_GRAFT_BENCH_ONLY="q1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cores", str(cores), "--json-only"],
             env=env,

@@ -76,6 +76,29 @@ def layer_histogram(
     )
 
 
+def column_histogram(df: DataFrame, col: str, n_bins: int = 10,
+                     value_range: tuple[float, float] | None = None) -> DataFrame:
+    """Fixed-bin histogram of a plain numeric column (same width_bucket
+    math as layer_histogram; used for non-raster metrics)."""
+    vals = df.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull() & ~F.isnan("v")
+    )
+    if value_range is None:
+        mm = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+        lo, hi = float(mm["lo"]), float(mm["hi"])
+    else:
+        lo, hi = value_range
+    span = (hi - lo) or 1.0
+    bucket = F.least(
+        F.floor((F.col("v") - F.lit(lo)) / F.lit(span) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        vals.withColumn("bucket", F.greatest(bucket, F.lit(0)))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("count"))
+    )
+
+
 def minmax(tiles: DataFrame) -> DataFrame:
     """A4: per-band min/max driving color-ramp breaks."""
     return (

@@ -1,0 +1,90 @@
+"""Stitch (SURVEY.md R7): assemble the keyed tiles of a bounded request
+window into one numpy raster — reference
+core/.../gtlayer/GTLayerNode.scala:150-157 (collection stitch). The
+collect is bounded by the request size (a GetMap window), never the
+dataset: the caller prunes to a key range first.
+
+Also: GeoJSON feature sink (S12 — pixel values as features,
+ogc/.../wms/GetFeatureInfo.scala:87-102) and axis-swap normalization
+(R11 — WMS 1.3 geographic-CRS axis order, ogc/.../package.scala:32-36).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..grids.layout import Extent, ZoomedLayoutScheme
+
+
+def stitch(tiles: DataFrame, zoom: int | None = None) -> tuple[np.ndarray, Extent]:
+    """Collect the (pruned) tile set and mosaic into one array. NaN where
+    no tile covers. Returns (array[h, w], extent in EPSG:3857)."""
+    rows = tiles.collect()
+    if not rows:
+        raise ValueError("stitch of empty tile set")
+    z = zoom if zoom is not None else rows[0].zoom
+    rows = [r for r in rows if r.zoom == z]
+    layout = ZoomedLayoutScheme(rows[0].width).layout(z)
+    txs = [r.tile_x for r in rows]
+    tys = [r.tile_y for r in rows]
+    tx0, tx1, ty0, ty1 = min(txs), max(txs), min(tys), max(tys)
+    tw, th = rows[0].width, rows[0].height
+    out = np.full(((ty1 - ty0 + 1) * th, (tx1 - tx0 + 1) * tw), np.nan)
+    for r in rows:
+        a = np.array([np.nan if v is None else v for v in r.cells], dtype=np.float64).reshape(
+            r.height, r.width
+        )
+        y0 = (r.tile_y - ty0) * th
+        x0 = (r.tile_x - tx0) * tw
+        out[y0 : y0 + th, x0 : x0 + tw] = a
+    nw = layout.extent_for(tx0, ty0)
+    se = layout.extent_for(tx1, ty1)
+    return out, Extent(nw.xmin, se.ymin, se.xmax, nw.ymax)
+
+
+def to_geojson_features(df: DataFrame, lon: str = "lon", lat: str = "lat",
+                        props: list[str] | None = None) -> DataFrame:
+    """Rows → GeoJSON Feature strings (JVM-side to_json)."""
+    props = props or [c for c in df.columns if c not in (lon, lat)]
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Point").alias("type"), F.array(F.col(lon), F.col(lat)).alias("coordinates")
+            ).alias("geometry"),
+            F.struct(*[F.col(p) for p in props]).alias("properties"),
+        )
+    )
+    return df.select(feature.alias("feature"))
+
+
+def swap_xy_extent(e: tuple[float, float, float, float]) -> tuple[float, float, float, float]:
+    """R11: (xmin,ymin,xmax,ymax) with axes swapped — WMS 1.3 / WCS 1.1
+    axis order for geographic CRS, applied at request boundaries only."""
+    xmin, ymin, xmax, ymax = e
+    return (ymin, xmin, ymax, xmax)
+
+
+def repositories_union(*catalogs: DataFrame) -> DataFrame:
+    """Q6 repository monoid: find results concatenate (<+>,
+    core/.../query/RepositoryM.scala:42-50)."""
+    out = catalogs[0]
+    for c in catalogs[1:]:
+        out = out.unionByName(c, allowMissingColumns=True)
+    return out
+
+
+def render_jpg(*_a, **_k):
+    """S9 JPEG sink — STUB: no libjpeg binding in this container. The PNG
+    sink (styles.png.encode_png) is the supported raster image format;
+    plug Pillow here in a full deployment."""
+    raise NotImplementedError("JPEG encoding requires Pillow/libjpeg (not in container); use PNG")
+
+
+def render_geotiff(*_a, **_k):
+    """S10 GeoTIFF/COG sink — STUB: rasterio is not in this container.
+    The primary sink is the tiles parquet/Iceberg table (reference also
+    treats COG output as an alternative render format)."""
+    raise NotImplementedError("GeoTIFF encoding requires rasterio (not in container); write the tiles table")

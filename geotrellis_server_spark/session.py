@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Default 128MB splits pack local-scale inputs into fewer tasks
+        # than cores (measured: a 1.1GB table → 18 splits → a 16-core scan
+        # can't balance). 16MB keeps >= 4 waves per core at bench scale; on
+        # a real cluster with TB inputs the default is fine and this is
+        # overridden per-job.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     # RAM-backed shuffle spill when a tmpfs is available: shuffle-heavy
     # stages scale with cores instead of bottlenecking on one disk. On a

@@ -1,0 +1,102 @@
+"""R3 resample kernels vs numpy oracles; R7 stitch; R9 interpret_as; R11
+axis swap; S12 GeoJSON sink; S9/S10 stubs."""
+
+import json
+
+import numpy as np
+import pytest
+
+from geotrellis_server_spark.operators import resample as RS
+from geotrellis_server_spark.operators import stitch as ST
+from geotrellis_server_spark.sources import synth
+
+
+def test_nearest_upscale_block():
+    a = np.array([[1.0, 2.0], [3.0, 4.0]])
+    out = RS.resample_block(a, 4, 4, "nearest")
+    assert (out[:2, :2] == 1.0).all() and (out[2:, 2:] == 4.0).all()
+
+
+def test_bilinear_midpoint():
+    a = np.array([[0.0, 10.0], [20.0, 30.0]])
+    out = RS.resample_block(a, 4, 4, "bilinear")
+    assert out[0, 0] == 0.0  # corner maps to corner cell center
+    assert 0.0 < out[1, 1] < 30.0
+    # downscale to 1x1 via average = exact mean
+    assert RS.resample_block(a, 1, 1, "average")[0, 0] == 15.0
+
+
+def test_aggregating_downscale_with_nodata():
+    a = np.array([[1.0, np.nan], [3.0, 5.0]])
+    assert RS.resample_block(a, 1, 1, "average")[0, 0] == 3.0  # nan-aware
+    assert RS.resample_block(a, 1, 1, "sum")[0, 0] == 9.0
+    assert RS.resample_block(a, 1, 1, "max")[0, 0] == 5.0
+    assert RS.resample_block(a, 1, 1, "min")[0, 0] == 1.0
+    assert RS.resample_block(a, 1, 1, "median")[0, 0] == 3.0
+    b = np.array([[1.0, 1.0], [2.0, np.nan]])
+    assert RS.resample_block(b, 1, 1, "mode")[0, 0] == 1.0
+
+
+def test_non_integer_aggregating_raises():
+    with pytest.raises(ValueError, match="integer downscale"):
+        RS.resample_block(np.ones((3, 3)), 2, 2, "average")
+
+
+def test_resample_tiles_df(spark):
+    r8 = synth.raster8(spark)
+    out = RS.resample_tiles(r8, 4, 4, "average").collect()[0]
+    assert out.width == 4 and out.height == 4
+    a = np.arange(1, 65, dtype=float).reshape(8, 8)
+    exp = a.reshape(4, 2, 4, 2).transpose(0, 2, 1, 3).reshape(4, 4, 4).mean(-1)
+    got = np.array([np.nan if v is None else v for v in out.cells]).reshape(4, 4)
+    assert np.allclose(got, exp)
+
+
+def test_interpret_as_int_with_nodata(spark):
+    r8 = synth.raster8(spark)
+    out = RS.interpret_as(r8, "int32", nodata=5.0).collect()[0]
+    cells = [v for v in out.cells]
+    assert cells[4] is None or np.isnan(cells[4])  # value 5 → NoData
+    assert cells[0] == 1.0 and out.celltype == "int32"
+
+
+def test_stitch_two_tiles(spark):
+    import pyspark.sql.functions as F
+
+    a = synth.raster8(spark).withColumn("zoom", F.lit(1))
+    b = (
+        synth.raster8(spark)
+        .withColumn("zoom", F.lit(1))
+        .withColumn("tile_x", F.lit(1))
+        .withColumn("cells", F.expr("transform(cells, v -> v + 100.0)"))
+    )
+    arr, ext = ST.stitch(a.union(b))
+    assert arr.shape == (8, 16)
+    assert arr[0, 0] == 1.0 and arr[0, 8] == 101.0
+    from geotrellis_server_spark.grids.layout import WEBMERCATOR_BOUND as B
+
+    assert ext.xmin == -B and abs(ext.xmax - B) < 1e-6  # both z1 tiles span the world x
+
+
+def test_geojson_sink(spark):
+    df = spark.createDataFrame([(1.5, 2.5, 7.0)], "lon DOUBLE, lat DOUBLE, value DOUBLE")
+    feat = json.loads(ST.to_geojson_features(df).collect()[0].feature)
+    assert feat["type"] == "Feature"
+    assert feat["geometry"]["coordinates"] == [1.5, 2.5]
+    assert feat["properties"]["value"] == 7.0
+
+
+def test_axis_swap():
+    assert ST.swap_xy_extent((1.0, 2.0, 3.0, 4.0)) == (2.0, 1.0, 4.0, 3.0)
+
+
+def test_repo_union(spark):
+    a = synth.catalog_fixture(spark)
+    assert ST.repositories_union(a, a).count() == 8  # concat keeps duplicates
+
+
+def test_sink_stubs_raise():
+    with pytest.raises(NotImplementedError, match="PNG"):
+        ST.render_jpg()
+    with pytest.raises(NotImplementedError, match="rasterio"):
+        ST.render_geotiff()
