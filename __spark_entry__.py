@@ -284,8 +284,20 @@ def _q_zoom_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell salted collect aggregation (north-rule O11) must equal the
+    plain per-cell count — the oracle is the unsalted GROUP BY."""
+    from geotrellis_server_spark.grids import cells as C
+    from geotrellis_server_spark.operators import skew
+
+    d = _docs(spark, sf_dir).withColumn("cell", C.cell_key_col("lon", "lat", 4))
+    agg = skew.salted_collect_agg(d, ["cell"], "doc_id", id_col="doc_id", n_salt=8)
+    return agg.select("cell", F.size("values").alias("n_docs"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "skew_salted_cell_agg": _q_salted_cell_agg,
         "geo_pip_join_poly_convex": _q_pip_poly_convex,
         "raster_mosaic_merge": _q_mosaic_merge,
         "time_between_half_open": _q_between_half_open,
@@ -367,6 +379,11 @@ def oracle_sql() -> dict[str, str]:
                    (({gpy}) - ({ty4}) * 64) * 64 + (({gpx}) - ({tx4}) * 64) AS pixel,
                    count(*) AS cnt
             FROM ({pts}) GROUP BY 1, 2, 3
+        """,
+        "skew_salted_cell_agg": f"""
+            SELECT {sqlgen.cell_key_sql('lon', 'lat', 4)} AS cell,
+                   CAST(count(*) AS INT) AS n_docs
+            FROM ({pts}) GROUP BY 1
         """,
         "geo_pip_join_poly_convex": f"""
             WITH p AS ({pts})
