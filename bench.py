@@ -134,6 +134,32 @@ def run_bench(cores: int) -> dict:
         ).count(),
     )
 
+    # training-data ops over the driver's tables at this sf
+    from geotrellis_server_spark.operators import dedup, similarity, text
+
+    documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed(
+        "q6_dedup_minhash_lsh",
+        # single 8-row band: candidates must agree on the full signature.
+        # The synthetic corpus has a ~40-word vocabulary, so looser bands
+        # are correct but quadratic (2.3M true pairs at j>=0.8 among 5000
+        # docs — measured); the bench config keeps output near-linear.
+        lambda: dedup.minhash_dedup_pairs(
+            documents, k=8, bands=1, rows_per_band=8, threshold=0.9
+        ).write.mode("overwrite").format("noop").save(),
+    )
+    timed(
+        "q7_cosine_topk100",
+        lambda: similarity.cosine_topk(
+            embeddings, [float(v) for v in embeddings.filter("vec_id = 0").first().embedding], 100
+        ).write.mode("overwrite").format("noop").save(),
+    )
+    timed(
+        "q8_text_stats",
+        lambda: text.text_stats(documents).write.mode("overwrite").format("noop").save(),
+    )
+
     docs_per_sec = round(n / queries["q1_pip_tile_pipeline"], 1) if "q1_pip_tile_pipeline" in queries else None
     spark.stop()
     return {

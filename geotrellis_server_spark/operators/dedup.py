@@ -111,6 +111,27 @@ def jaccard_verify(
     )
 
 
+def estimate_prefilter(
+    pairs: DataFrame, sigs: DataFrame, k: int, min_est: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash Jaccard estimate = fraction of matching signature slots;
+    prune candidates whose estimate is far below the target threshold
+    BEFORE the expensive exact token join. min_est should sit well under
+    the real threshold (estimate variance ~ 1/sqrt(k)) so no true pair is
+    lost; with degenerate corpora (tiny vocabularies) this is the
+    difference between O(candidates) and O(candidates × tokens)."""
+    sa = sigs.select(F.col(id_col).alias("a"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)])
+    sb = sigs.select(F.col(id_col).alias("b"), *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)])
+    est = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0) for i in range(k)
+    ) / F.lit(float(k))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .filter(est >= min_est)
+        .select("a", "b")
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     k: int = 8,
@@ -119,10 +140,16 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    est_margin: float | None = None,
 ) -> DataFrame:
+    """est_margin (e.g. 0.3): enable the signature-estimate prefilter at
+    min_est = threshold - margin. None = exact LSH pipeline (all bucket
+    candidates verified)."""
     toks = doc_tokens(docs, text_col, id_col)
     sigs = minhash_signatures(toks, k, id_col)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
+    if est_margin is not None:
+        cand = estimate_prefilter(cand, sigs, k, max(threshold - est_margin, 0.0), id_col)
     return jaccard_verify(cand, toks, threshold, id_col)
 
 
