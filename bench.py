@@ -160,6 +160,20 @@ def run_bench(cores: int) -> dict:
         lambda: text.text_stats(documents).write.mode("overwrite").format("noop").save(),
     )
 
+    # q9 — focal map algebra over a rasterized pyramid level: halo join +
+    # fused numpy kernel (the reference's FocalMean neighborhood read)
+    from geotrellis_server_spark.maml import ast as M
+    from geotrellis_server_spark.maml.eval import eval_expr
+
+    tiles_z6 = tiling.rasterize_count(load(), 6, tile_size=64).cache()
+    tiles_z6.count()  # materialize outside the timed region (input table)
+    timed(
+        "q9_focal_fmean_z6",
+        lambda: eval_expr(M.focal("fmean", M.var("d"), radius=1), {"d": tiles_z6})
+        .write.mode("overwrite").format("noop").save(),
+    )
+    tiles_z6.unpersist()
+
     docs_per_sec = round(n / queries["q1_pip_tile_pipeline"], 1) if "q1_pip_tile_pipeline" in queries else None
     spark.stop()
     return {

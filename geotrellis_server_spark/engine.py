@@ -67,6 +67,9 @@ class Engine:
     def get_tile(self, layer_name: str, z: int, x: int, y: int) -> DataFrame:
         """Point lookup on the pyramid: zoom + key filter = partition
         pruning, then kernel eval on the ≤9 tiles involved."""
+        from .validate import validate_get_tile
+
+        validate_get_tile(z, x, y)
         layer = self.layers[layer_name]
         tiles = layer.tiles.filter(
             (F.col("zoom") == z)
@@ -80,7 +83,14 @@ class Engine:
     # -- E1/E3: WMS GetMap / WCS GetCoverage --------------------------------
     def get_extent(self, layer_name: str, extent: tuple, cell_size: float) -> DataFrame:
         """Evaluate at the zoom matching cell_size (overview pruning R5/O3),
-        restricted to tiles intersecting the extent (O4), cropped (R6)."""
+        restricted to tiles intersecting the extent (O4), cropped (R6).
+        ``extent`` is in the tiles' CRS (EPSG:3857 for standard pyramids)."""
+        from .validate import RequestValidationError
+
+        if not (len(extent) == 4 and extent[0] <= extent[2] and extent[1] <= extent[3]):
+            raise RequestValidationError([f"invalid extent {extent!r}"])
+        if not cell_size or cell_size <= 0:
+            raise RequestValidationError([f"cell_size must be > 0, got {cell_size!r}"])
         layer = self.layers[layer_name]
         first = layer.tiles.select("width").first()
         tile_px = int(first.width) if first else SCHEME.tile_size
