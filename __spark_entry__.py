@@ -284,6 +284,53 @@ def _q_zoom_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_focal_fsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal fsum(radius=1) over the z2 rasterized doc-count pyramid,
+    flattened to (tile_x, tile_y, idx, value). Exercises the halo join +
+    fused kernel; the oracle recomputes the neighborhood sum over global
+    pixels, counting a neighbor only if its tile exists (NaN-halo
+    semantics of absent tiles)."""
+    from geotrellis_server_spark.maml import ast as M
+    from geotrellis_server_spark.maml.eval import eval_expr
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 2, tile_size=8)
+    out = eval_expr(M.focal("fsum", M.var("d"), radius=1), {"d": tiles})
+    return out.selectExpr(
+        "tile_x", "tile_y", "posexplode(cells) AS (idx, value)"
+    ).selectExpr("tile_x", "tile_y", "idx", "CAST(coalesce(value, 0.0) AS DOUBLE) AS value")
+
+
+def _focal_fsum_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 2, 8)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    return f"""
+    WITH pix AS (
+      SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px, count(*) AS cnt
+      FROM ({pts}) GROUP BY 1, 2, 3, 4),
+    tiles AS (SELECT DISTINCT tx, ty FROM pix),
+    -- dense global pixel domain of the existing tiles
+    dom AS (
+      SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py, CAST(j.j AS BIGINT) AS px
+      FROM tiles t CROSS JOIN range(8) i(i) CROSS JOIN range(8) j(j)),
+    gval AS (
+      SELECT d.tx, d.ty, d.py, d.px,
+             d.ty * 8 + d.py AS gy, d.tx * 8 + d.px AS gx,
+             COALESCE(p.cnt, 0) AS v
+      FROM dom d LEFT JOIN pix p
+        ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px),
+    nbr AS (
+      SELECT c.tx, c.ty, c.py, c.px, sum(n.v) AS fsum
+      FROM gval c
+      JOIN gval n ON n.gx BETWEEN c.gx - 1 AND c.gx + 1
+                 AND n.gy BETWEEN c.gy - 1 AND c.gy + 1
+      GROUP BY 1, 2, 3, 4)
+    SELECT tx AS tile_x, ty AS tile_y, CAST(py * 8 + px AS INT) AS idx,
+           CAST(fsum AS DOUBLE) AS value
+    FROM nbr
+    """
+
+
 def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-cell salted collect aggregation (north-rule O11) must equal the
     plain per-cell count — the oracle is the unsalted GROUP BY."""
@@ -298,6 +345,7 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
+        "maml_focal_fsum_z2": _q_focal_fsum,
         "geo_pip_join_poly_convex": _q_pip_poly_convex,
         "raster_mosaic_merge": _q_mosaic_merge,
         "time_between_half_open": _q_between_half_open,
@@ -380,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM ({pts}) GROUP BY 1, 2, 3
         """,
+        "maml_focal_fsum_z2": _focal_fsum_oracle(),
         "skew_salted_cell_agg": f"""
             SELECT {sqlgen.cell_key_sql('lon', 'lat', 4)} AS cell,
                    CAST(count(*) AS INT) AS n_docs
