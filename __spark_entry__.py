@@ -331,6 +331,19 @@ def _focal_fsum_oracle() -> str:
     """
 
 
+def _q_interval_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OgcTimeInterval → positions expansion (7-day step over each user's
+    event-time hull), exploded to rows."""
+    from geotrellis_server_spark.operators import histogram as H
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hull = ev.groupBy("user_id").agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    return (
+        H.interval_to_positions(hull, step="7 days")
+        .select("user_id", F.explode("positions").alias("position"))
+    )
+
+
 def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-cell salted collect aggregation (north-rule O11) must equal the
     plain per-cell count — the oracle is the unsalted GROUP BY."""
@@ -346,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
         "maml_focal_fsum_z2": _q_focal_fsum,
+        "time_interval_to_positions": _q_interval_positions,
         "geo_pip_join_poly_convex": _q_pip_poly_convex,
         "raster_mosaic_merge": _q_mosaic_merge,
         "time_between_half_open": _q_between_half_open,
@@ -429,6 +443,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts}) GROUP BY 1, 2, 3
         """,
         "maml_focal_fsum_z2": _focal_fsum_oracle(),
+        "time_interval_to_positions": """
+            WITH hull AS (SELECT user_id, min(ts) AS s, max(ts) AS e FROM events GROUP BY 1)
+            SELECT user_id, unnest(generate_series(s, e, INTERVAL 7 DAY)) AS position
+            FROM hull
+        """,
         "skew_salted_cell_agg": f"""
             SELECT {sqlgen.cell_key_sql('lon', 'lat', 4)} AS cell,
                    CAST(count(*) AS INT) AS n_docs

@@ -168,3 +168,14 @@ def time_positions(catalog: DataFrame, time_col: str = "time") -> DataFrame:
 
 def time_interval_hull(catalog: DataFrame, time_col: str = "time") -> DataFrame:
     return catalog.agg(F.min(time_col).alias("start"), F.max(time_col).alias("end"))
+
+
+def interval_to_positions(
+    df: DataFrame, start_col: str = "start", end_col: str = "end", step: str = "1 day"
+) -> DataFrame:
+    """OgcTimeInterval.toTimePositions (ogc/.../OgcTime.scala:168-178):
+    positions = start, start+step, … while ≤ end (inclusive stepping).
+    Adds a ``positions: array<timestamp>`` column via SQL sequence()."""
+    return df.withColumn(
+        "positions", F.expr(f"sequence({start_col}, {end_col}, interval {step})")
+    )
