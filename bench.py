@@ -207,7 +207,16 @@ def run_scaling() -> None:
     speedup = t_lo / t_hi
     eff = speedup / (hi / lo)
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open("BENCH/scaling_last.json", "w") as jf:
+        json.dump({"efficiency": round(eff, 3), "cores": [lo, hi],
+                   "t_lo": t_lo, "t_hi": t_hi, "results": results}, jf, indent=1)
+    # keep the curated report if one exists; raw template only on first run
+    report = "BENCH/BASELINE.md"
+    if os.path.exists(report):
+        print(json.dumps({"scaling_efficiency": round(eff, 3), "cores": [lo, hi],
+                          "t_lo": t_lo, "t_hi": t_hi}))
+        return
+    with open(report, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured throughput + scaling evidence
 
