@@ -53,13 +53,22 @@ class Engine:
         rows = self.catalog.filter(ogc_layer_predicate(query)).select("name").collect()
         return [r.name for r in rows]
 
-    def _eval(self, layer: Layer, zoom_filter=None) -> DataFrame:
+    def _eval(self, layer: Layer, key_filter=None) -> DataFrame:
+        """key_filter (a Column predicate over zoom/tile_x/tile_y) prunes
+        EVERY raster var — layer.tiles AND all layer.sources — BEFORE
+        evaluation. Pruning only the primary var would leave expression
+        sources (e.g. a DEM behind a hillshade) scanned in full, and for
+        focal expressions the post-filter cannot push below the halo
+        groupBy-applyInPandas."""
         tiles = layer.tiles
-        if zoom_filter is not None:
-            tiles = tiles.filter(F.col("zoom") == zoom_filter)
+        if key_filter is not None:
+            tiles = tiles.filter(key_filter)
         if layer.expression is None:
             return tiles
-        params = dict(layer.sources)
+        params = {
+            n: (df.filter(key_filter) if key_filter is not None else df)
+            for n, df in layer.sources.items()
+        }
         params.setdefault(layer.name, tiles)
         return eval_expr(layer.expression, params)
 
@@ -71,13 +80,12 @@ class Engine:
 
         validate_get_tile(z, x, y)
         layer = self.layers[layer_name]
-        tiles = layer.tiles.filter(
+        key_filter = (
             (F.col("zoom") == z)
-            & (F.col("tile_x").between(x - 1, x + 1))
-            & (F.col("tile_y").between(y - 1, y + 1))
+            & F.col("tile_x").between(x - 1, x + 1)
+            & F.col("tile_y").between(y - 1, y + 1)
         )
-        sub = Layer(layer.name, tiles, layer.expression, layer.style, layer.sources)
-        out = self._eval(sub)
+        out = self._eval(layer, key_filter)
         return out.filter((F.col("tile_x") == x) & (F.col("tile_y") == y))
 
     # -- E1/E3: WMS GetMap / WCS GetCoverage --------------------------------
@@ -85,33 +93,25 @@ class Engine:
         """Evaluate at the zoom matching cell_size (overview pruning R5/O3),
         restricted to tiles intersecting the extent (O4), cropped (R6).
         ``extent`` is in the tiles' CRS (EPSG:3857 for standard pyramids)."""
-        from .validate import RequestValidationError
+        from .validate import validate_get_extent
 
-        if not (len(extent) == 4 and extent[0] <= extent[2] and extent[1] <= extent[3]):
-            raise RequestValidationError([f"invalid extent {extent!r}"])
-        if not cell_size or cell_size <= 0:
-            raise RequestValidationError([f"cell_size must be > 0, got {cell_size!r}"])
+        # CRS here is the tiles' CRS (3857) — only ordering/positivity apply
+        validate_get_extent(extent, cell_size, crs="EPSG:3857")
         layer = self.layers[layer_name]
         first = layer.tiles.select("width").first()
         tile_px = int(first.width) if first else SCHEME.tile_size
-        # coarsest zoom whose cell size (for THIS layer's tile size) is
-        # <= requested — overview pruning R5/O3 with layer-specific grids
-        world_w = SCHEME.world.width
-        z = 0
-        while world_w / ((1 << z) * tile_px) > cell_size and z < 30:
-            z += 1
+        z = SCHEME.zoom_for_cell_size(cell_size, tile_size=tile_px)
         zooms = [r.zoom for r in layer.tiles.select("zoom").distinct().collect()]
         z = min(zooms, key=lambda zz: (abs(zz - z), zz)) if zooms else z
         layout = SCHEME.layout(z)
         e = Extent(*extent)
         tx0, ty0, tx1, ty1 = layout.keys_for_extent(e)
-        tiles = layer.tiles.filter(
+        key_filter = (
             (F.col("zoom") == z)
             & F.col("tile_x").between(tx0 - 1, tx1 + 1)
             & F.col("tile_y").between(ty0 - 1, ty1 + 1)
         )
-        sub = Layer(layer.name, tiles, layer.expression, layer.style, layer.sources)
-        out = self._eval(sub).filter(
+        out = self._eval(layer, key_filter).filter(
             F.col("tile_x").between(tx0, tx1) & F.col("tile_y").between(ty0, ty1)
         )
         return crop_to_extent(out, extent, lambda zz, tx, ty: SCHEME.layout(zz).extent_for(tx, ty))
@@ -131,25 +131,24 @@ class Engine:
     def get_values(self, layer_name: str, points: list[tuple[float, float]], zoom: int) -> DataFrame:
         """Multipoint bulk sampling: points → tile-key equi-join → in-tile
         pixel index lookup (GetFeatureInfoExtended.scala:57-105)."""
-        from . import sqlgen
+        from .operators.tiling import pixel_index_sql
 
         layer = self.layers[layer_name]
         pts = self.spark.createDataFrame(
             [(i, float(lo), float(la)) for i, (lo, la) in enumerate(points)],
             "point_id INT, lon DOUBLE, lat DOUBLE",
         )
-        tiles = self._eval(layer, zoom_filter=zoom)
+        tiles = self._eval(layer, F.col("zoom") == zoom)
         ts = tiles.select("width").first()
         w = int(ts.width) if ts else 256
-        n_px = (1 << zoom) * w
-        gx = sqlgen.tile_x_sql("lon", zoom)
-        gy = sqlgen.tile_y_sql("lat", zoom)
-        gpx = f"CAST(greatest(least(floor(({sqlgen.mercator_x_sql('lon')}) * {n_px}), {n_px - 1}), 0) AS BIGINT)"
-        gpy = f"CAST(greatest(least(floor(({sqlgen.mercator_y_sql('lat')}) * {n_px}), {n_px - 1}), 0) AS BIGINT)"
+        # the SAME shared fragments that produce tile keys everywhere else
+        # (a diverged inline copy once used `gpx % w`, which can disagree
+        # with the join key at FP tile boundaries)
+        tx, ty, px, py = pixel_index_sql("lon", "lat", zoom, w)
         keyed = pts.select(
             "point_id", "lon", "lat",
-            F.expr(gx).alias("tile_x"), F.expr(gy).alias("tile_y"),
-            (F.expr(gpy) % w).alias("py"), (F.expr(gpx) % w).alias("px"),
+            F.expr(tx).alias("tile_x"), F.expr(ty).alias("tile_y"),
+            F.expr(py).alias("py"), F.expr(px).alias("px"),
         )
         joined = tiles.join(F.broadcast(keyed), ["tile_x", "tile_y"], "inner")
         return joined.select(

@@ -164,13 +164,17 @@ class ZoomedLayoutScheme:
     def cell_size(self, zoom: int) -> float:
         return self.world.width / ((1 << zoom) * self.tile_size)
 
-    def zoom_for_cell_size(self, cell_size: float, max_zoom: int = 30) -> int:
+    def zoom_for_cell_size(self, cell_size: float, max_zoom: int = 30,
+                           tile_size: int | None = None) -> int:
         """Coarsest zoom whose cell size <= requested — reference overview
         strategy Auto(0)/AutoHigherResolution + GTLayer cell-diagonal pick
         (CogUtils.scala:65; GTLayerNode.scala:136-149). Used for zoom-level
-        partition pruning of the pyramid table (SURVEY.md O3/R5)."""
+        partition pruning of the pyramid table (SURVEY.md O3/R5).
+        ``tile_size`` overrides the scheme default for layers with
+        non-256px tiles."""
+        px = tile_size or self.tile_size
         for z in range(max_zoom + 1):
-            if self.cell_size(z) <= cell_size:
+            if self.world.width / ((1 << z) * px) <= cell_size:
                 return z
         return max_zoom
 

@@ -66,7 +66,10 @@ class ResumableTilingJob:
             spatial_join.pip_join_rect(docs, zones, zone_cells=zone_cells), zoom
         ).withColumn(
             "bucket", F.pmod(F.col("tile_x") * 31 + F.col("tile_y"), F.lit(self.n_buckets))
-        )
+        ).select("bucket", "zone_id", "tile_x", "tile_y")
+        # persist once: without it every bucket iteration re-runs the scan
+        # + extraction + join + key assignment (n_buckets× input I/O)
+        keyed = keyed.persist()
         done = 0
         for b in range(self.n_buckets):
             if str(b) in m["completed"]:
@@ -79,10 +82,10 @@ class ResumableTilingJob:
             )
             out_path = os.path.join(self.out_dir, f"job={self.job_id}", f"bucket={b}")
             part.write.mode("overwrite").parquet(out_path)
-            n_out = self.spark.read.parquet(out_path).count()
-            n_in = int(
-                self.spark.read.parquet(out_path).agg(F.sum("n_docs")).collect()[0][0] or 0
-            )
+            stats = self.spark.read.parquet(out_path).agg(
+                F.count("*").alias("n_out"), F.sum("n_docs").alias("n_in")
+            ).collect()[0]
+            n_out, n_in = int(stats["n_out"]), int(stats["n_in"] or 0)
             m["completed"][str(b)] = out_path
             m["metrics"].append(
                 {
@@ -107,7 +110,9 @@ class ResumableTilingJob:
             self._save_manifest(m)  # checkpoint AFTER each bucket commit
             done += 1
             if fail_after is not None and done >= fail_after:
+                keyed.unpersist()
                 raise RuntimeError(f"simulated crash after {done} buckets")
+        keyed.unpersist()
         return m
 
     def result(self) -> DataFrame:

@@ -50,11 +50,20 @@ def eval_local(expr: Expr, params: dict[str, DataFrame]) -> DataFrame:
         raise KeyError(f"unbound MAML vars: {missing}")
     kernel = compile_node(expr)
 
+    # band participates in the alignment key when every input is
+    # multiband-aware (TILE_SCHEMA) — otherwise band 0 of one var would
+    # join band 1 of another (many-to-many duplication)
+    key = list(KEY)
+    if all("band" in params[n].columns for n in names):
+        key = KEY + ["band"]
+
     dfs = []
     for n in names:
-        dfs.append(params[n].select(*KEY, F.col("width"), F.col("height"), F.col("cells").alias(f"__c_{n}")))
+        dfs.append(
+            params[n].select(*key, F.col("width"), F.col("height"), F.col("cells").alias(f"__c_{n}"))
+        )
     joined = reduce(
-        lambda a, b: a.join(b.drop("width", "height"), KEY, "inner"), dfs[1:], dfs[0]
+        lambda a, b: a.join(b.drop("width", "height"), key, "inner"), dfs[1:], dfs[0]
     )
 
     cell_cols = [f"__c_{n}" for n in names]
@@ -62,12 +71,14 @@ def eval_local(expr: Expr, params: dict[str, DataFrame]) -> DataFrame:
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def apply_kernel(*cols: pd.Series) -> pd.Series:
         env = {n: np.stack(c.to_numpy()) for n, c in zip(names, cols)}
+        first_shape = env[names[0]].shape
+        env["__rowwise__"] = True  # (batch, npix): one tile per row
         out = kernel(env)
-        out = np.broadcast_to(out, next(iter(env.values())).shape) if np.isscalar(out) else out
+        out = np.broadcast_to(out, first_shape) if np.isscalar(out) else out
         return pd.Series(list(np.asarray(out, dtype=np.float64)))
 
     return joined.select(
-        *KEY, "width", "height", apply_kernel(*[F.col(c) for c in cell_cols]).alias("cells")
+        *key, "width", "height", apply_kernel(*[F.col(c) for c in cell_cols]).alias("cells")
     )
 
 

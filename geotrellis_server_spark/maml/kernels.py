@@ -289,10 +289,19 @@ def _compile(e: Expr):
         b0, b1 = e.p("new_min"), e.p("new_max")
 
         def f(env):
+            # per-TILE min/max — in the local path arrays are (batch, npix)
+            # with one tile per row (env flag set by eval_local), so reduce
+            # per row; using batch-wide extrema would make output depend on
+            # Arrow batch composition (nondeterministic across partitions).
             (x,), m = arrs(env)
             x = np.asarray(x, dtype=np.float64)
-            a0, a1 = np.nanmin(x), np.nanmax(x)
-            span = (a1 - a0) or 1.0
+            with np.errstate(all="ignore"):
+                if env.get("__rowwise__") and x.ndim == 2:
+                    a0 = np.nanmin(x, axis=-1, keepdims=True)
+                    a1 = np.nanmax(x, axis=-1, keepdims=True)
+                else:
+                    a0, a1 = np.nanmin(x), np.nanmax(x)
+            span = np.where((a1 - a0) == 0, 1.0, a1 - a0)
             return (x - a0) / span * (b1 - b0) + b0, m
 
         return f, 0

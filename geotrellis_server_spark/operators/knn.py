@@ -125,27 +125,24 @@ def knn_join(
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
-        got = topk.groupBy("query_id").agg(
-            F.count("*").alias("n"), F.max("dist_sq").alias("kth")
-        ).collect()
-        got_map = {r["query_id"]: (r["n"], r["kth"]) for r in got}
-        done_ids = []
-        topk_rows = None
+        # ONE action per ring iteration: collect the (≤ k × |pending|) topk
+        # rows and derive counts / kth distances driver-side — a separate
+        # aggregate job would re-execute the join + window a second time
+        topk_rows = topk.collect()
+        by_q: dict[int, list] = {}
+        for r in topk_rows:
+            by_q.setdefault(r["query_id"], []).append(r)
         for qid in list(pending):
             qlon, qlat, qcell = pending[qid]
             ring = rings[qid]
-            n_got, kth = got_map.get(qid, (0, None))
+            rows = by_q.get(qid, [])
+            kth = max((r["dist_sq"] for r in rows), default=None)
             guarantee = _guarantee_radius_sq(qlon, qlat, qcell, res, ring)
-            if (n_got >= k and kth is not None and kth <= guarantee) or ring >= max_ring:
-                done_ids.append(qid)
+            if (len(rows) >= k and kth is not None and kth <= guarantee) or ring >= max_ring:
+                results.extend(rows)
+                del pending[qid]
             else:
                 rings[qid] = min(ring * 2, max_ring)
-        if done_ids:
-            if topk_rows is None:
-                topk_rows = topk.filter(F.col("query_id").isin(done_ids)).collect()
-            results.extend(topk_rows)
-            for qid in done_ids:
-                del pending[qid]
 
     schema = T.StructType(
         [

@@ -53,7 +53,9 @@ def resample_block(a: np.ndarray, out_h: int, out_w: int, method: str) -> np.nda
             if method == "average":
                 return np.nanmean(win, axis=-1)
             if method == "sum":
-                return np.nansum(win, axis=-1)
+                # all-NoData windows stay NoData (np.nansum alone returns 0)
+                s = np.nansum(win, axis=-1)
+                return np.where(np.isnan(win).all(axis=-1), np.nan, s)
             if method == "max":
                 return np.nanmax(win, axis=-1)
             if method == "min":

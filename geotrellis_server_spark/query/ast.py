@@ -35,11 +35,15 @@ class Query:
         return False
 
     def is_universal(self) -> bool:
-        """True if the query imposes no spatial constraint anywhere."""
-        if isinstance(self, (Intersects, Contains, Covers)):
+        """Reference algebraIsUniversal (QueryF.scala:130-141): spatial,
+        temporal, and Nothing nodes are non-universal; And = &&, Or = ||
+        (an Or with one universal branch matches everything)."""
+        if isinstance(self, (Intersects, Contains, Covers, At, Between, Nothing)):
             return False
-        if isinstance(self, (And, Or)):
+        if isinstance(self, And):
             return self.left.is_universal() and self.right.is_universal()
+        if isinstance(self, Or):
+            return self.left.is_universal() or self.right.is_universal()
         return True
 
     def transform(self, fn: Callable[["Query"], "Query"]) -> "Query":

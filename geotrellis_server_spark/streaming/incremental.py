@@ -52,12 +52,13 @@ def incremental_tile_counts(
     keyed = tiling.assign_tiles(synth.extract_geometry(stream), zoom)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent per batch id: a retried micro-batch OVERWRITES its own
+        # directory instead of appending a second copy of the deltas
         (
             batch_df.groupBy("tile_x", "tile_y")
             .agg(F.count("*").alias("delta"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
         )
 
     return (

@@ -122,8 +122,14 @@ def test_or_concat_duplicates_in_list_semantics(spark):
 
 def test_analysis_and_override():
     q = Q.with_name("a").and_(Q.at(_dt(1)))
-    assert q.is_temporal() and q.is_universal()
+    assert q.is_temporal()
+    # reference algebraIsUniversal: At is non-universal, And = &&
+    assert not q.is_universal()
+    assert Q.with_name("a").is_universal()
     assert not Q.intersects((0, 0, 1, 1)).is_universal()
+    assert not Q.nothing().is_universal()
+    # Or with one universal branch IS universal (reference: e1 || e2)
+    assert Q.all_().or_(Q.intersects((0, 0, 1, 1))).is_universal()
     assert not Q.with_name("a").is_temporal()
     q2 = q.override_name("b")
     assert q2 == Q.with_name("b").and_(Q.at(_dt(1)))
