@@ -344,6 +344,39 @@ def _q_interval_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interpret_as(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 celltype coercion: double tiles → int32 with user NoData 2.0
+    mapped to NoData; flattened per cell. Truncation semantics (Spark
+    double→bigint truncates toward zero; values are non-negative so the
+    oracle uses floor)."""
+    from geotrellis_server_spark.operators import resample as RS
+
+    base = spark.range(25).selectExpr(
+        "CAST(0 AS INT) AS zoom",
+        "id % 5 AS tile_x",
+        "CAST((id - id % 5) / 5 AS BIGINT) AS tile_y",
+        "CAST(0 AS INT) AS band",
+        "CAST(4 AS INT) AS width",
+        "CAST(4 AS INT) AS height",
+        "'float64' AS celltype",
+        "transform(sequence(0, 15), i -> CAST(id + i AS DOUBLE) / 3.0) AS cells",
+    )
+    out = RS.interpret_as(base, "int32", nodata=2.0)
+    return out.selectExpr("tile_x", "tile_y", "posexplode(cells) AS (idx, value)")
+
+
+def _q_render_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render path (rows-only: binary output has no SQL oracle; PNG bytes
+    are deterministic — fixed zlib level, no timestamps)."""
+    from geotrellis_server_spark.engine import Engine, Layer
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 3, tile_size=16).withColumn("band", F.lit(0))
+    eng = Engine(spark, {"density": Layer("density", tiles)})
+    styled = eng.render_png(tiles)
+    return styled.select("tile_x", "tile_y", F.length("png").alias("png_bytes"))
+
+
 def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-cell salted collect aggregation (north-rule O11) must equal the
     plain per-cell count — the oracle is the unsalted GROUP BY."""
@@ -360,6 +393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_cell_agg": _q_salted_cell_agg,
         "maml_focal_fsum_z2": _q_focal_fsum,
         "time_interval_to_positions": _q_interval_positions,
+        "raster_interpret_as_int": _q_interpret_as,
+        "render_png_tiles": _q_render_png,
         "geo_pip_join_poly_convex": _q_pip_poly_convex,
         "raster_mosaic_merge": _q_mosaic_merge,
         "time_between_half_open": _q_between_half_open,
@@ -447,6 +482,13 @@ def oracle_sql() -> dict[str, str]:
             WITH hull AS (SELECT user_id, min(ts) AS s, max(ts) AS e FROM events GROUP BY 1)
             SELECT user_id, unnest(generate_series(s, e, INTERVAL 7 DAY)) AS position
             FROM hull
+        """,
+        "raster_interpret_as_int": """
+            SELECT t.id % 5 AS tile_x, CAST((t.id - t.id % 5) / 5 AS BIGINT) AS tile_y,
+                   CAST(s.i AS INT) AS idx,
+                   CASE WHEN CAST(t.id + s.i AS DOUBLE) / 3.0 = 2.0 THEN NULL
+                        ELSE CAST(floor(CAST(t.id + s.i AS DOUBLE) / 3.0) AS DOUBLE) END AS value
+            FROM range(25) t(id) CROSS JOIN range(16) s(i)
         """,
         "skew_salted_cell_agg": f"""
             SELECT {sqlgen.cell_key_sql('lon', 'lat', 4)} AS cell,
