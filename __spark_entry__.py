@@ -599,7 +599,11 @@ def _span_invariant_oracle() -> str:
             'geo:POINT(' || printf('%.10f', {lon}) || ' ' || printf('%.10f', {lat})
             || ')::' || CAST(s.i AS VARCHAR)
           WHEN (t.id + s.i) % 3 = 0 THEN
-            'media::ref://' || lpad(lower(to_hex((t.id * 2654435761 + s.i * 97) % 4294967296)), 8, '0')
+            -- overflow-free decomposition of (id*2654435761 + i*97) mod 2^32
+            -- (mirrors sources/synth.spans_sql; see comment there)
+            'media::ref://' || lpad(lower(to_hex(((t.id % 65536) * 2654435761
+              + (CAST(floor(CAST(t.id AS DOUBLE) / 65536.0) AS BIGINT) % 65536) * 2041643008
+              + s.i * 97) % 4294967296)), 8, '0')
             || ':' || CAST(s.i AS VARCHAR)
           ELSE
             'text:' || ({_LOREM_LIST})[CAST((t.id * 7 + s.i) % 8 AS INT) + 1]

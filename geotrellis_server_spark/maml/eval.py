@@ -45,6 +45,14 @@ def eval_expr(expr: Expr, params: dict[str, DataFrame], tile_size: int | None = 
 
 def eval_local(expr: Expr, params: dict[str, DataFrame]) -> DataFrame:
     names = sorted(expr.var_names())
+    if not names:
+        # constant expression (e.g. fully folded scalar): there is no tile
+        # grid to broadcast it over — reference MAML likewise needs at
+        # least one bound raster (Vars) to define the output grid.
+        raise ValueError(
+            "MAML expression has no raster vars after constant folding; "
+            "bind at least one raster var to define the output tile grid"
+        )
     missing = [n for n in names if n not in params]
     if missing:
         raise KeyError(f"unbound MAML vars: {missing}")

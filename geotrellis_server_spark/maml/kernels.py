@@ -116,26 +116,28 @@ def _focal_mode(a, r):
     return np.where(np.isnan(centre), np.nan, out)
 
 
-def _horn_gradients(a: np.ndarray, cellsize: float, z_factor: float):
-    """Horn's method on a 1-cell-padded block → (dz/dx, dz/dy) for the
+def _horn_gradients(a: np.ndarray, cellsize: float):
+    """Horn's method on a 1-cell-padded block → RAW (dz/dx, dz/dy) for the
     unpadded interior (same formulation GeoTrellis focal Slope/Hillshade
-    uses)."""
+    uses). z_factor is applied exactly once by the caller — inside the
+    arctan — never here (applying it to the gradients AND the arctan would
+    square it)."""
     c = a
     tl, t, tr = c[:-2, :-2], c[:-2, 1:-1], c[:-2, 2:]
     l, r = c[1:-1, :-2], c[1:-1, 2:]
     bl, b, br = c[2:, :-2], c[2:, 1:-1], c[2:, 2:]
-    dzdx = ((tr + 2 * r + br) - (tl + 2 * l + bl)) / (8.0 * cellsize) * z_factor
-    dzdy = ((bl + 2 * b + br) - (tl + 2 * t + tr)) / (8.0 * cellsize) * z_factor
+    dzdx = ((tr + 2 * r + br) - (tl + 2 * l + bl)) / (8.0 * cellsize)
+    dzdy = ((bl + 2 * b + br) - (tl + 2 * t + tr)) / (8.0 * cellsize)
     return dzdx, dzdy
 
 
 def _fslope(a, radius, cellsize=1.0, z_factor=1.0):
-    dzdx, dzdy = _horn_gradients(a, cellsize, z_factor)
-    return np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
+    dzdx, dzdy = _horn_gradients(a, cellsize)
+    return np.degrees(np.arctan(z_factor * np.sqrt(dzdx * dzdx + dzdy * dzdy)))
 
 
 def _fhillshade(a, radius, cellsize=1.0, z_factor=1.0, azimuth=315.0, altitude=45.0):
-    dzdx, dzdy = _horn_gradients(a, cellsize, z_factor)
+    dzdx, dzdy = _horn_gradients(a, cellsize)
     slope = np.arctan(z_factor * np.sqrt(dzdx * dzdx + dzdy * dzdy))
     aspect = np.arctan2(dzdy, -dzdx)
     az = np.radians(360.0 - azimuth + 90.0)

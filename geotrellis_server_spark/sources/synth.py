@@ -38,7 +38,20 @@ def spans_sql(id_col: str = "id") -> str:
     lon = sqlgen.lon_sql(id_col)
     lat = sqlgen.lat_sql(id_col)
     wkt = f"concat('POINT(', format_string('%.10f', {lon}), ' ', format_string('%.10f', {lat}), ')')"
-    media_ref = f"concat('ref://', lpad(lower(hex((({id_col}) * 2654435761 + i * 97) % 4294967296)), 8, '0'))"
+    # (id * 2654435761 + i*97) mod 2^32, decomposed so no intermediate
+    # exceeds ~3e14: id*2654435761 overflows BIGINT for id >= ~3.5e9 (Spark
+    # non-ANSI wraps silently, DuckDB raises — parity break at 10^12-doc
+    # scale). Identity: (id*K) mod 2^32 = ((id mod 2^16)*K
+    # + ((id div 2^16) mod 2^16) * ((K*2^16) mod 2^32)) mod 2^32;
+    # (2654435761*65536) mod 2^32 = 2041643008. floor-div via DOUBLE is
+    # exact for id < 2^53. Same expression mirrored in
+    # __spark_entry__._span_invariant_oracle.
+    hash32 = (
+        f"(((({id_col}) % 65536) * 2654435761"
+        f" + (CAST(floor(CAST(({id_col}) AS DOUBLE) / 65536.0) AS BIGINT) % 65536) * 2041643008"
+        f" + i * 97) % 4294967296)"
+    )
+    media_ref = f"concat('ref://', lpad(lower(hex({hash32})), 8, '0'))"
     lorem = f"elt(CAST((({id_col}) * 7 + i) % 8 AS INT) + 1, {_LOREM})"
     return f"""
     transform(sequence(0, ({id_col}) % 7), i ->

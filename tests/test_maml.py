@@ -188,3 +188,53 @@ def test_hillshade_flat_surface(spark):
     cells = cells_np(out.cells).reshape(4, 4)
     # interior cells (edges see NaN halo) — value = 255*sin(45°)
     assert np.allclose(cells[1:-1, 1:-1], 255.0 * math.sin(math.radians(45.0)))
+
+
+def test_slope_hillshade_z_factor_applied_once():
+    # tilted plane z = 3*x (cellsize 1): dz/dx = 3, dz/dy = 0.
+    # slope must be atan(z_factor * 3) — NOT atan(z_factor^2 * 3)
+    # (regression: _horn_gradients used to pre-multiply by z_factor and
+    # _fhillshade multiplied again inside the arctan).
+    from geotrellis_server_spark.maml.kernels import _fhillshade, _fslope
+
+    x = np.arange(6, dtype=np.float64)
+    plane = np.tile(3.0 * x, (6, 1))  # padded 6x6 → interior 4x4
+    zf = 2.0
+    slope = _fslope(plane, 1, cellsize=1.0, z_factor=zf)
+    assert np.allclose(slope, math.degrees(math.atan(zf * 3.0)))
+
+    shade = _fhillshade(plane, 1, cellsize=1.0, z_factor=zf, azimuth=315.0, altitude=45.0)
+    # direct formula with z applied exactly once
+    sl = math.atan(zf * 3.0)
+    aspect = math.atan2(0.0, -3.0)
+    az = math.radians(360.0 - 315.0 + 90.0)
+    alt = math.radians(45.0)
+    exp = max(0.0, min(255.0, 255.0 * (
+        math.sin(alt) * math.cos(sl) + math.cos(alt) * math.sin(sl) * math.cos(az - aspect)
+    )))
+    assert np.allclose(shade, exp)
+
+
+def test_eval_local_constant_expression_raises():
+    with pytest.raises(ValueError, match="no raster vars"):
+        eval_local(fold_constants(M.lit(2) + M.lit(3)), {})
+
+
+def test_media_ref_no_bigint_overflow(spark):
+    # spans_sql's media_ref hash must agree with exact Python int math even
+    # for doc ids where id*2654435761 would overflow BIGINT (~3.5e9).
+    # > 2^32, < 2^53; ≡6 mod 7 (7 spans, geo at i=6) and ≡0 mod 3
+    # (media spans at i=0 and i=3)
+    big = 10_000_000_000_017
+    row = (
+        spark.range(1)
+        .selectExpr(f"id + {big} AS id")
+        .selectExpr(f"{synth.spans_sql('id')} AS spans")
+        .collect()[0]
+    )
+    media = [s for s in row.spans if s.kind == "media"]
+    assert media, "fixture doc must contain a media span"
+    for s in media:
+        i = s.offset
+        want = (big * 2654435761 + i * 97) % 4294967296
+        assert s.media_ref == f"ref://{want:08x}"
