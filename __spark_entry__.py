@@ -331,6 +331,123 @@ def _focal_fsum_oracle() -> str:
     """
 
 
+# Convex CCW quadrilateral (lon/lat) for mask-by-geometry; vertices chosen
+# off the pixel-center lattice so no center sits within ~1e-3 deg of an
+# edge (engine ray-cast and oracle half-planes agree far from boundaries).
+MASK_RING = [(-60.3, -20.7), (45.9, -33.1), (70.4, 38.6), (-85.2, 55.9)]
+
+
+def _q_mask_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAML mask-by-geometry: rasterize the doc-count pyramid at z3 and
+    mask it by a convex polygon — cells outside → NoData (NULL). The
+    engine rasterizes the ring with the generic ray-cast kernel
+    (geometry/rasterize.py); the oracle classifies pixel centers with
+    independent half-plane inequalities."""
+    from geotrellis_server_spark.maml import ast as M
+    from geotrellis_server_spark.maml.eval import eval_expr
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 3, tile_size=16)
+    out = eval_expr(M.mask(M.var("d"), M.geom(MASK_RING)), {"d": tiles})
+    return out.selectExpr(
+        "tile_x", "tile_y", "posexplode(cells) AS (idx, value)"
+    ).selectExpr(
+        "tile_x", "tile_y", "idx",
+        # NaN (NoData) normalizes to NULL for the oracle compare
+        "CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DOUBLE) AS value",
+    )
+
+
+def _mask_polygon_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 3, 16)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    npx = (1 << 3) * 16  # 128 global pixels per axis
+    # half-plane inequalities from MASK_RING (CCW ⇒ inside = all cross ≥ 0)
+    planes = []
+    n = len(MASK_RING)
+    for i in range(n):
+        x1, y1 = MASK_RING[i]
+        x2, y2 = MASK_RING[(i + 1) % n]
+        planes.append(
+            f"(({x2 - x1!r}) * (clat - ({y1!r})) - (clon - ({x1!r})) * ({y2 - y1!r}) >= 0)"
+        )
+    inside = " AND ".join(planes)
+    return f"""
+    WITH pix AS (
+      SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px, count(*) AS cnt
+      FROM ({pts}) GROUP BY 1, 2, 3, 4),
+    tiles AS (SELECT DISTINCT tx, ty FROM pix),
+    dom AS (
+      SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py, CAST(j.j AS BIGINT) AS px
+      FROM tiles t CROSS JOIN range(16) i(i) CROSS JOIN range(16) j(j)),
+    gval AS (
+      SELECT d.tx, d.ty, d.py, d.px, COALESCE(p.cnt, 0) AS v,
+             (CAST(d.tx * 16 + d.px AS DOUBLE) + 0.5) / {npx} * 360.0 - 180.0 AS clon,
+             degrees(2.0 * atan(exp(pi() * (1.0 - 2.0 *
+               ((CAST(d.ty * 16 + d.py AS DOUBLE) + 0.5) / {npx})))) - pi() / 2.0) AS clat
+      FROM dom d LEFT JOIN pix p
+        ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px)
+    SELECT tx AS tile_x, ty AS tile_y, CAST(py * 16 + px AS INT) AS idx,
+           CASE WHEN {inside} THEN CAST(v AS DOUBLE) ELSE NULL END AS value
+    FROM gval
+    """
+
+
+def _q_focal_fsum_over_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-var focal: fsum(a + b, radius=1) where a = doc-count raster of
+    all docs and b = doc-count raster of docs with id % 3 = 0, both at z2.
+    Exercises per-var halo pad + tile-key join (Vars.varsWithBuffer,
+    LayerTms.scala:66-74). A neighbor pixel contributes iff its tile
+    exists in BOTH inputs (NaN halo of either side poisons the sum —
+    nansum then skips it); output keys = key intersection."""
+    from geotrellis_server_spark.maml import ast as M
+    from geotrellis_server_spark.maml.eval import eval_expr
+
+    d = _docs(spark, sf_dir)
+    d3 = d.filter("CAST(substring(doc_id, 5) AS BIGINT) % 3 = 0")
+    a = tiling.rasterize_count(d, 2, tile_size=8)
+    b = tiling.rasterize_count(d3, 2, tile_size=8)
+    out = eval_expr(M.focal("fsum", M.var("a") + M.var("b"), radius=1), {"a": a, "b": b})
+    return out.selectExpr(
+        "tile_x", "tile_y", "posexplode(cells) AS (idx, value)"
+    ).selectExpr("tile_x", "tile_y", "idx", "CAST(coalesce(value, 0.0) AS DOUBLE) AS value")
+
+
+def _focal_fsum_over_sum_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 2, 8)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    return f"""
+    WITH pa AS (
+      SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px, count(*) AS cnt
+      FROM ({pts}) GROUP BY 1, 2, 3, 4),
+    pb AS (
+      SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px, count(*) AS cnt
+      FROM ({pts}) WHERE id % 3 = 0 GROUP BY 1, 2, 3, 4),
+    -- tiles present in BOTH rasters (join + per-var NaN-halo semantics)
+    tiles AS (SELECT tx, ty FROM (SELECT DISTINCT tx, ty FROM pa)
+              INTERSECT SELECT tx, ty FROM (SELECT DISTINCT tx, ty FROM pb)),
+    dom AS (
+      SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py, CAST(j.j AS BIGINT) AS px
+      FROM tiles t CROSS JOIN range(8) i(i) CROSS JOIN range(8) j(j)),
+    gval AS (
+      SELECT d.tx, d.ty, d.py, d.px,
+             d.ty * 8 + d.py AS gy, d.tx * 8 + d.px AS gx,
+             COALESCE(a.cnt, 0) + COALESCE(b.cnt, 0) AS v
+      FROM dom d
+      LEFT JOIN pa a ON a.tx = d.tx AND a.ty = d.ty AND a.py = d.py AND a.px = d.px
+      LEFT JOIN pb b ON b.tx = d.tx AND b.ty = d.ty AND b.py = d.py AND b.px = d.px),
+    nbr AS (
+      SELECT c.tx, c.ty, c.py, c.px, sum(n.v) AS fsum
+      FROM gval c
+      JOIN gval n ON n.gx BETWEEN c.gx - 1 AND c.gx + 1
+                 AND n.gy BETWEEN c.gy - 1 AND c.gy + 1
+      GROUP BY 1, 2, 3, 4)
+    SELECT tx AS tile_x, ty AS tile_y, CAST(py * 8 + px AS INT) AS idx,
+           CAST(fsum AS DOUBLE) AS value
+    FROM nbr
+    """
+
+
 def _q_interval_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OgcTimeInterval → positions expansion (7-day step over each user's
     event-time hull), exploded to rows."""
@@ -392,6 +509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
         "maml_focal_fsum_z2": _q_focal_fsum,
+        "maml_mask_polygon_z3": _q_mask_polygon,
+        "maml_focal_fsum_over_sum": _q_focal_fsum_over_sum,
         "time_interval_to_positions": _q_interval_positions,
         "raster_interpret_as_int": _q_interpret_as,
         "render_png_tiles": _q_render_png,
@@ -478,6 +597,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts}) GROUP BY 1, 2, 3
         """,
         "maml_focal_fsum_z2": _focal_fsum_oracle(),
+        "maml_mask_polygon_z3": _mask_polygon_oracle(),
+        "maml_focal_fsum_over_sum": _focal_fsum_over_sum_oracle(),
         "time_interval_to_positions": """
             WITH hull AS (SELECT user_id, min(ts) AS s, max(ts) AS e FROM events GROUP BY 1)
             SELECT user_id, unnest(generate_series(s, e, INTERVAL 7 DAY)) AS position

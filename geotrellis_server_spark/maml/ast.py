@@ -45,7 +45,7 @@ FOCAL_OPS = {
     "fslope", "fhillshade",
 }
 
-LEAF_OPS = {"int", "dbl", "bool", "rasterV"}
+LEAF_OPS = {"int", "dbl", "bool", "rasterV", "geomLit"}
 
 
 @dataclass(frozen=True)
@@ -163,6 +163,8 @@ class Expr:
         d = dict(d)
         symbol = d.pop("symbol")
         args = tuple(Expr.from_dict(a) for a in d.pop("args", []))
+        if "ring" in d:  # JSON lists → hashable tuples (geomLit)
+            d["ring"] = tuple(tuple(float(v) for v in p) for p in d["ring"])
         params = tuple(sorted(d.items()))
         return Expr(symbol, args, params)
 
@@ -221,8 +223,19 @@ def rgb(r, g, b) -> Expr:
     return Expr("rgb", (_e(r), _e(g), _e(b)))
 
 
-def mask(x, mask_raster) -> Expr:
-    return Expr("mask", (_e(x), _e(mask_raster)))
+def mask(x, mask_operand) -> Expr:
+    """``mask(x, m)``: keep x where m is nonzero, NoData elsewhere. The
+    second operand is either a raster var/expression or a ``geom(...)``
+    literal — the geometry form is rasterized onto x's tile grid at eval
+    time (reference masks by geometry, maml-operations.md:17)."""
+    return Expr("mask", (_e(x), _e(mask_operand)))
+
+
+def geom(ring) -> Expr:
+    """Polygon ring literal (EPSG:4326 lon/lat, not closed) for
+    mask-by-geometry. Stored as a hashable tuple-of-tuples param so the
+    JSON codec round-trips structurally."""
+    return Expr("geomLit", params=(("ring", tuple(tuple(float(v) for v in p) for p in ring)),))
 
 
 def focal(symbol: str, x, radius: int = 1, **kw) -> Expr:

@@ -36,11 +36,42 @@ def _has_focal(e: Expr) -> bool:
 
 
 def eval_expr(expr: Expr, params: dict[str, DataFrame], tile_size: int | None = None) -> DataFrame:
-    """Dispatch: local-only → joined batch kernel; focal → halo path."""
+    """Dispatch: local-only → joined batch kernel; focal → halo path.
+    mask-by-geometry nodes are rewritten first: the geometry is rasterized
+    onto the masked subtree's tile grid and bound as a synthetic raster
+    var, so the existing raster-mask kernel path handles it."""
     expr = fold_constants(expr)
+    expr, params = _bind_geom_masks(expr, params)
     if _has_focal(expr):
         return eval_focal(expr, params)
     return eval_local(expr, params)
+
+
+def _bind_geom_masks(expr: Expr, params: dict[str, DataFrame]):
+    """Rewrite ``mask(x, geomLit)`` → ``mask(x, rasterV(__geom_mask_N))``
+    with a rasterized mask-tile table (geometry/rasterize.py) bound under
+    the synthetic name. The mask grid is derived from the first bound var
+    inside x (all vars share the tile key space — J4 alignment)."""
+    from ..geometry.rasterize import ring_mask_tiles
+
+    params = dict(params)
+    counter = [0]
+
+    def f(e: Expr) -> Expr:
+        if e.symbol == "mask" and len(e.args) == 2 and e.args[1].symbol == "geomLit":
+            sub_vars = sorted(n for n in e.args[0].var_names() if n in params)
+            if not sub_vars:
+                raise ValueError(
+                    "mask-by-geometry needs at least one bound raster var in "
+                    "the masked expression to define the tile grid"
+                )
+            name = f"__geom_mask_{counter[0]}"
+            counter[0] += 1
+            params[name] = ring_mask_tiles(params[sub_vars[0]], e.args[1].p("ring"))
+            return Expr("mask", (e.args[0], Expr.var(name)))
+        return e
+
+    return expr.transform(f), params
 
 
 def eval_local(expr: Expr, params: dict[str, DataFrame]) -> DataFrame:
@@ -91,33 +122,53 @@ def eval_local(expr: Expr, params: dict[str, DataFrame]) -> DataFrame:
 
 
 def eval_focal(expr: Expr, params: dict[str, DataFrame]) -> DataFrame:
+    """Focal (and mixed focal/local) expressions over one or MORE raster
+    vars: each var is halo-padded by ITS OWN required buffer
+    (Vars.varsWithBuffer — reference LayerTms.scala:66-74), the padded
+    frames are equi-joined on the tile key (J4 alignment), and the fused
+    kernel consumes the pads (local sub-ops crop operands to the common
+    pad; focal ops consume their radius)."""
     from ..operators.focal import with_halo
 
     names = sorted(expr.var_names())
-    if len(names) != 1:
-        raise NotImplementedError(
-            "focal expressions currently support a single raster var "
-            "(reference focal ops are single-source too)"
-        )
-    name = names[0]
-    buf = expr.vars_with_buffer()[name]
+    bufs = expr.vars_with_buffer()
     kernel = compile_node(expr)
-    padded = with_halo(params[name], buf)
+
+    key = list(KEY)
+    if all("band" in params[n].columns for n in names):
+        key = KEY + ["band"]
+
+    buf_of = {n: int(bufs.get(n, 0)) for n in names}
+    dfs = []
+    for i, n in enumerate(names):
+        padded = with_halo(params[n], buf_of[n])
+        cols = [*key, F.col("cells_padded").alias(f"__p_{n}")]
+        if i == 0:
+            cols += [F.col("width"), F.col("height")]
+        dfs.append(padded.select(*cols))
+    joined = reduce(lambda a, b: a.join(b, key, "inner"), dfs[1:], dfs[0])
+
+    pad_env = dict(buf_of)
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def apply_kernel(cells: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+    def apply_kernel(width: pd.Series, height: pd.Series, *cols: pd.Series) -> pd.Series:
         out = []
-        for c, w, h in zip(cells, width, height):
-            block = np.asarray(c, dtype=np.float64).reshape(h + 2 * buf, w + 2 * buf)
-            env = {name: block, "__pad__": {name: buf}}
+        for ridx in range(len(width)):
+            w, h = int(width.iloc[ridx]), int(height.iloc[ridx])
+            env = {"__pad__": pad_env}
+            for n, c in zip(names, cols):
+                b = pad_env[n]
+                env[n] = np.asarray(c.iloc[ridx], dtype=np.float64).reshape(h + 2 * b, w + 2 * b)
             out.append(np.asarray(kernel(env), dtype=np.float64).ravel())
         return pd.Series(out)
 
-    return padded.select(
-        *KEY,
+    return joined.select(
+        *key,
         "width",
         "height",
-        apply_kernel(F.col("cells_padded"), F.col("width"), F.col("height")).alias("cells"),
+        apply_kernel(
+            F.col("width"), F.col("height"), *[F.col(f"__p_{n}") for n in names]
+        ).alias("cells"),
     )
 
 

@@ -28,60 +28,62 @@ KEY = ["zoom", "tile_x", "tile_y"]
 
 
 def with_halo(tiles: DataFrame, radius: int) -> DataFrame:
-    """tiles(zoom, tile_x, tile_y, width, height, cells) →
-    (zoom, tile_x, tile_y, width, height, cells_padded) where cells_padded
-    is the (h+2r)*(w+2r) row-major block (NaN outside contributing
-    neighbors). Only tile keys present in the input appear in the output
+    """tiles(zoom, tile_x, tile_y[, band], width, height, cells) →
+    (key..., width, height, cells_padded) where cells_padded is the
+    (h+2r)*(w+2r) row-major block (NaN outside contributing neighbors).
+    Band-aware when a ``band`` column is present (each band exchanges its
+    own halo). Only tile keys present in the input appear in the output
     (neighbor copies alone don't materialize a tile — matches the
     reference reading neighbors *of* an existing tile)."""
     r = int(radius)
+    key = KEY + (["band"] if "band" in tiles.columns else [])
     if r <= 0:
-        return tiles.withColumn("cells_padded", F.col("cells"))
+        return tiles.select(*key, "width", "height", F.col("cells").alias("cells_padded"))
 
     offsets = F.expr(
         "explode(transform(sequence(0, 8), i -> "
         "named_struct('dx', CAST(i % 3 AS INT) - 1, 'dy', CAST(i DIV 3 AS INT) - 1)))"
     )
-    contrib = tiles.select(
-        "zoom",
-        "tile_x",
-        "tile_y",
-        "width",
-        "height",
-        "cells",
-        offsets.alias("o"),
-    ).select(
+    contrib = tiles.select(*key, "width", "height", "cells", offsets.alias("o")).select(
         "zoom",
         (F.col("tile_x") + F.col("o.dx")).alias("tile_x"),
         (F.col("tile_y") + F.col("o.dy")).alias("tile_y"),
+        *([F.col("band")] if "band" in tiles.columns else []),
         F.col("o.dx").alias("dx"),
         F.col("o.dy").alias("dy"),
         "width",
         "height",
         "cells",
     )
-    out_schema = T.StructType(
-        [
-            T.StructField("zoom", T.IntegerType()),
-            T.StructField("tile_x", T.LongType()),
-            T.StructField("tile_y", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("cells_padded", T.ArrayType(T.DoubleType())),
-        ]
-    )
+    has_band = "band" in tiles.columns
+    fields = [
+        T.StructField("zoom", T.IntegerType()),
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+    ]
+    if has_band:
+        fields.append(T.StructField("band", T.IntegerType()))
+    fields += [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("cells_padded", T.ArrayType(T.DoubleType())),
+    ]
+    out_schema = T.StructType(fields)
 
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        zoom, tx, ty = key
+    def assemble(keyvals, pdf: pd.DataFrame) -> pd.DataFrame:
         centre = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
         if centre.empty:
             # target key exists only as someone's halo → not a real tile
             # (avoids a tiles⨝tiles semi-join; groups are ≤9 rows)
-            return pd.DataFrame(
-                {c: pd.Series(dtype=t) for c, t in
-                 [("zoom", "int32"), ("tile_x", "int64"), ("tile_y", "int64"),
-                  ("width", "int32"), ("height", "int32"), ("cells_padded", "object")]}
-            )
+            empty = {"zoom": pd.Series(dtype="int32"),
+                     "tile_x": pd.Series(dtype="int64"),
+                     "tile_y": pd.Series(dtype="int64")}
+            if has_band:
+                empty["band"] = pd.Series(dtype="int32")
+            empty["width"] = pd.Series(dtype="int32")
+            empty["height"] = pd.Series(dtype="int32")
+            empty["cells_padded"] = pd.Series(dtype="object")
+            return pd.DataFrame(empty)
         h = int(centre["height"].iloc[0])
         w = int(centre["width"].iloc[0])
         block = np.full((h + 2 * r, w + 2 * r), np.nan)
@@ -90,7 +92,6 @@ def with_halo(tiles: DataFrame, radius: int) -> DataFrame:
             nb = np.asarray(row.cells, dtype=np.float64).reshape(int(row.height), int(row.width))
             # neighbor at offset (dx, dy) relative to target: it occupies
             # the block region shifted by (-dx, -dy) tiles
-            # target pixel range covered by this neighbor:
             x0 = r - dx * w
             y0 = r - dy * h
             sx0, sx1 = max(0, x0), min(w + 2 * r, x0 + w)
@@ -99,15 +100,12 @@ def with_halo(tiles: DataFrame, radius: int) -> DataFrame:
                 continue
             nx0, ny0 = sx0 - x0, sy0 - y0
             block[sy0:sy1, sx0:sx1] = nb[ny0 : ny0 + (sy1 - sy0), nx0 : nx0 + (sx1 - sx0)]
-        return pd.DataFrame(
-            {
-                "zoom": [int(zoom)],
-                "tile_x": [int(tx)],
-                "tile_y": [int(ty)],
-                "width": [w],
-                "height": [h],
-                "cells_padded": [block.ravel()],
-            }
-        )
+        out = {"zoom": [int(keyvals[0])], "tile_x": [int(keyvals[1])], "tile_y": [int(keyvals[2])]}
+        if has_band:
+            out["band"] = [int(keyvals[3])]
+        out["width"] = [w]
+        out["height"] = [h]
+        out["cells_padded"] = [block.ravel()]
+        return pd.DataFrame(out)
 
-    return contrib.groupBy(*KEY).applyInPandas(assemble, out_schema)
+    return contrib.groupBy(*key).applyInPandas(assemble, out_schema)

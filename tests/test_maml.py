@@ -238,3 +238,44 @@ def test_media_ref_no_bigint_overflow(spark):
         i = s.offset
         want = (big * 2654435761 + i * 97) % 4294967296
         assert s.media_ref == f"ref://{want:08x}"
+
+
+def test_multivar_focal_ndvi_fmean(spark):
+    # fmean over a multi-var local expression — per-var halo pad + join
+    # (reference Vars.varsWithBuffer, LayerTms.scala:66-74)
+    red_v = np.arange(1.0, 17.0)
+    nir_v = np.arange(17.0, 33.0)
+    red = tile_df(spark, "red", red_v, key=(1, 3, 2))
+    nir = tile_df(spark, "nir", nir_v, key=(1, 3, 2))
+    e = M.focal("fmean", (M.var("nir") - M.var("red")) / (M.var("nir") + M.var("red")), radius=1)
+    out = eval_expr(e, {"red": red, "nir": nir}).collect()
+    assert len(out) == 1
+    got = cells_np(out[0].cells).reshape(4, 4)
+    ndvi = ((nir_v - red_v) / (nir_v + red_v)).reshape(4, 4)
+    padded = np.full((6, 6), np.nan)
+    padded[1:-1, 1:-1] = ndvi
+    from numpy.lib.stride_tricks import sliding_window_view
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        exp = np.nanmean(sliding_window_view(padded, (3, 3)), axis=(-2, -1))
+    assert np.allclose(got, exp, equal_nan=True)
+
+
+def test_multivar_focal_per_var_halo(spark):
+    # a has a right neighbor, b does not: the neighbor's contribution to
+    # fsum(a+b) must be dropped (a's halo value + b's NaN halo = NaN,
+    # skipped by nansum) — per-var halos, not a shared one.
+    a0 = tile_df(spark, "a", [1.0] * 16, key=(1, 0, 0))
+    a1 = tile_df(spark, "a", [10.0] * 16, key=(1, 1, 0))
+    b0 = tile_df(spark, "b", [2.0] * 16, key=(1, 0, 0))
+    e = M.focal("fsum", M.var("a") + M.var("b"), radius=1)
+    out = eval_expr(e, {"a": a0.union(a1), "b": b0}).collect()
+    # join keeps only keys present in BOTH vars
+    assert [(r.tile_x, r.tile_y) for r in out] == [(0, 0)]
+    got = cells_np(out[0].cells).reshape(4, 4)
+    # interior: 9 windows of (1+2)=3 → 27; right edge column: the a-only
+    # neighbor (value 10) must NOT leak in → 6 cells of 3 = 18
+    assert got[1, 1] == 27.0
+    assert got[1, 3] == 18.0  # not 18 + anything from a1
+    assert got[0, 0] == 12.0  # corner: 4 cells
