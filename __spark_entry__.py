@@ -74,6 +74,36 @@ def _q_tile_assign(zoom: int):
     return q
 
 
+def _q_tile_assign_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-tautologized tile math (VERDICT r1 'oracle non-independence'):
+    the ENGINE's sqlgen fragments evaluate ~100 boundary-case points
+    (world edges, latitude clamp, tile-edge lons, near ty-boundary lats)
+    and the ORACLE is a constant VALUES table derived with an independent
+    formulation (asinh(tan); lon/360+0.5) — no shared SQL fragment."""
+    from geotrellis_server_spark.sources.tile_goldens import GOLDEN_Z8, ZOOM
+
+    df = spark.createDataFrame(
+        [(pid, lon, lat) for pid, lon, lat, _, _ in GOLDEN_Z8],
+        "pid BIGINT, lon DOUBLE, lat DOUBLE",
+    )
+    return df.select(
+        "pid",
+        F.expr(sqlgen.tile_x_sql("lon", ZOOM)).alias("tile_x"),
+        F.expr(sqlgen.tile_y_sql("lat", ZOOM)).alias("tile_y"),
+    )
+
+
+def _tile_assign_golden_oracle() -> str:
+    from geotrellis_server_spark.sources.tile_goldens import GOLDEN_Z8
+
+    vals = ", ".join(f"({pid}, {tx}, {ty})" for pid, _, _, tx, ty in GOLDEN_Z8)
+    return f"""
+    SELECT CAST(pid AS BIGINT) AS pid, CAST(tx AS BIGINT) AS tile_x,
+           CAST(ty AS BIGINT) AS tile_y
+    FROM (VALUES {vals}) t(pid, tx, ty)
+    """
+
+
 def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return spatial_join.pip_join_rect(d, synth.zone_grid(spark)).select("doc_id", "zone_id")
@@ -91,6 +121,39 @@ def _q_pip_zone_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return knn_op.knn_join(d, KNN_QUERIES, k=KNN_K).select("query_id", "doc_id", "rank")
+
+
+N_BULK_KNN_QUERIES = 1000
+_BULK_QLON = "CAST((id * 7349) % 368640 AS DOUBLE) / 1024.0 - 180.0"
+_BULK_QLAT = "CAST((id * 4391) % 174080 AS DOUBLE) / 1024.0 - 85.0"
+
+
+def _q_knn_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based bulk kNN (no driver loop): 1,000 deterministic query
+    points vs the docs table — exact top-10 each, verified against the
+    brute-force cross-join oracle."""
+    d = _docs(spark, sf_dir)
+    q = spark.range(N_BULK_KNN_QUERIES).selectExpr(
+        "id AS query_id", f"{_BULK_QLON} AS qlon", f"{_BULK_QLAT} AS qlat"
+    )
+    return knn_op.knn_join_bulk(d, q, k=KNN_K).select("query_id", "doc_id", "rank")
+
+
+def _knn_bulk_oracle() -> str:
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    return f"""
+    WITH q AS (SELECT id AS query_id, {_BULK_QLON} AS qlon, {_BULK_QLAT} AS qlat
+               FROM range({N_BULK_KNN_QUERIES}) t(id)),
+    d AS (SELECT q.query_id, printf('doc-%012d', p.id) AS doc_id,
+                 (p.lon - q.qlon) * (p.lon - q.qlon)
+               + (p.lat - q.qlat) * (p.lat - q.qlat) AS dist_sq
+          FROM ({pts}) p CROSS JOIN q)
+    SELECT query_id, doc_id, rank FROM (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist_sq, doc_id) AS INT) AS rank
+      FROM d) WHERE rank <= {KNN_K}
+    """
 
 
 def _q_span_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,9 +586,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cell_encode_r6": _q_cell_encode,
         "geo_tile_assign_z8": _q_tile_assign(8),
         "geo_tile_assign_z12": _q_tile_assign(12),
+        "geo_tile_assign_golden": _q_tile_assign_golden,
         "geo_pip_join_rect": _q_pip_join,
         "geo_pip_zone_agg": _q_pip_zone_agg,
         "geo_knn_ring_k10": _q_knn,
+        "geo_knn_ring_k10_bulk": _q_knn_bulk,
         "doc_span_kind_counts": _q_span_kinds,
         "geo_rasterize_pixel_counts_z4": _q_pixel_counts,
         "doc_span_sequence_invariant": _q_span_invariant,
@@ -556,6 +621,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM ({pts}) GROUP BY 1, 2
         """,
+        "geo_tile_assign_golden": _tile_assign_golden_oracle(),
         "geo_tile_assign_z12": f"""
             SELECT {sqlgen.tile_x_sql('lon', 12)} AS tile_x, {sqlgen.tile_y_sql('lat', 12)} AS tile_y,
                    count(*) AS n_docs
@@ -582,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY dist_sq, doc_id) AS INT) AS rank
               FROM d) WHERE rank <= {KNN_K}
         """,
+        "geo_knn_ring_k10_bulk": _knn_bulk_oracle(),
         "doc_span_kind_counts": f"""
             SELECT CASE WHEN i = id % ((id % 7) + 1) THEN 'geo'
                         WHEN (id + i) % 3 = 0 THEN 'media'

@@ -38,3 +38,31 @@ def test_knn_k_exceeds_population(spark):
     d = synth.extract_geometry(synth.docs(spark, 30))
     res = knn.knn_join(d, [(0, 0.0, 0.0)], k=100).toPandas()
     assert len(res) == 30
+
+
+def _qdf(spark, triples):
+    return spark.createDataFrame(triples, "query_id BIGINT, qlon DOUBLE, qlat DOUBLE")
+
+
+def test_knn_bulk_matches_brute(spark):
+    d = synth.extract_geometry(synth.docs(spark, N))
+    pdf = d.select("doc_id", "lon", "lat").toPandas()
+    queries = [(j, ((j * 7349) % 368640) / 1024.0 - 180.0,
+                ((j * 4391) % 174080) / 1024.0 - 85.0) for j in range(40)]
+    res = knn.knn_join_bulk(d, _qdf(spark, queries), k=7).toPandas()
+    for qid, qlon, qlat in queries:
+        got = res[res.query_id == qid].sort_values("rank").doc_id.tolist()
+        assert got == _brute(pdf, qlon, qlat, 7), f"query {qid}"
+
+
+def test_knn_bulk_forces_ring_expansion(spark):
+    d = synth.extract_geometry(synth.docs(spark, 400))
+    pdf = d.select("doc_id", "lon", "lat").toPandas()
+    res = knn.knn_join_bulk(d, _qdf(spark, [(0, 0.0, 0.0)]), k=50, res=6).toPandas()
+    assert res.sort_values("rank").doc_id.tolist() == _brute(pdf, 0.0, 0.0, 50)
+
+
+def test_knn_bulk_k_exceeds_population(spark):
+    d = synth.extract_geometry(synth.docs(spark, 30))
+    res = knn.knn_join_bulk(d, _qdf(spark, [(0, 0.0, 0.0), (1, 100.0, 50.0)]), k=100).toPandas()
+    assert len(res) == 60
