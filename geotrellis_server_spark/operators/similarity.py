@@ -96,26 +96,60 @@ def lsh_ann_topk(
 def embedding_near_dup_pairs(
     df: DataFrame, threshold: float = 0.95, n_planes: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Cosine near-dup pairs: bucket by full sign pattern (near-identical
     vectors share all signs with high probability), verify exactly within
-    buckets. Returns (a, b, cosine)."""
+    buckets. Returns (a, b, cosine).
+
+    Degenerate-corpus guard (VERDICT r1 item 8): a within-bucket self-join
+    is quadratic in bucket size, so a corpus of near-identical vectors
+    (one giant bucket) would recreate all-pairs. Buckets larger than
+    ``max_bucket_size`` switch to a STAR verification: every member is
+    compared to the bucket's min-id representative only — linear cost,
+    and the (rep, x) pairs still connect the near-identical cluster for
+    union-find dedup. Trade-off (documented): within an oversized bucket,
+    pairs where BOTH sides match the rep but not quite each other are not
+    emitted; for the ≥0.95-cosine near-dup use case the star edges are
+    what dedup consumes."""
     dim = int(df.select(F.size(vec_col)).first()[0])
     planes = _hyperplanes(dim, n_planes)
     b = df.select(
         F.col(id_col), F.col(vec_col), lsh_bucket_col(vec_col, planes).alias("_bkt")
     )
-    o = b.select(
+    w = Window.partitionBy("_bkt")
+    b = b.withColumn("_bsz", F.count("*").over(w)).withColumn(
+        "_rep", F.min(id_col).over(w)
+    )
+
+    def verify(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn(
+                "cosine", _dot(vec_col, "_vb") / (_norm(vec_col) * _norm("_vb"))
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col(id_col).alias("a"), F.col("_b").alias("b"), "cosine")
+        )
+
+    small = b.filter(F.col("_bsz") <= max_bucket_size)
+    o = small.select(
         F.col(id_col).alias("_b"), F.col(vec_col).alias("_vb"), F.col("_bkt")
     )
-    pairs = (
-        b.join(o, "_bkt")
-        .filter(F.col(id_col) < F.col("_b"))
-        .withColumn(
-            "cosine",
-            _dot(vec_col, "_vb") / (_norm(vec_col) * _norm("_vb")),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select(F.col(id_col).alias("a"), F.col("_b").alias("b"), "cosine")
+    small_pairs = verify(small.join(o, "_bkt").filter(F.col(id_col) < F.col("_b")))
+
+    big = b.filter(F.col("_bsz") > max_bucket_size)
+    reps = big.filter(F.col(id_col) == F.col("_rep")).select(
+        F.col("_bkt"), F.col(vec_col).alias("_rv")
     )
-    return pairs
+    # rep has the min id → pair order (rep, x) already satisfies a < b
+    big_pairs = verify(
+        big.filter(F.col(id_col) != F.col("_rep"))
+        .join(reps, "_bkt")
+        .select(
+            F.col("_rv").alias(vec_col),
+            F.col("_rep").alias(id_col),
+            F.col(id_col).alias("_b"),
+            F.col(vec_col).alias("_vb"),
+        )
+    )
+    return small_pairs.unionByName(big_pairs)

@@ -23,20 +23,41 @@ from pyspark.sql import functions as F
 
 
 def detect_hot_keys(
-    df: DataFrame, key_cols: list[str], threshold: float = 0.01, max_keys: int = 64
+    df: DataFrame,
+    key_cols: list[str],
+    threshold: float = 0.01,
+    max_keys: int = 64,
+    sample_fraction: float | None = 0.05,
+    safety_factor: float = 0.5,
+    seed: int = 7,
 ) -> list[tuple]:
-    """Count-sketch pass (the adaptive threshold pass SURVEY.md §7 calls
-    out): keys holding more than ``threshold`` of all rows. One cheap
-    aggregate — at scale, run on a sample or reuse table stats."""
-    total = df.count()
-    rows = (
-        df.groupBy(*key_cols)
-        .count()
-        .filter(F.col("count") >= total * threshold)
-        .orderBy(F.desc("count"))
-        .limit(max_keys)
-        .collect()
-    )
+    """Keys holding more than ``threshold`` of all rows.
+
+    Default path is SAMPLED (VERDICT r1 item 9: the exact variant did two
+    full passes before the real aggregation): ONE scan samples
+    ``sample_fraction`` of rows into a per-key count, which is persisted
+    so the sampled total is derived by re-aggregating the (tiny) count
+    table, not by a second scan. The sampled cut-off is relaxed by
+    ``safety_factor`` so true hot keys are detected with overwhelming
+    probability (a key at the threshold has ~threshold·fraction·N sampled
+    rows; halving the cut-off puts it many σ clear). False positives are
+    harmless — salting a lukewarm key only adds one tiny merge step.
+
+    ``sample_fraction=None`` → exact single-scan variant (same persist
+    trick, no sampling)."""
+    src = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction else df
+    cut = threshold * (safety_factor if sample_fraction else 1.0)
+    cnts = src.groupBy(*key_cols).count().persist()
+    try:
+        total = cnts.agg(F.sum("count")).first()[0] or 0
+        rows = (
+            cnts.filter(F.col("count") >= total * cut)
+            .orderBy(F.desc("count"))
+            .limit(max_keys)
+            .collect()
+        )
+    finally:
+        cnts.unpersist()
     return [tuple(r[k] for k in key_cols) for r in rows]
 
 

@@ -106,6 +106,130 @@ def ogc_layer_predicate(node: Q.Query) -> Column:
     return raster_source_predicate(node)
 
 
+# ---------------------------------------------------------------------------
+# Q3: explicit remote-index pushdown compiler (reference
+# stac-example/.../SearchFiltersQuery.scala:50-120 — And/Or compile to
+# bbox/datetime intersection/union semigroups for a REMOTE search, not
+# just a row predicate). compile_scan_region produces the prunable
+# (bbox × time-interval) over-approximation of a query tree; the exact
+# row predicate is applied as a residual after the pruned scan.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ScanRegion:
+    """Conservative scan bounds: ``bbox``/``time`` of None = unbounded
+    (universe); ``empty`` = provably no results (prune everything).
+    And = dimension-wise INTERSECTION; Or = dimension-wise hull UNION —
+    exactly the SearchFilters semigroup pair (``&`` / TemporalExtent
+    union), over-approximating Or so pruning never drops a result."""
+
+    bbox: tuple[float, float, float, float] | None = None
+    time: tuple[dt.datetime, dt.datetime] | None = None
+    empty: bool = False
+
+
+def _bbox_and(a, b):
+    if a is None:
+        return b, False
+    if b is None:
+        return a, False
+    xmin, ymin = max(a[0], b[0]), max(a[1], b[1])
+    xmax, ymax = min(a[2], b[2]), min(a[3], b[3])
+    if xmin > xmax or ymin > ymax:
+        return None, True
+    return (xmin, ymin, xmax, ymax), False
+
+
+def _bbox_or(a, b):
+    if a is None or b is None:
+        return None
+    return (min(a[0], b[0]), min(a[1], b[1]), max(a[2], b[2]), max(a[3], b[3]))
+
+
+def _time_and(a, b):
+    if a is None:
+        return b, False
+    if b is None:
+        return a, False
+    lo, hi = max(a[0], b[0]), min(a[1], b[1])
+    if lo > hi:
+        return None, True
+    return (lo, hi), False
+
+
+def _time_or(a, b):
+    if a is None or b is None:
+        return None
+    return (min(a[0], b[0]), max(a[1], b[1]))
+
+
+def compile_scan_region(node: Q.Query) -> ScanRegion:
+    if isinstance(node, Q.Nothing):
+        return ScanRegion(empty=True)
+    if isinstance(node, (Q.All, Q.WithName, Q.WithNames)):
+        return ScanRegion()  # name prefilter is not a layout dimension
+    if isinstance(node, Q.At):
+        return ScanRegion(time=(node.time, node.time))
+    if isinstance(node, Q.Between):
+        return ScanRegion(time=(node.t_from, node.t_to))
+    if isinstance(node, (Q.Intersects, Q.Covers, Q.Contains)):
+        return ScanRegion(bbox=tuple(node.extent))
+    if isinstance(node, Q.And):
+        left, right = compile_scan_region(node.left), compile_scan_region(node.right)
+        if left.empty or right.empty:
+            return ScanRegion(empty=True)
+        bbox, e1 = _bbox_and(left.bbox, right.bbox)
+        time, e2 = _time_and(left.time, right.time)
+        if e1 or e2:
+            return ScanRegion(empty=True)
+        return ScanRegion(bbox=bbox, time=time)
+    if isinstance(node, Q.Or):
+        left, right = compile_scan_region(node.left), compile_scan_region(node.right)
+        if left.empty:
+            return right
+        if right.empty:
+            return left
+        return ScanRegion(bbox=_bbox_or(left.bbox, right.bbox),
+                          time=_time_or(left.time, right.time))
+    raise TypeError(type(node))
+
+
+def point_record_predicate(
+    node: Q.Query, lon: str = "lon", lat: str = "lat", time_col: str = "ts"
+) -> Column:
+    """Exact residual predicate over POINT-record tables (lon/lat/ts
+    columns) — the row-level filter applied after the pruned scan.
+    Spatial nodes test point containment in the query extent; temporal
+    nodes follow raster-source semantics (Between half-open)."""
+    if isinstance(node, Q.Nothing):
+        return F.lit(False)
+    if isinstance(node, (Q.All, Q.WithName, Q.WithNames)):
+        return F.lit(True)
+    if isinstance(node, Q.At):
+        return F.col(time_col) == _lit_ts(node.time)
+    if isinstance(node, Q.Between):
+        c = F.col(time_col)
+        return (c >= _lit_ts(node.t_from)) & (c < _lit_ts(node.t_to))
+    if isinstance(node, (Q.Intersects, Q.Covers, Q.Contains)):
+        xmin, ymin, xmax, ymax = node.extent
+        return (
+            (F.col(lon) >= F.lit(xmin)) & (F.col(lon) <= F.lit(xmax))
+            & (F.col(lat) >= F.lit(ymin)) & (F.col(lat) <= F.lit(ymax))
+        )
+    if isinstance(node, Q.And):
+        return point_record_predicate(node.left, lon, lat, time_col) & point_record_predicate(
+            node.right, lon, lat, time_col
+        )
+    if isinstance(node, Q.Or):
+        return point_record_predicate(node.left, lon, lat, time_col) | point_record_predicate(
+            node.right, lon, lat, time_col
+        )
+    raise TypeError(type(node))
+
+
 def eval_df(node: Q.Query, df: DataFrame, semantics: str = "raster_source") -> DataFrame:
     """Faithful list-algebra evaluation: And = left-then-intersect-right
     (right side evaluated over the left's output), Or = concat (may

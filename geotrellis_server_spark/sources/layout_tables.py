@@ -28,18 +28,59 @@ PREFIX_RES = 3  # 64 partitions worldwide
 
 
 def write_docs_partitioned(
-    docs_with_geom: DataFrame, path: str, prefix_res: int = PREFIX_RES, sort_res: int = 12
+    docs_with_geom: DataFrame,
+    path: str,
+    prefix_res: int = PREFIX_RES,
+    sort_res: int = 12,
+    time_col: str | None = None,
 ) -> None:
-    """Write docs partitioned by coarse cell prefix, sorted by fine cell
+    """Write docs partitioned by coarse cell prefix (and, when
+    ``time_col`` is given, by UTC month ``t_month`` — the second layout
+    dimension the Q3 pushdown compiler prunes on), sorted by fine cell
     within files."""
     out = docs_with_geom.withColumn("cell_p", C.cell_key_col("lon", "lat", prefix_res))
+    parts = ["cell_p"]
+    if time_col:
+        out = out.withColumn("t_month", F.date_format(F.col(time_col), "yyyy-MM"))
+        parts.append("t_month")
     (
-        out.repartition("cell_p")
+        out.repartition(*parts)
         .sortWithinPartitions(F.expr(sqlgen.cell_key_sql("lon", "lat", sort_res)))
         .write.mode("overwrite")
-        .partitionBy("cell_p")
+        .partitionBy(*parts)
         .parquet(path)
     )
+
+
+def read_docs_query(
+    spark: SparkSession,
+    path: str,
+    query,
+    prefix_res: int = PREFIX_RES,
+    time_col: str | None = None,
+) -> DataFrame:
+    """Q3 pushdown: compile the query tree to its (bbox × time) scan
+    region (query/compile.compile_scan_region — SearchFiltersQuery
+    semigroups), prune BOTH layout dimensions (cell_p partition list +
+    t_month partition range), then apply the exact residual row predicate.
+    Results are identical to filtering the unpartitioned table; only the
+    scan shrinks."""
+    from ..query.compile import compile_scan_region, point_record_predicate
+
+    region = compile_scan_region(query)
+    df = spark.read.parquet(path)
+    if region.empty:
+        return df.filter(F.lit(False))
+    if region.bbox is not None:
+        cells = envelope_cells(*region.bbox, prefix_res)
+        df = df.filter(F.col("cell_p").isin([int(c) for c in cells]))
+    if region.time is not None and time_col:
+        lo, hi = region.time
+        df = df.filter(
+            (F.col("t_month") >= lo.strftime("%Y-%m"))
+            & (F.col("t_month") <= hi.strftime("%Y-%m"))
+        )
+    return df.filter(point_record_predicate(query, time_col=time_col or "ts"))
 
 
 def read_docs_window(

@@ -100,3 +100,96 @@ def test_sink_stubs_raise():
         ST.render_jpg()
     with pytest.raises(NotImplementedError, match="rasterio"):
         ST.render_geotiff()
+
+
+# --- cubic / lanczos convolution kernels (R3, conf/package.scala:161-173) ---
+
+
+def _direct_conv_resample(a, out_h, out_w, kfn, R):
+    """Independent oracle: straightforward per-pixel double loop."""
+    import numpy as np
+
+    h, w = a.shape
+    tmp = np.zeros((out_h, w))
+    for i in range(out_h):
+        s = (i + 0.5) * h / out_h - 0.5
+        base = int(np.floor(s))
+        num = np.zeros(w)
+        den = 0.0
+        for t in range(-R + 1, R + 1):
+            j = base + t
+            wgt = float(kfn(np.array([s - j]))[0])
+            num += wgt * a[min(max(j, 0), h - 1)]
+            den += wgt
+        tmp[i] = num / den
+    out = np.zeros((out_h, out_w))
+    for i in range(out_w):
+        s = (i + 0.5) * w / out_w - 0.5
+        base = int(np.floor(s))
+        num = np.zeros(out_h)
+        den = 0.0
+        for t in range(-R + 1, R + 1):
+            j = base + t
+            wgt = float(kfn(np.array([s - j]))[0])
+            num += wgt * tmp[:, min(max(j, 0), w - 1)]
+            den += wgt
+        out[:, i] = num / den
+    return out
+
+
+def test_cubic_lanczos_vs_direct_oracle():
+    import numpy as np
+    from geotrellis_server_spark.operators.resample import (
+        _CONV_KERNELS, resample_block)
+
+    rng = np.arange(16, dtype=np.float64)
+    a = (rng[:, None] * 3.7 + rng[None, :] ** 1.5 % 5.0)[:4, :4] * 1.0
+    a = np.array([[1.0, 5.0, 2.0, 8.0],
+                  [3.0, 7.0, 4.0, 6.0],
+                  [9.0, 0.0, 5.0, 2.0],
+                  [4.0, 8.0, 1.0, 7.0]])
+    for method, (kfn, R) in _CONV_KERNELS.items():
+        got = resample_block(a, 8, 8, method)
+        want = _direct_conv_resample(a, 8, 8, kfn, R)
+        assert np.allclose(got, want), method
+
+
+def test_cubic_constant_and_linear_preservation():
+    import numpy as np
+    from geotrellis_server_spark.operators.resample import resample_block
+
+    const = np.full((8, 8), 42.0)
+    for m in ("cubic-convolution", "cubic-spline", "lanczos"):
+        out = resample_block(const, 16, 16, m)
+        assert np.allclose(out, 42.0), m  # normalized weights: edges too
+    # Keys a=-0.5 reproduces linear ramps exactly (interior: full support)
+    ramp = np.arange(8, dtype=np.float64)[None, :].repeat(8, axis=0)
+    out = resample_block(ramp, 16, 16, "cubic-convolution")
+    xs = (np.arange(16) + 0.5) * 8 / 16 - 0.5
+    interior = (xs >= 1.0) & (xs <= 6.0)
+    assert np.allclose(out[4, interior], xs[interior])
+
+
+def test_cubic_nan_stays_local():
+    import numpy as np
+    from geotrellis_server_spark.operators.resample import resample_block
+
+    a = np.full((8, 8), 1.0)
+    a[4, 4] = np.nan
+    out = resample_block(a, 8, 8, "cubic-convolution")
+    # a corner far outside the NaN's 4x4 support must be clean
+    assert not np.isnan(out[0, 0])
+    assert np.isnan(out[4, 4])
+
+
+def test_no_bilinear_fallback_distinct_outputs():
+    import numpy as np
+    from geotrellis_server_spark.operators.resample import resample_block
+
+    a = np.array([[1.0, 5.0, 2.0, 8.0],
+                  [3.0, 7.0, 4.0, 6.0],
+                  [9.0, 0.0, 5.0, 2.0],
+                  [4.0, 8.0, 1.0, 7.0]])
+    bil = resample_block(a, 8, 8, "bilinear")
+    for m in ("cubic-convolution", "cubic-spline", "lanczos"):
+        assert not np.allclose(resample_block(a, 8, 8, m), bil), m

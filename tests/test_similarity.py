@@ -83,3 +83,58 @@ def test_near_dup_pairs_self_join(spark, emb_np):
     got = {(r.a, r.b) for r in pairs.collect()}
     for i in range(5):
         assert (i, 1000 + i) in got
+
+
+def test_near_dup_degenerate_corpus_bounded(spark):
+    # 5000 near-identical vectors -> one giant bucket. Without the bucket
+    # guard this is a ~12.5M-row self-join; with the star guard it is
+    # linear and must return exactly n-1 pairs anchored at the min id.
+    import time
+
+    from geotrellis_server_spark.operators.similarity import embedding_near_dup_pairs
+
+    n = 5000
+    df = spark.range(n).selectExpr(
+        "id AS vec_id",
+        # base vector + tiny deterministic per-id jitter (cosine ~ 1.0)
+        "transform(sequence(0, 7), j -> CAST(1.0 + CAST(id % 97 AS DOUBLE) * 1e-7 "
+        "* CAST(j + 1 AS DOUBLE) AS FLOAT)) AS embedding",
+    )
+    t0 = time.time()
+    pairs = embedding_near_dup_pairs(df, threshold=0.95, max_bucket_size=500).collect()
+    elapsed = time.time() - t0
+    assert len(pairs) == n - 1
+    assert all(p.a == 0 for p in pairs)  # star anchored at min id
+    assert elapsed < 60.0, f"degenerate corpus took {elapsed:.1f}s"
+
+
+def test_near_dup_small_buckets_unchanged(spark):
+    # guard must not change results when every bucket is under the cap
+    from geotrellis_server_spark.operators.similarity import embedding_near_dup_pairs
+
+    df = spark.range(200).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 7), j -> CAST(sin(CAST(id AS DOUBLE) * 0.7 "
+        "+ CAST(j AS DOUBLE)) AS FLOAT)) AS embedding",
+    )
+    a = {(p.a, p.b) for p in embedding_near_dup_pairs(df, threshold=0.9,
+                                                      max_bucket_size=10**9).collect()}
+    b = {(p.a, p.b) for p in embedding_near_dup_pairs(df, threshold=0.9,
+                                                      max_bucket_size=1000).collect()}
+    assert a == b
+
+
+def test_detect_hot_keys_sampled_superset(spark):
+    import pyspark.sql.functions as F
+
+    from geotrellis_server_spark.grids import cells as C
+    from geotrellis_server_spark.operators import skew
+    from geotrellis_server_spark.sources import synth
+
+    d = synth.extract_geometry(synth.docs(spark, 20000)).withColumn(
+        "cell", C.cell_key_col("lon", "lat", 4)
+    )
+    exact = set(skew.detect_hot_keys(d, ["cell"], threshold=0.05, sample_fraction=None))
+    sampled = set(skew.detect_hot_keys(d, ["cell"], threshold=0.05, sample_fraction=0.05))
+    assert exact, "fixture must have hot cells"
+    assert exact <= sampled  # sampled detection is a superset of the truth

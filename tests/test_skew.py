@@ -16,7 +16,10 @@ def _docs_with_cells(spark, n=4000):
 
 def test_detect_hot_keys_finds_clusters(spark):
     d = _docs_with_cells(spark)
-    hot = skew.detect_hot_keys(d, ["cell"], threshold=0.05)
+    # exact path: no false positives (the sampled default trades a few
+    # harmless false positives for a single-sample-scan detection — its
+    # superset property is covered in test_similarity)
+    hot = skew.detect_hot_keys(d, ["cell"], threshold=0.05, sample_fraction=None)
     assert 1 <= len(hot) <= 6
     # the hottest cell holds ~ n/12 of all docs (one cluster)
     counts = {r.cell: r["count"] for r in d.groupBy("cell").count().collect()}
