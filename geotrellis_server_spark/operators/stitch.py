@@ -76,15 +76,42 @@ def repositories_union(*catalogs: DataFrame) -> DataFrame:
     return out
 
 
-def render_jpg(*_a, **_k):
-    """S9 JPEG sink — STUB: no libjpeg binding in this container. The PNG
-    sink (styles.png.encode_png) is the supported raster image format;
-    plug Pillow here in a full deployment."""
-    raise NotImplementedError("JPEG encoding requires Pillow/libjpeg (not in container); use PNG")
+try:  # pragma: no cover - optional dependency, absent in this container
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
 
 
-def render_geotiff(*_a, **_k):
-    """S10 GeoTIFF/COG sink — STUB: rasterio is not in this container.
-    The primary sink is the tiles parquet/Iceberg table (reference also
-    treats COG output as an alternative render format)."""
-    raise NotImplementedError("GeoTIFF encoding requires rasterio (not in container); write the tiles table")
+def render_jpg(rgb: np.ndarray, quality: int = 85) -> bytes:
+    """S9 JPEG sink (reference Render.scala:35,46,63) — import-gated on
+    Pillow (no libjpeg binding ships in this container; the PNG sink is
+    the always-available raster image format)."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "JPEG encoding requires Pillow/libjpeg (not in container); use PNG"
+        )
+    import io  # pragma: no cover - exercised only where Pillow exists
+
+    buf = io.BytesIO()
+    _PILImage.fromarray(np.asarray(rgb, dtype=np.uint8)).save(
+        buf, format="JPEG", quality=quality
+    )
+    return buf.getvalue()
+
+
+def render_geotiff(
+    tiles: DataFrame, zoom: int | None = None, nodata: float | None = None
+) -> bytes:
+    """S10 GeoTIFF sink (reference Render.scala:36,47,64): stitch the
+    (request-pruned) tile window and encode one uncompressed float64
+    GeoTIFF in EPSG:3857 via the pure-stdlib encoder (sources/gtiff.py).
+    The collect is request-bounded exactly like ``stitch``."""
+    from ..sources.gtiff import encode_geotiff
+
+    arr, ext = stitch(tiles, zoom)
+    return encode_geotiff(
+        arr, (ext.xmin, ext.ymin, ext.xmax, ext.ymax), epsg=3857, nodata=nodata
+    )

@@ -1,0 +1,246 @@
+"""GeoTIFF sink/source (SURVEY.md S10 / S1) — pure-stdlib implementation.
+
+The reference renders GeoTIFF via geotrellis GeoTiff writers
+(ogc/.../Render.scala:36,47,64) and reads COGs via GeoTiffRasterSource
+(core/.../util/CogUtils.scala:41-70). rasterio is not available in this
+container, but an UNCOMPRESSED (Geo)TIFF is a simple public container —
+header + IFD tags + strip data — so the engine ships its own encoder and
+a matching strip-decoder built on ``struct``:
+
+- ``encode_geotiff``: float64 single-band (SampleFormat=IEEEFP, the
+  engine's tile celltype) or uint8 1/3-band; one strip; GeoTIFF keys
+  ModelPixelScale + ModelTiepoint + GeoKeyDirectory (EPSG:4326
+  geographic / EPSG:3857 or any projected code), GDAL_NODATA.
+- ``decode_geotiff``: uncompressed striped TIFFs (everything this module
+  writes, plus plain uncompressed single-plane files from other tools).
+
+When rasterio IS present (optional dependency), ``read_geotiff_path``
+uses it for compressed/tiled/COG inputs and falls back to the stdlib
+decoder otherwise — so the same API upgrades in a full deployment.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+try:  # pragma: no cover - optional dependency, absent in this container
+    import rasterio  # type: ignore
+
+    HAS_RASTERIO = True
+except ImportError:
+    rasterio = None
+    HAS_RASTERIO = False
+
+# TIFF field types
+_SHORT, _LONG, _ASCII, _DOUBLE = 3, 4, 2, 12
+_TYPE_SIZE = {_SHORT: 2, _LONG: 4, _ASCII: 1, _DOUBLE: 8}
+_TYPE_FMT = {_SHORT: "H", _LONG: "I", _DOUBLE: "d"}
+
+
+def encode_geotiff(
+    array: np.ndarray,
+    extent: tuple[float, float, float, float],
+    epsg: int = 3857,
+    nodata: float | None = None,
+) -> bytes:
+    """array: float64 (h, w) single band, or uint8 (h, w) / (h, w, 3).
+    extent: (xmin, ymin, xmax, ymax) in the CRS given by ``epsg``."""
+    a = np.asarray(array)
+    if a.ndim == 2:
+        h, w, bands = a.shape[0], a.shape[1], 1
+    elif a.ndim == 3 and a.shape[2] in (1, 3):
+        h, w, bands = a.shape
+    else:
+        raise ValueError(f"unsupported array shape {a.shape}")
+
+    if a.dtype == np.uint8:
+        bits, sample_format = 8, 1  # unsigned int
+        pixel_bytes = a.astype("<u1").tobytes()
+    else:
+        a = a.astype("<f8")
+        bits, sample_format = 64, 3  # IEEE float
+        pixel_bytes = a.tobytes()
+
+    xmin, ymin, xmax, ymax = (float(v) for v in extent)
+    xres = (xmax - xmin) / w
+    yres = (ymax - ymin) / h
+
+    geographic = epsg == 4326
+    geo_keys = [
+        (1024, 0, 1, 2 if geographic else 1),  # GTModelType: 2 geo, 1 projected
+        (1025, 0, 1, 1),  # GTRasterType: PixelIsArea
+        (2048 if geographic else 3072, 0, 1, epsg),
+    ]
+    geo_dir = [1, 1, 0, len(geo_keys)]
+    for k in geo_keys:
+        geo_dir.extend(k)
+
+    entries: list[tuple[int, int, list]] = [
+        (256, _LONG, [w]),
+        (257, _LONG, [h]),
+        (258, _SHORT, [bits] * bands),
+        (259, _SHORT, [1]),  # no compression
+        (262, _SHORT, [2 if bands == 3 else 1]),  # RGB / BlackIsZero
+        (273, _LONG, [0]),  # StripOffsets — patched below
+        (277, _SHORT, [bands]),
+        (278, _LONG, [h]),  # one strip
+        (279, _LONG, [len(pixel_bytes)]),
+        (284, _SHORT, [1]),  # chunky
+        (339, _SHORT, [sample_format] * bands),
+        (33550, _DOUBLE, [xres, yres, 0.0]),  # ModelPixelScale
+        (33922, _DOUBLE, [0.0, 0.0, 0.0, xmin, ymax, 0.0]),  # ModelTiepoint
+        (34735, _SHORT, geo_dir),  # GeoKeyDirectory
+    ]
+    if nodata is not None:
+        nd = (f"{nodata!r}" if nodata == nodata else "nan") + "\x00"
+        entries.append((42113, _ASCII, [nd.encode("ascii")]))  # GDAL_NODATA
+    entries.sort(key=lambda e: e[0])
+
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    n = len(entries)
+    ifd_size = 2 + n * 12 + 4
+    data_area_off = 8 + ifd_size
+
+    # lay out out-of-line values
+    overflow = bytearray()
+    packed_entries = []
+    for tag, typ, vals in entries:
+        if typ == _ASCII:
+            raw = vals[0]
+            count = len(raw)
+        else:
+            raw = b"".join(struct.pack("<" + _TYPE_FMT[typ], v) for v in vals)
+            count = len(vals)
+        if len(raw) <= 4:
+            value_field = raw + b"\x00" * (4 - len(raw))
+        else:
+            off = data_area_off + len(overflow)
+            overflow.extend(raw)
+            if len(overflow) % 2:
+                overflow.append(0)  # word-align
+            value_field = struct.pack("<I", off)
+        packed_entries.append((tag, typ, count, value_field))
+
+    strip_offset = data_area_off + len(overflow)
+    out = bytearray(header)
+    out.extend(struct.pack("<H", n))
+    for tag, typ, count, value_field in packed_entries:
+        if tag == 273:  # patch StripOffsets now that it is known
+            value_field = struct.pack("<I", strip_offset)
+        out.extend(struct.pack("<HHI", tag, typ, count) + value_field)
+    out.extend(struct.pack("<I", 0))  # next IFD
+    out.extend(overflow)
+    out.extend(pixel_bytes)
+    return bytes(out)
+
+
+def decode_geotiff(data: bytes):
+    """Uncompressed striped TIFF → (array, (xmin, ymin, xmax, ymax), epsg).
+    Single-band float/int or chunky 3-band uint8."""
+    bo, magic, ifd_off = struct.unpack_from("<2sHI", data, 0)
+    if bo == b"II":
+        e = "<"
+    elif bo == b"MM":
+        e = ">"
+        _, magic, ifd_off = struct.unpack_from(">2sHI", data, 0)
+    else:
+        raise ValueError("not a TIFF")
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+
+    (n,) = struct.unpack_from(e + "H", data, ifd_off)
+    tags: dict[int, list] = {}
+    for i in range(n):
+        off = ifd_off + 2 + i * 12
+        tag, typ, count = struct.unpack_from(e + "HHI", data, off)
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        total = size * count
+        voff = off + 8 if total <= 4 else struct.unpack_from(e + "I", data, off + 8)[0]
+        if typ == _ASCII:
+            tags[tag] = [data[voff : voff + count]]
+        else:
+            fmt = e + _TYPE_FMT[typ] * count
+            tags[tag] = list(struct.unpack_from(fmt, data, voff))
+
+    w, h = int(tags[256][0]), int(tags[257][0])
+    compression = int(tags.get(259, [1])[0])
+    if compression != 1:
+        raise ValueError(
+            "stdlib decoder reads uncompressed TIFF only; install rasterio "
+            f"for compression={compression}"
+        )
+    bands = int(tags.get(277, [1])[0])
+    bits = int(tags.get(258, [8])[0])
+    sample_format = int(tags.get(339, [1])[0])
+    dtype = {
+        (3, 64): e + "f8", (3, 32): e + "f4",
+        (1, 8): e + "u1", (1, 16): e + "u2", (1, 32): e + "u4",
+        (2, 8): e + "i1", (2, 16): e + "i2", (2, 32): e + "i4",
+    }[(sample_format, bits)]
+    strip_offsets = [int(v) for v in tags[273]]
+    strip_counts = [int(v) for v in tags[279]]
+    raw = b"".join(data[o : o + c] for o, c in zip(strip_offsets, strip_counts))
+    arr = np.frombuffer(raw, dtype=dtype).reshape(
+        (h, w) if bands == 1 else (h, w, bands)
+    )
+
+    extent = None
+    if 33550 in tags and 33922 in tags:
+        xres, yres = tags[33550][0], tags[33550][1]
+        xmin, ymax = tags[33922][3], tags[33922][4]
+        extent = (xmin, ymax - yres * h, xmin + xres * w, ymax)
+    epsg = None
+    if 34735 in tags:
+        gd = tags[34735]
+        for i in range(4, len(gd), 4):
+            key, _, _, val = gd[i : i + 4]
+            if key in (2048, 3072):
+                epsg = int(val)
+    return arr.copy(), extent, epsg
+
+
+def read_geotiff_path(path: str):
+    """Read a GeoTIFF file: rasterio when available (compressed / tiled /
+    COG), stdlib decoder otherwise (uncompressed strips)."""
+    if HAS_RASTERIO:  # pragma: no cover - rasterio absent in this container
+        with rasterio.open(path) as src:
+            arr = src.read()
+            arr = arr[0] if arr.shape[0] == 1 else np.moveaxis(arr, 0, -1)
+            b = src.bounds
+            epsg = src.crs.to_epsg() if src.crs else None
+            return arr, (b.left, b.bottom, b.right, b.top), epsg
+    with open(path, "rb") as f:
+        return decode_geotiff(f.read())
+
+
+def load_geotiff(spark, path: str, layer: str = "gtiff"):
+    """S1 GeoTIFF source: file → a TILE_SCHEMA row (single-band float; RGB
+    splits into band rows) so downstream MAML / mosaic / resample operate
+    on it like any tile table. Uses the rasterio backend when present,
+    the stdlib strip-decoder otherwise (CogUtils.scala:41-70 analog: at
+    scale the file list is parallelized and each worker range-reads its
+    own file; here one local file → one row)."""
+    from .synth import TILE_SCHEMA
+
+    arr, extent, epsg = read_geotiff_path(path)
+    if extent is None:
+        extent = (0.0, 0.0, float(arr.shape[1]), float(arr.shape[0]))
+    xmin, ymin, xmax, ymax = extent
+    nan = float("nan")
+    rows = []
+    if arr.ndim == 2:
+        planes = [(0, arr)]
+    else:
+        planes = [(b, arr[:, :, b]) for b in range(arr.shape[2])]
+    for band, plane in planes:
+        rows.append((
+            layer, 0, 0, 0, band, plane.shape[1], plane.shape[0],
+            float(xmin), float(ymin), float(xmax), float(ymax),
+            str(plane.dtype), nan,
+            [float(v) for v in plane.astype(np.float64).ravel()],
+        ))
+    return spark.createDataFrame(rows, TILE_SCHEMA)
