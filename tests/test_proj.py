@@ -1,0 +1,126 @@
+"""General CRS transforms (R2): Karney transverse-Mercator validated
+against public invariants (meridian-quadrant constant, k0·arc on the
+central meridian, symmetry, roundtrip), the generic transform router,
+and the per-tile warp operator."""
+
+import numpy as np
+import pytest
+
+from geotrellis_server_spark.grids import proj
+
+UTM18N = 32618
+
+
+def test_meridian_quadrant_public_constant():
+    # WGS84 equator→pole meridian arc: 10,001,965.7293 m (public constant)
+    q = proj.meridian_arc(np.array([90.0]))[0]
+    assert abs(q - 10001965.7293) < 1e-3
+
+
+def test_tm_roundtrip_submm():
+    lons = np.array([-75.0, -74.9, -73.5, -72.01, -77.9, -69.0, -81.0])
+    lats = np.array([0.01, 12.0, 40.5, 63.2, -3.0, 84.0, -55.5])
+    e, n = proj.tm_forward(lons, lats, -75.0)
+    lo, la = proj.tm_inverse(e, n, -75.0)
+    # 1e-11 deg ≈ 1 micrometre
+    assert np.abs(lo - lons).max() < 1e-11
+    assert np.abs(la - lats).max() < 1e-11
+
+
+def test_tm_central_meridian_scale():
+    # on the central meridian: E = FE exactly, N = k0 * meridian arc
+    e, n = proj.tm_forward(np.array([-75.0]), np.array([40.0]), -75.0)
+    assert e[0] == 500000.0
+    arc = proj.meridian_arc(np.array([40.0]))[0]
+    assert abs(n[0] - 0.9996 * arc) < 1e-6
+
+
+def test_tm_east_west_symmetry():
+    ep, n1 = proj.tm_forward(np.array([-73.0]), np.array([40.0]), -75.0)
+    em, n2 = proj.tm_forward(np.array([-77.0]), np.array([40.0]), -75.0)
+    assert abs((ep[0] - 500000.0) + (em[0] - 500000.0)) < 1e-9
+    assert abs(n1[0] - n2[0]) < 1e-9
+
+
+def test_utm_zone_epsg():
+    assert proj.utm_zone_epsg(-74.0, 40.5) == 32618
+    assert proj.utm_zone_epsg(-74.0, -40.5) == 32718
+    assert proj.utm_zone_epsg(0.5, 10.0) == 32631
+    assert proj.utm_zone_epsg(-180.0, 1.0) == 32601
+    assert proj.utm_zone_epsg(179.9, 1.0) == 32660
+
+
+def test_transform_router_utm_mercator_lonlat():
+    lon = np.array([-73.5])
+    lat = np.array([40.5])
+    e, n = proj.transform(lon, lat, 4326, UTM18N)
+    # UTM south false northing differs by exactly 10,000,000 m
+    e_s, n_s = proj.transform(lon, lat, 4326, 32718)
+    assert abs(e[0] - e_s[0]) < 1e-9 and abs((n_s[0] - n[0]) - 10000000.0) < 1e-6
+    # UTM -> 3857 chains through lonlat and matches the direct projection
+    from geotrellis_server_spark.grids.layout import lonlat_to_mercator
+
+    mx, my = proj.transform(e, n, UTM18N, 3857)
+    ex, ey = lonlat_to_mercator(lon, lat)
+    assert abs(mx[0] - ex[0]) < 1e-6 and abs(my[0] - ey[0]) < 1e-6
+
+
+def test_reproject_extent_densifies():
+    # a wide 4326 extent at high latitude: the top edge's max mercator y
+    # is at the edge CENTER for a curved edge in UTM — envelope must
+    # cover every densified point
+    ext = (-78.0, 35.0, -72.0, 45.0)
+    env = proj.reproject_extent(ext, 4326, UTM18N)
+    lons = np.linspace(-78.0, -72.0, 200)
+    for lat_edge in (35.0, 45.0):
+        e, n = proj.transform(lons, np.full(200, lat_edge), 4326, UTM18N)
+        assert (e >= env[0] - 1e-6).all() and (e <= env[2] + 1e-6).all()
+        assert (n >= env[1] - 1e-6).all() and (n <= env[3] + 1e-6).all()
+
+
+def test_warp_block_recovers_coordinate_field():
+    # source raster value = lon of the cell center (4326) → after warp to
+    # UTM, each target pixel's value must equal the lon of ITS center's
+    # inverse transform (bilinear on a linear field is exact in interior)
+    h = w = 32
+    ext = (-78.0, 36.0, -72.0, 44.0)
+    lon_centers = ext[0] + (np.arange(w) + 0.5) * (ext[2] - ext[0]) / w
+    a = np.tile(lon_centers, (h, 1))
+    dst_ext = proj.reproject_extent(ext, 4326, UTM18N)
+    out = proj.warp_block(a, ext, 4326, dst_ext, UTM18N, 40, 40, "bilinear")
+    cx = dst_ext[0] + (np.arange(40) + 0.5) * (dst_ext[2] - dst_ext[0]) / 40
+    cy = dst_ext[3] - (np.arange(40) + 0.5) * (dst_ext[3] - dst_ext[1]) / 40
+    CX, CY = np.meshgrid(cx, cy)
+    exp_lon, _ = proj.transform(CX.ravel(), CY.ravel(), UTM18N, 4326)
+    exp = exp_lon.reshape(40, 40)
+    ok = ~np.isnan(out)
+    assert ok.sum() > 600  # most of the target covers the source
+    # interior only: edge pixels clamp-extend the source (half-pixel error
+    # by design, same as GDAL edge behavior)
+    interior = ok & (exp >= lon_centers[0]) & (exp <= lon_centers[-1])
+    assert interior.sum() > 500
+    assert np.abs(out[interior] - exp[interior]).max() < 1e-9  # linear field → exact
+
+
+def test_reproject_tiles_dataframe(spark):
+    from geotrellis_server_spark.operators.reproject import reproject_tiles
+    from geotrellis_server_spark.sources import synth
+
+    h = w = 16
+    ext = (-78.0, 36.0, -72.0, 44.0)
+    lat_centers = ext[3] - (np.arange(h) + 0.5) * (ext[3] - ext[1]) / h
+    cells = np.tile(lat_centers[:, None], (1, w)).ravel()
+    rows = [("src", 0, 0, 0, 0, w, h, ext[0], ext[1], ext[2], ext[3],
+             "float64", float("nan"), [float(v) for v in cells])]
+    tiles = spark.createDataFrame(rows, synth.TILE_SCHEMA)
+    out = reproject_tiles(tiles, 4326, UTM18N).collect()[0]
+    assert out.width == w and out.height == h
+    env = proj.reproject_extent(ext, 4326, UTM18N)
+    assert np.allclose([out.xmin, out.ymin, out.xmax, out.ymax], env)
+    got = np.array([np.nan if v is None else v for v in out.cells]).reshape(h, w)
+    # spot-check one interior pixel against the inverse transform
+    i, j = 8, 8
+    cx = env[0] + (j + 0.5) * (env[2] - env[0]) / w
+    cy = env[3] - (i + 0.5) * (env[3] - env[1]) / h
+    _, exp_lat = proj.transform(np.array([cx]), np.array([cy]), UTM18N, 4326)
+    assert abs(got[i, j] - exp_lat[0]) < 0.05  # 16px grid → coarse bilinear
