@@ -519,7 +519,7 @@ def _q_interval_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     hull = ev.groupBy("user_id").agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
     return (
-        H.interval_to_positions(hull, step="7 days")
+        H.interval_to_positions(hull, step="P7D")  # ISO-8601 period path
         .select("user_id", F.explode("positions").alias("position"))
     )
 

@@ -175,7 +175,13 @@ def interval_to_positions(
 ) -> DataFrame:
     """OgcTimeInterval.toTimePositions (ogc/.../OgcTime.scala:168-178):
     positions = start, start+step, … while ≤ end (inclusive stepping).
-    Adds a ``positions: array<timestamp>`` column via SQL sequence()."""
+    ``step`` is a Spark interval body ("7 days") or an ISO-8601 period
+    ("P7D", "P1MT12H", …) parsed by query.ogc_time. Adds a ``positions:
+    array<timestamp>`` column via SQL sequence()."""
+    if step.strip().upper().startswith("P"):
+        from ..query.ogc_time import period_to_spark_interval
+
+        step = period_to_spark_interval(step)
     return df.withColumn(
         "positions", F.expr(f"sequence({start_col}, {end_col}, interval {step})")
     )

@@ -1,0 +1,68 @@
+"""ISO-8601 period algebra (OgcTime.scala:168-220): parsing, the
+period-preserving interval monoid, and position expansion (driver-side
+and through the Spark sequence path)."""
+
+import datetime as dt
+
+import pytest
+
+from geotrellis_server_spark.query.ogc_time import (
+    OgcTimeInterval, parse_period, period_to_spark_interval)
+
+T0 = dt.datetime(2024, 1, 31)
+
+
+def test_parse_period_goldens():
+    assert parse_period("P1Y2M3DT4H5M6S") == (14, 3, 4 * 3600 + 5 * 60 + 6.0)
+    assert parse_period("P7D") == (0, 7, 0.0)
+    assert parse_period("P2W") == (0, 14, 0.0)
+    assert parse_period("PT15M") == (0, 0, 900.0)
+    assert parse_period("PT0.5S") == (0, 0, 0.5)
+    assert parse_period("P1M") == (1, 0, 0.0)  # month, not minute (no T)
+    assert parse_period("PT1M") == (0, 0, 60.0)  # minute after T
+    for bad in ("P", "PT", "1D", "P1H", "PXD", ""):
+        with pytest.raises(ValueError):
+            parse_period(bad)
+
+
+def test_period_to_spark_interval():
+    assert period_to_spark_interval("P7D") == "7 days"
+    assert period_to_spark_interval("P1Y1M") == "13 months"
+    assert period_to_spark_interval("P1DT6H") == "1 days 21600 seconds"
+    assert period_to_spark_interval("PT0.25S") == "0 seconds 250 milliseconds"
+
+
+def test_interval_monoid_combine():
+    a = OgcTimeInterval(T0, T0 + dt.timedelta(days=5), "P1D")
+    b = OgcTimeInterval(T0 + dt.timedelta(days=3), T0 + dt.timedelta(days=9), "P1D")
+    c = a.combine(b)
+    assert c.start == T0 and c.end == T0 + dt.timedelta(days=9) and c.period == "P1D"
+    # conflicting periods drop; one-sided periods survive
+    assert a.combine(OgcTimeInterval(T0, T0, "P2D")).period is None
+    assert a.combine(OgcTimeInterval(T0, T0, None)).period == "P1D"
+    # associativity on the envelope (monoid law, sampled)
+    d = OgcTimeInterval(T0 - dt.timedelta(days=2), T0, "P1D")
+    assert a.combine(b).combine(d) == a.combine(b.combine(d))
+
+
+def test_to_positions_calendar_months():
+    # Jan 31 + P1M: true calendar stepping raises on invalid Feb 31 in the
+    # reference's jsr310 too — use a safe anchor day here
+    iv = OgcTimeInterval(dt.datetime(2024, 1, 15), dt.datetime(2024, 4, 20), "P1M")
+    assert iv.to_positions() == [
+        dt.datetime(2024, 1, 15), dt.datetime(2024, 2, 15),
+        dt.datetime(2024, 3, 15), dt.datetime(2024, 4, 15),
+    ]
+    iv2 = OgcTimeInterval(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2), "PT12H")
+    assert len(iv2.to_positions()) == 3  # 00:00, 12:00, 24:00 inclusive
+
+
+def test_spark_sequence_matches_driver_expansion(spark):
+    from geotrellis_server_spark.operators import histogram as H
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 15), dt.datetime(2024, 4, 20))], "start timestamp, end timestamp"
+    )
+    got = H.interval_to_positions(df, step="P1M").collect()[0].positions
+    iv = OgcTimeInterval(dt.datetime(2024, 1, 15), dt.datetime(2024, 4, 20), "P1M")
+    assert [p.replace(tzinfo=None) for p in got] == iv.to_positions()
