@@ -172,7 +172,31 @@ def run_bench(cores: int) -> dict:
         lambda: eval_expr(M.focal("fmean", M.var("d"), radius=1), {"d": tiles_z6})
         .write.mode("overwrite").format("noop").save(),
     )
+    # q11 — mask-by-geometry over the same pyramid level (rasterized
+    # polygon mask + fused mask kernel; r2 operator)
+    mask_ring = [(-60.3, -20.7), (45.9, -33.1), (70.4, 38.6), (-85.2, 55.9)]
+    timed(
+        "q11_mask_polygon_z6",
+        lambda: eval_expr(M.mask(M.var("d"), M.geom(mask_ring)), {"d": tiles_z6})
+        .write.mode("overwrite").format("noop").save(),
+    )
     tiles_z6.unpersist()
+
+    # q10 — join-based bulk kNN: 1,000 query points, exact top-10 each
+    # (r2 operator: no driver loop — docs join broadcast query cells)
+    bulk_q = spark.range(1000).selectExpr(
+        "id AS query_id",
+        "CAST((id * 7349) % 368640 AS DOUBLE) / 1024.0 - 180.0 AS qlon",
+        "CAST((id * 4391) % 174080 AS DOUBLE) / 1024.0 - 85.0 AS qlat",
+    )
+    timed(
+        # res 6 (4096 cells): a ring-1 disk covers ~0.2% of the world, so
+        # the windowed top-k shuffles ~9M candidate rows for 1,000 queries
+        # instead of ~140M at the default res 4 (measured 19s → see
+        # BENCH/BASELINE.md ledger)
+        "q10_knn_bulk_1k",
+        lambda: knn_op.knn_join_bulk(load(), bulk_q, k=10, res=6).count(),
+    )
 
     docs_per_sec = round(n / queries["q1_pip_tile_pipeline"], 1) if "q1_pip_tile_pipeline" in queries else None
     spark.stop()

@@ -35,14 +35,20 @@ def _has_focal(e: Expr) -> bool:
     return e.symbol in FOCAL_OPS or any(_has_focal(a) for a in e.args)
 
 
+def _has_geom(e: Expr) -> bool:
+    return e.symbol == "geomLit" or any(_has_geom(a) for a in e.args)
+
+
 def eval_expr(expr: Expr, params: dict[str, DataFrame], tile_size: int | None = None) -> DataFrame:
     """Dispatch: local-only → joined batch kernel; focal → halo path.
-    mask-by-geometry nodes are rewritten first: the geometry is rasterized
-    onto the masked subtree's tile grid and bound as a synthetic raster
-    var, so the existing raster-mask kernel path handles it."""
+
+    mask-by-geometry: in the LOCAL path the geometry rasterizes inside
+    the fused kernel from the batch's tile keys (zero extra shuffle); in
+    the FOCAL path it is rewritten to a synthetic raster var first so the
+    mask participates in halo padding like any input."""
     expr = fold_constants(expr)
-    expr, params = _bind_geom_masks(expr, params)
     if _has_focal(expr):
+        expr, params = _bind_geom_masks(expr, params)
         return eval_focal(expr, params)
     return eval_local(expr, params)
 
@@ -106,18 +112,29 @@ def eval_local(expr: Expr, params: dict[str, DataFrame]) -> DataFrame:
     )
 
     cell_cols = [f"__c_{n}" for n in names]
+    needs_keys = _has_geom(expr)  # geomLit rasterizes from tile keys
+    key_cols = ["zoom", "tile_x", "tile_y", "width", "height"] if needs_keys else []
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def apply_kernel(*cols: pd.Series) -> pd.Series:
-        env = {n: np.stack(c.to_numpy()) for n, c in zip(names, cols)}
+        kc = cols[: len(key_cols)]
+        cc = cols[len(key_cols):]
+        env = {n: np.stack(c.to_numpy()) for n, c in zip(names, cc)}
         first_shape = env[names[0]].shape
         env["__rowwise__"] = True  # (batch, npix): one tile per row
+        if needs_keys:
+            env["__keys__"] = tuple(c.to_numpy() for c in kc)
         out = kernel(env)
         out = np.broadcast_to(out, first_shape) if np.isscalar(out) else out
         return pd.Series(list(np.asarray(out, dtype=np.float64)))
 
     return joined.select(
-        *key, "width", "height", apply_kernel(*[F.col(c) for c in cell_cols]).alias("cells")
+        *key,
+        "width",
+        "height",
+        apply_kernel(
+            *[F.col(c) for c in key_cols], *[F.col(c) for c in cell_cols]
+        ).alias("cells"),
     )
 
 
@@ -153,12 +170,13 @@ def eval_focal(expr: Expr, params: dict[str, DataFrame]) -> DataFrame:
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def apply_kernel(width: pd.Series, height: pd.Series, *cols: pd.Series) -> pd.Series:
         out = []
-        for ridx in range(len(width)):
-            w, h = int(width.iloc[ridx]), int(height.iloc[ridx])
+        col_vals = [c.to_numpy() for c in cols]  # zip, not per-row .iloc
+        for w, h, *row_cells in zip(width.to_numpy(), height.to_numpy(), *col_vals):
+            w, h = int(w), int(h)
             env = {"__pad__": pad_env}
-            for n, c in zip(names, cols):
+            for n, c in zip(names, row_cells):
                 b = pad_env[n]
-                env[n] = np.asarray(c.iloc[ridx], dtype=np.float64).reshape(h + 2 * b, w + 2 * b)
+                env[n] = np.asarray(c, dtype=np.float64).reshape(h + 2 * b, w + 2 * b)
             out.append(np.asarray(kernel(env), dtype=np.float64).ravel())
         return pd.Series(out)
 

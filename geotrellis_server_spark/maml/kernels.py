@@ -191,6 +191,25 @@ def _compile(e: Expr):
         name = e.p("name")
         pad = e.p("pad", 0)
         return (lambda env: (env[name], env.get("__pad__", {}).get(name, 0))), 0
+    if s == "geomLit":
+        # local-path geometry literal: rasterized IN the fused kernel from
+        # the batch's tile keys (env["__keys__"], provided by eval_local)
+        # — no mask-tile DataFrame, no join, no shuffle. The focal path
+        # instead rewrites geomLit to a halo-padded raster var
+        # (eval._bind_geom_masks), which this branch never sees.
+        ring = [tuple(float(v) for v in p) for p in e.p("ring")]
+
+        def f(env):
+            from ..geometry.rasterize import ring_mask_block
+
+            zs, xs, ys, ws, hs = env["__keys__"]
+            blocks = [
+                ring_mask_block(ring, int(z), int(x), int(y), int(w), int(h)).ravel()
+                for z, x, y, w, h in zip(zs, xs, ys, ws, hs)
+            ]
+            return np.stack(blocks), 0
+
+        return f, 0
 
     subs = [_compile(a)[0] for a in e.args]
 

@@ -95,11 +95,16 @@ def test_repo_union(spark):
     assert ST.repositories_union(a, a).count() == 8  # concat keeps duplicates
 
 
-def test_sink_stubs_raise():
-    with pytest.raises(NotImplementedError, match="PNG"):
-        ST.render_jpg()
-    with pytest.raises(NotImplementedError, match="rasterio"):
-        ST.render_geotiff()
+def test_jpeg_sink_gated():
+    # render_geotiff became real (pure-stdlib encoder — test_gtiff.py);
+    # JPEG stays import-gated on Pillow with a clear error
+    import numpy as np
+
+    if ST.HAS_PIL:  # pragma: no cover - Pillow absent in this container
+        assert ST.render_jpg(np.zeros((2, 2, 3), dtype=np.uint8))
+    else:
+        with pytest.raises(NotImplementedError, match="PNG"):
+            ST.render_jpg(np.zeros((2, 2, 3), dtype=np.uint8))
 
 
 # --- cubic / lanczos convolution kernels (R3, conf/package.scala:161-173) ---
