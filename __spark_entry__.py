@@ -156,6 +156,42 @@ def _knn_bulk_oracle() -> str:
     """
 
 
+def _q_resample_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 aggregating resample: z3 16px count tiles → 8px via 'average'
+    (2×2 window mean), flattened per cell. Oracle recomputes the window
+    mean over the dense pixel domain."""
+    from geotrellis_server_spark.operators import resample as RS
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 3, tile_size=16)
+    out = RS.resample_tiles(tiles, 8, 8, "average")
+    return out.selectExpr(
+        "tile_x", "tile_y", "posexplode(cells) AS (idx, value)"
+    ).selectExpr("tile_x", "tile_y", "idx", "CAST(value AS DOUBLE) AS value")
+
+
+def _resample_avg_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 3, 16)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    return f"""
+    WITH pix AS (
+      SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px, count(*) AS cnt
+      FROM ({pts}) GROUP BY 1, 2, 3, 4),
+    tiles AS (SELECT DISTINCT tx, ty FROM pix),
+    dom AS (
+      SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py, CAST(j.j AS BIGINT) AS px
+      FROM tiles t CROSS JOIN range(16) i(i) CROSS JOIN range(16) j(j)),
+    gval AS (
+      SELECT d.tx, d.ty, d.py, d.px, COALESCE(p.cnt, 0) AS v
+      FROM dom d LEFT JOIN pix p
+        ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px)
+    SELECT tx AS tile_x, ty AS tile_y,
+           CAST((py // 2) * 8 + (px // 2) AS INT) AS idx,
+           CAST(sum(v) AS DOUBLE) / 4.0 AS value
+    FROM gval GROUP BY tx, ty, py // 2, px // 2
+    """
+
+
 def _q_span_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = synth.docs(spark, _n_docs(spark, sf_dir))
     return (
@@ -206,6 +242,42 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotrellis_server_spark.operators import dedup
 
     return dedup.simhash_dup_classes(_read_documents(spark, sf_dir), n_bits=16, id_col="doc_id")
+
+
+def _q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotrellis_server_spark.operators import dedup
+
+    return dedup.simhash_hamming_pairs(
+        _read_documents(spark, sf_dir), n_bits=16, max_hamming=3, id_col="doc_id"
+    ).selectExpr("a", "b", "CAST(hamming AS INT) AS hamming")
+
+
+def _simhash_hamming_oracle(n_bits: int = 16, max_hamming: int = 3, n_bands: int = 4) -> str:
+    hexes = "('8','9','a','b','c','d','e','f')"
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(md5(tok), {j + 1}, 1) IN {hexes} THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(n_bits)
+    )
+    bits = " || ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(n_bits))
+    width = n_bits // n_bands
+    hamming = " + ".join(
+        f"CASE WHEN substr(sa, {j}, 1) != substr(sb, {j}, 1) THEN 1 ELSE 0 END"
+        for j in range(1, n_bits + 1)
+    )
+    return f"""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+    sig AS (SELECT doc_id, {bits} AS simhash FROM votes),
+    bands AS (SELECT doc_id, simhash, CAST(t.b AS INT) AS band,
+                     substr(simhash, CAST(t.b * {width} + 1 AS INT), {width}) AS bucket
+              FROM sig CROSS JOIN range({n_bands}) t(b)),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                    x.simhash AS sa, y.simhash AS sb
+             FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+             WHERE x.doc_id < y.doc_id)
+    SELECT a, b, CAST({hamming} AS INT) AS hamming
+    FROM cand WHERE ({hamming}) <= {max_hamming}
+    """
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maml_focal_fsum_over_sum": _q_focal_fsum_over_sum,
         "time_interval_to_positions": _q_interval_positions,
         "raster_interpret_as_int": _q_interpret_as,
+        "raster_resample_avg": _q_resample_avg,
         "render_png_tiles": _q_render_png,
         "geo_pip_join_poly_convex": _q_pip_poly_convex,
         "raster_mosaic_merge": _q_mosaic_merge,
@@ -597,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
         "dedup_simhash_classes": _q_simhash,
+        "dedup_simhash_hamming_pairs": _q_simhash_hamming,
         "text_stats": _q_text_stats,
         "text_token_count": _q_token_count,
         "text_fingerprint": _q_fingerprint,
@@ -671,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, unnest(generate_series(s, e, INTERVAL 7 DAY)) AS position
             FROM hull
         """,
+        "raster_resample_avg": _resample_avg_oracle(),
         "raster_interpret_as_int": """
             SELECT t.id % 5 AS tile_x, CAST((t.id - t.id % 5) / 5 AS BIGINT) AS tile_y,
                    CAST(s.i AS INT) AS idx,
@@ -740,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh_pairs": _minhash_oracle(),
         "dedup_simhash_classes": _simhash_oracle(),
+        "dedup_simhash_hamming_pairs": _simhash_hamming_oracle(),
         "text_stats": """
             SELECT doc_id, length(text) AS n_chars,
                    len(string_split(text, ' ')) AS n_tokens,

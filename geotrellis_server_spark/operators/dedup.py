@@ -185,6 +185,61 @@ def simhash_dup_classes(docs: DataFrame, n_bits: int = 16,
     )
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    n_bits: int = 16,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` —
+    banded pigeonhole LSH, NOT an all-pairs join: the signature splits
+    into ``n_bands`` (default max_hamming+1) contiguous bands; two
+    signatures within Hamming distance max_hamming must agree EXACTLY on
+    at least one band (pigeonhole), so a per-band bucket self-join finds
+    every true pair, and the exact Hamming verify runs on candidates
+    only. Returns (a, b, hamming) with a < b.
+
+    All JVM-side (substring bands, sequence/filter Hamming count) —
+    whole-stage codegen, no UDF."""
+    n_bands = n_bands or (max_hamming + 1)
+    if n_bits % n_bands:
+        raise ValueError(f"n_bits={n_bits} not divisible by n_bands={n_bands}")
+    width = n_bits // n_bands
+    sigs = simhash_signatures(doc_tokens(docs, text_col, id_col), n_bits, id_col)
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> "
+                f"named_struct('band', b, 'bucket', substring(simhash, b * {width} + 1, {width})))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    other = banded.select(
+        F.col(id_col).alias("_b"), F.col("simhash").alias("_sb"), "band", "bucket"
+    )
+    cand = (
+        banded.join(other, ["band", "bucket"])
+        .filter(F.col(id_col) < F.col("_b"))
+        .select(F.col(id_col).alias("a"), F.col("_b").alias("b"),
+                F.col("simhash").alias("_sa"), "_sb")
+        .distinct()  # a pair may collide in several bands
+    )
+    hamming = F.expr(
+        f"size(filter(sequence(1, {n_bits}), j -> substring(_sa, j, 1) != substring(_sb, j, 1)))"
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------

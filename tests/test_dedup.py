@@ -82,3 +82,23 @@ def test_on_driver_documents(spark):
     assert ex.count() <= total
     agg = ex.groupBy().sum("n_dups").collect()[0][0]
     assert agg == total  # partition: every doc in exactly one class
+
+
+def test_simhash_hamming_pairs_complete_vs_brute(spark):
+    # pigeonhole LSH must find EVERY pair within the Hamming budget
+    from geotrellis_server_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {(r.a, r.b): r.hamming
+           for r in dedup.simhash_hamming_pairs(docs, 16, 3).collect()}
+    sigs = {r.doc_id: r.simhash
+            for r in dedup.simhash_signatures(
+                dedup.doc_tokens(docs), 16).collect()}
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if h <= 3:
+                want[(a, b) if a < b else (b, a)] = h
+    assert got == want and len(want) > 0
