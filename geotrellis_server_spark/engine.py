@@ -58,6 +58,26 @@ class Engine:
         self.spark = spark
         self.layers = layers
         self.catalog = catalog  # name/xmin..ymax/times metadata table
+        from .cache import RequestCache
+
+        # O6: rendered-request cache (reference 32 entries / 1 h —
+        # GetCoverage.scala:71-77); keyed by FULL request params
+        self.request_cache = RequestCache()
+
+    # -- O6: cached render (GetMap.scala:42-43,66-73 tile cache) -----------
+    def get_tile_png(self, layer_name: str, z: int, x: int, y: int) -> bytes | None:
+        """GetTile + style + PNG encode, memoized on the full request key.
+        Returns the PNG bytes of the (z, x, y) tile, or None if the layer
+        has no tile there. The collect is a single request-sized tile."""
+        key = ("tile_png", layer_name, z, x, y)
+
+        def compute() -> bytes | None:
+            layer = self.layers[layer_name]
+            styled = self.render_png(self.get_tile(layer_name, z, x, y), layer.style)
+            row = styled.select("png").first()
+            return bytes(row.png) if row else None
+
+        return self.request_cache.get_or(key, compute)
 
     # -- catalog resolution (WmsModel.getLayer analog) ---------------------
     def find_layers(self, query: Q.Query) -> list[str]:

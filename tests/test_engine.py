@@ -119,3 +119,39 @@ def test_resumable_job_crash_and_resume(spark, tmp_path):
     assert job.metrics_df().count() == 4
     lin = job.lineage_df().collect()
     assert len(lin) == 4 and all(r.input_path == docs_path for r in lin)
+
+
+def test_request_cache_lru_ttl():
+    from geotrellis_server_spark.cache import RequestCache
+
+    t = [0.0]
+    c = RequestCache(max_entries=2, ttl_seconds=10.0, clock=lambda: t[0])
+    calls = []
+    mk = lambda k: lambda: calls.append(k) or f"v{k}"
+    assert c.get_or("a", mk("a")) == "va"
+    assert c.get_or("a", mk("a")) == "va"  # hit, no recompute
+    assert calls == ["a"] and c.hits == 1
+    c.get_or("b", mk("b"))
+    c.get_or("c", mk("c"))  # evicts "a" (LRU, cap 2)
+    assert len(c) == 2
+    c.get_or("a", mk("a"))
+    assert calls == ["a", "b", "c", "a"]
+    t[0] = 11.0  # TTL expiry → recompute
+    c.get_or("a", mk("a"))
+    assert calls[-1] == "a" and calls.count("a") == 3
+
+
+def test_get_tile_png_cached(spark):
+    from geotrellis_server_spark.engine import Engine, Layer
+    from geotrellis_server_spark.operators import tiling
+    from geotrellis_server_spark.sources import synth
+
+    d = synth.extract_geometry(synth.docs(spark, 2000))
+    tiles = tiling.rasterize_count(d, 2, tile_size=8).withColumn("band", F.lit(0))
+    eng = Engine(spark, {"density": Layer("density", tiles)})
+    png1 = eng.get_tile_png("density", 2, 1, 1)
+    assert png1 and png1[:8] == b"\x89PNG\r\n\x1a\n"
+    misses = eng.request_cache.misses
+    png2 = eng.get_tile_png("density", 2, 1, 1)
+    assert png2 == png1
+    assert eng.request_cache.misses == misses and eng.request_cache.hits >= 1
