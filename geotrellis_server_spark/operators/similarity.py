@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -153,3 +155,78 @@ def embedding_near_dup_pairs(
         )
     )
     return small_pairs.unionByName(big_pairs)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path alongside the
+# hyperplane LSH above: k-means centroids trained driver-side on a seeded
+# sample, vectors partitioned into centroid cells, queries probe only the
+# nprobe nearest cells. At 10^12 scale the cells table is the partition
+# layout (cell id = partition column) and a probe reads nprobe partitions.
+# ---------------------------------------------------------------------------
+
+
+def ivf_train(
+    df: DataFrame, n_centroids: int = 16, n_iters: int = 10,
+    sample_limit: int = 10000, seed: int = 7, vec_col: str = "embedding",
+):
+    """Deterministic Lloyd k-means on a sampled, collected subset (the
+    quantizer codebook is tiny and global — training it driver-side on a
+    bounded sample is the standard IVF recipe). Returns a (n_centroids,
+    dim) numpy array, rows L2-normalized (cosine metric)."""
+
+
+    rows = (
+        df.select(vec_col).limit(int(sample_limit)).collect()
+    )
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(n_iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding",
+               cell_col: str = "_ivf_cell") -> DataFrame:
+    """Add the nearest-centroid cell id (Arrow-batched matmul — one
+    argmax over the codebook per batch, not per row)."""
+    from pyspark.sql import types as T
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(x @ cent.T, axis=1).astype("int32"))
+
+    return df.withColumn(cell_col, cell_of(F.col(vec_col)))
+
+
+def ivf_ann_topk(
+    df: DataFrame, centroids, query_vec: list[float], k: int,
+    nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+    cell_col: str = "_ivf_cell",
+) -> DataFrame:
+    """Approximate top-k: scan only the ``nprobe`` centroid cells nearest
+    the query. If ``cell_col`` is already present (pre-assigned /
+    partition column) the probe is pure partition pruning; otherwise
+    cells are assigned on the fly."""
+
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(cent @ q))[: int(nprobe)]
+    if cell_col not in df.columns:
+        df = ivf_assign(df, centroids, vec_col, cell_col)
+    scanned = df.filter(F.col(cell_col).isin([int(c) for c in probes]))
+    return cosine_topk(scanned.drop(cell_col), query_vec, k, id_col, vec_col)

@@ -138,3 +138,48 @@ def test_detect_hot_keys_sampled_superset(spark):
     sampled = set(skew.detect_hot_keys(d, ["cell"], threshold=0.05, sample_fraction=0.05))
     assert exact, "fixture must have hot cells"
     assert exact <= sampled  # sampled detection is a superset of the truth
+
+
+def test_ivf_ann_recall_and_scan_reduction(spark):
+    from geotrellis_server_spark.operators import similarity as S
+
+    # clustered corpus (IVF's intended regime; the driver embeddings are
+    # isotropic-random where ANY cell partition has near-zero recall at
+    # low nprobe): 16 deterministic centers, members = center + small
+    # deterministic jitter
+    df = spark.range(800).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 15), j -> CAST("
+        " sin(CAST(id % 16 AS DOUBLE) * 2.7 + CAST(j AS DOUBLE))"
+        " + 0.05 * sin(CAST(id AS DOUBLE) * 0.913 + CAST(j AS DOUBLE) * 1.71)"
+        " AS FLOAT)) AS embedding",
+    )
+    qvec = [float(v) for v in df.filter("vec_id = 37").first().embedding]
+    cent = S.ivf_train(df, n_centroids=16, seed=7)
+    assigned = S.ivf_assign(df, cent).cache()
+    n_total = assigned.count()
+
+    exact = [r.vec_id for r in S.cosine_topk(df, qvec, 10).collect()]
+    got = [r.vec_id for r in S.ivf_ann_topk(assigned, cent, qvec, 10, nprobe=2).collect()]
+    recall = len(set(got) & set(exact)) / 10.0
+    assert recall >= 0.9, (recall, got, exact)
+
+    # scan reduction: 2 of 16 cells probed
+    import numpy as np
+
+    q = np.asarray(qvec); q = q / np.linalg.norm(q)
+    probes = np.argsort(-(cent @ q))[:2]
+    n_scanned = assigned.filter(assigned._ivf_cell.isin([int(c) for c in probes])).count()
+    assert n_scanned < n_total * 0.35
+    assigned.unpersist()
+
+
+def test_ivf_full_probe_is_exact_on_driver_table(spark):
+    from geotrellis_server_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter("vec_id = 7").first().embedding]
+    cent = S.ivf_train(emb, n_centroids=8, seed=7)
+    exact = [r.vec_id for r in S.cosine_topk(emb, qvec, 10).collect()]
+    full = [r.vec_id for r in S.ivf_ann_topk(emb, cent, qvec, 10, nprobe=8).collect()]
+    assert full == exact  # probing every cell degrades to the exact scan
