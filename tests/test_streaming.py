@@ -37,3 +37,100 @@ def test_incremental_equals_batch(spark, tmp_path):
     }
     assert served == batch
     assert sum(served.values()) == 1500
+
+
+# --- watermarked windows + applyInPandasWithState (streaming/windowed.py) ---
+
+
+def _write_events(spark, path, rows, mode="append"):
+    import datetime as dt
+
+    from geotrellis_server_spark.streaming.windowed import EVENTS_SCHEMA
+
+    data = [(i, lon, lat, dt.datetime(2024, 1, 1, h, m)) for i, lon, lat, h, m in rows]
+    spark.createDataFrame(data, EVENTS_SCHEMA).coalesce(1).write.mode(mode).parquet(path)
+
+
+def _run_windowed(spark, src, out, ckpt):
+    from geotrellis_server_spark.streaming.windowed import (
+        EVENTS_SCHEMA, windowed_tile_counts)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    agg = windowed_tile_counts(stream, zoom=2, window="10 minutes", watermark="5 minutes")
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_windowed_watermark_drops_late_events(spark, tmp_path):
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # wave 1: three events in [10:00, 10:10) at one location, plus a
+    # sentinel much later that advances the watermark past that window
+    _write_events(spark, src, [
+        (1, 10.0, 10.0, 10, 1), (2, 10.0, 10.0, 10, 5), (3, 10.0, 10.0, 10, 9),
+        (4, 10.0, 10.0, 11, 0),
+    ])
+    _run_windowed(spark, src, out, ckpt)
+    got = spark.read.parquet(out).collect()
+    w1 = [r for r in got if r.window.start.minute == 0 and r.window.start.hour == 10]
+    assert len(w1) == 1 and w1[0].n_events == 3  # window closed and emitted once
+
+    # wave 2: a LATE event for the closed window (behind the watermark)
+    # plus a fresh sentinel — the late event must be dropped
+    _write_events(spark, src, [
+        (5, 10.0, 10.0, 10, 2),   # late for [10:00, 10:10)
+        (6, 10.0, 10.0, 12, 0),
+    ])
+    _run_windowed(spark, src, out, ckpt)
+    got2 = spark.read.parquet(out).collect()
+    w1b = [r for r in got2 if r.window.start.minute == 0 and r.window.start.hour == 10]
+    assert len(w1b) == 1 and w1b[0].n_events == 3  # unchanged: late row dropped
+
+
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    from geotrellis_server_spark.streaming.windowed import (
+        EVENTS_SCHEMA, stateful_tile_totals)
+
+    src = str(tmp_path / "events2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    def run():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+
+        def sink(batch_df, batch_id):  # update-mode rows → per-batch files
+            batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+        q = (
+            stateful_tile_totals(stream, zoom=2)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_events(spark, src, [(1, 10.0, 10.0, 9, 0), (2, 10.0, 10.0, 9, 1),
+                               (3, -74.0, 40.0, 9, 2)])
+    run()
+    # second wave: state must RESUME from the checkpoint (cumulative)
+    _write_events(spark, src, [(4, 10.0, 10.0, 9, 3)])
+    run()
+    rows = spark.read.parquet(out).collect()
+    from geotrellis_server_spark.grids.layout import tile_key_np
+    import numpy as np
+
+    tx, ty = tile_key_np(np.array([10.0]), np.array([10.0]), 2)
+    mine = sorted((r.total for r in rows
+                   if r.tile_x == int(tx[0]) and r.tile_y == int(ty[0])))
+    assert mine == [2, 3]  # batch 1 emitted 2, batch 2 emitted cumulative 3
