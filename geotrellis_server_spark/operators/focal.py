@@ -3,17 +3,22 @@ equivalent of the reference's 3×3 neighborhood read + buffer
 (core/.../gtlayer/GTLayerNode.scala:88-124: GridBounds(x±1, y±1) →
 NeighboringTiles → TileWithNeighbors.withBuffer).
 
-Shape: each tile row emits up to 9 (target_key, dx, dy, cells) copies —
-one per neighbor it contributes to — then a groupBy(target key) assembles
-the (h+2r, w+2r) padded block in one Arrow batch. Missing neighbors pad
-with NaN (world edge / sparse layer).
+Shape: each tile row emits its full cells to ITSELF plus eight edge
+STRIPS (r rows/cols/corners, sliced JVM-side with slice()/flatten()
+BEFORE the shuffle) to its neighbors; a groupBy(target key) assembles the
+(h+2r, w+2r) padded block in one Arrow batch. Missing neighbors pad with
+NaN (world edge / sparse layer).
 
-Scale notes: the 9× explosion is shuffle volume, but each group is
-bounded (≤9 rows), so there is NO skew regardless of data distribution;
-the shuffle key is the tile key, so a tiles table range-partitioned by
-(zoom, tile_x, tile_y) colocates neighbors and AQE coalesces the small
-partitions. Expressions without focal ops never enter this path
-(Vars.varsWithBuffer gating, LayerTms.scala:66).
+Scale notes: shuffle volume per tile is w·h + 2r(w+h) + 4r² — about
+w·h·(1 + 4r/s) for square s-px tiles — versus 9·w·h for the naive
+full-copy exchange (≈8.5× less at 64 px, r=1; ≈8.9× at 256 px). Groups
+stay bounded (≤9 rows) so there is NO skew regardless of data
+distribution; the shuffle key is the tile key, so a tiles table
+range-partitioned by (zoom, tile_x, tile_y) colocates neighbors and AQE
+coalesces the small partitions. Requires radius ≤ min(width, height)
+(same single-ring assumption as the reference's 3×3 read). Expressions
+without focal ops never enter this path (Vars.varsWithBuffer gating,
+LayerTms.scala:66).
 """
 
 from __future__ import annotations
@@ -25,6 +30,36 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 KEY = ["zoom", "tile_x", "tile_y"]
+
+
+def _strip_sql(r: int) -> str:
+    """Per-offset pre-shuffle slice: the sub-block of THIS tile that lands
+    in the (dx, dy) neighbor's padded halo. dx=+1 → east edge cols
+    [w-r, w); dx=-1 → west edge cols [0, r); dx=0 → all cols (rows
+    likewise with dy and h). Emitted as 9 structs then exploded — one
+    scan, sliced before the exchange."""
+    x0 = f"IF(o.dx = 1, width - {r}, 0)"
+    y0 = f"IF(o.dy = 1, height - {r}, 0)"
+    ylen = f"IF(o.dy = 0, height, {r})"
+    # three cost tiers: center = zero-copy reference; row strips (dx=0) =
+    # ONE contiguous slice; column strips = per-row r-element slices (the
+    # only per-row work, and it is r wide)
+    if r == 1:  # common case: column strip = one element per row, no flatten
+        col = (
+            f"transform(sequence({y0}, {y0} + {ylen} - 1), "
+            f"row -> cells[row * width + ({x0})])"
+        )
+    else:
+        col = (
+            f"flatten(transform(sequence({y0}, {y0} + {ylen} - 1), "
+            f"row -> slice(cells, row * width + ({x0}) + 1, {r})))"
+        )
+    return (
+        "CASE "
+        "WHEN o.dx = 0 AND o.dy = 0 THEN cells "
+        f"WHEN o.dx = 0 THEN slice(cells, ({y0}) * width + 1, ({ylen}) * width) "
+        f"ELSE {col} END"
+    )
 
 
 def with_halo(tiles: DataFrame, radius: int) -> DataFrame:
@@ -44,16 +79,19 @@ def with_halo(tiles: DataFrame, radius: int) -> DataFrame:
         "explode(transform(sequence(0, 8), i -> "
         "named_struct('dx', CAST(i % 3 AS INT) - 1, 'dy', CAST(i DIV 3 AS INT) - 1)))"
     )
-    contrib = tiles.select(*key, "width", "height", "cells", offsets.alias("o")).select(
-        "zoom",
-        (F.col("tile_x") + F.col("o.dx")).alias("tile_x"),
-        (F.col("tile_y") + F.col("o.dy")).alias("tile_y"),
-        *([F.col("band")] if "band" in tiles.columns else []),
-        F.col("o.dx").alias("dx"),
-        F.col("o.dy").alias("dy"),
-        "width",
-        "height",
-        "cells",
+    contrib = (
+        tiles.select(*key, "width", "height", "cells", offsets.alias("o"))
+        .select(
+            "zoom",
+            (F.col("tile_x") + F.col("o.dx")).alias("tile_x"),
+            (F.col("tile_y") + F.col("o.dy")).alias("tile_y"),
+            *([F.col("band")] if "band" in tiles.columns else []),
+            F.col("o.dx").alias("dx"),
+            F.col("o.dy").alias("dy"),
+            "width",
+            "height",
+            F.expr(_strip_sql(r)).alias("strip"),
+        )
     )
     has_band = "band" in tiles.columns
     fields = [
@@ -89,17 +127,15 @@ def with_halo(tiles: DataFrame, radius: int) -> DataFrame:
         block = np.full((h + 2 * r, w + 2 * r), np.nan)
         for row in pdf.itertuples(index=False):
             dx, dy = int(row.dx), int(row.dy)
-            nb = np.asarray(row.cells, dtype=np.float64).reshape(int(row.height), int(row.width))
-            # neighbor at offset (dx, dy) relative to target: it occupies
-            # the block region shifted by (-dx, -dy) tiles
-            x0 = r - dx * w
-            y0 = r - dy * h
-            sx0, sx1 = max(0, x0), min(w + 2 * r, x0 + w)
-            sy0, sy1 = max(0, y0), min(h + 2 * r, y0 + h)
-            if sx0 >= sx1 or sy0 >= sy1:
-                continue
-            nx0, ny0 = sx0 - x0, sy0 - y0
-            block[sy0:sy1, sx0:sx1] = nb[ny0 : ny0 + (sy1 - sy0), nx0 : nx0 + (sx1 - sx0)]
+            # strip dims mirror _strip_sql; placement: the contributor sits
+            # at (-dx, -dy) relative to the target, so its east edge
+            # (dx=+1) fills the target's WEST pad columns [0, r), etc.
+            sw = w if dx == 0 else r
+            sh = h if dy == 0 else r
+            bx0 = 0 if dx == 1 else (r if dx == 0 else w + r)
+            by0 = 0 if dy == 1 else (r if dy == 0 else h + r)
+            strip = np.asarray(row.strip, dtype=np.float64).reshape(sh, sw)
+            block[by0 : by0 + sh, bx0 : bx0 + sw] = strip
         out = {"zoom": [int(keyvals[0])], "tile_x": [int(keyvals[1])], "tile_y": [int(keyvals[2])]}
         if has_band:
             out["band"] = [int(keyvals[3])]
