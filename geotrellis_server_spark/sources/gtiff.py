@@ -39,21 +39,21 @@ _TYPE_SIZE = {_SHORT: 2, _LONG: 4, _ASCII: 1, _DOUBLE: 8}
 _TYPE_FMT = {_SHORT: "H", _LONG: "I", _DOUBLE: "d"}
 
 
-def encode_geotiff(
-    array: np.ndarray,
+def _page_block(
+    a: np.ndarray,
     extent: tuple[float, float, float, float],
-    epsg: int = 3857,
-    nodata: float | None = None,
-) -> bytes:
-    """array: float64 (h, w) single band, or uint8 (h, w) / (h, w, 3).
-    extent: (xmin, ymin, xmax, ymax) in the CRS given by ``epsg``."""
-    a = np.asarray(array)
+    epsg: int,
+    nodata: float | None,
+    base_offset: int,
+    overview: bool,
+) -> tuple[bytes, int]:
+    """One IFD + out-of-line values + strip data, with all offsets
+    absolute from ``base_offset``. Returns (block bytes, offset of the
+    next-IFD pointer within the block) so the caller can chain pages."""
     if a.ndim == 2:
         h, w, bands = a.shape[0], a.shape[1], 1
-    elif a.ndim == 3 and a.shape[2] in (1, 3):
-        h, w, bands = a.shape
     else:
-        raise ValueError(f"unsupported array shape {a.shape}")
+        h, w, bands = a.shape
 
     if a.dtype == np.uint8:
         bits, sample_format = 8, 1  # unsigned int
@@ -93,15 +93,16 @@ def encode_geotiff(
         (33922, _DOUBLE, [0.0, 0.0, 0.0, xmin, ymax, 0.0]),  # ModelTiepoint
         (34735, _SHORT, geo_dir),  # GeoKeyDirectory
     ]
+    if overview:
+        entries.append((254, _LONG, [1]))  # NewSubfileType: reduced-resolution
     if nodata is not None:
         nd = (f"{nodata!r}" if nodata == nodata else "nan") + "\x00"
         entries.append((42113, _ASCII, [nd.encode("ascii")]))  # GDAL_NODATA
     entries.sort(key=lambda e: e[0])
 
-    header = struct.pack("<2sHI", b"II", 42, 8)
     n = len(entries)
     ifd_size = 2 + n * 12 + 4
-    data_area_off = 8 + ifd_size
+    data_area_off = base_offset + ifd_size
 
     # lay out out-of-line values
     overflow = bytearray()
@@ -124,32 +125,92 @@ def encode_geotiff(
         packed_entries.append((tag, typ, count, value_field))
 
     strip_offset = data_area_off + len(overflow)
-    out = bytearray(header)
+    out = bytearray()
     out.extend(struct.pack("<H", n))
     for tag, typ, count, value_field in packed_entries:
         if tag == 273:  # patch StripOffsets now that it is known
             value_field = struct.pack("<I", strip_offset)
         out.extend(struct.pack("<HHI", tag, typ, count) + value_field)
-    out.extend(struct.pack("<I", 0))  # next IFD
+    next_ptr_at = len(out)
+    out.extend(struct.pack("<I", 0))  # next IFD (caller may patch)
     out.extend(overflow)
     out.extend(pixel_bytes)
+    if len(out) % 2:
+        out.append(0)  # keep the next IFD word-aligned
+    return bytes(out), next_ptr_at
+
+
+def _check_shape(array: np.ndarray) -> np.ndarray:
+    a = np.asarray(array)
+    if a.ndim == 2 or (a.ndim == 3 and a.shape[2] in (1, 3)):
+        return a
+    raise ValueError(f"unsupported array shape {a.shape}")
+
+
+def encode_geotiff_pyramid(
+    arrays: list[np.ndarray],
+    extent: tuple[float, float, float, float],
+    epsg: int = 3857,
+    nodata: float | None = None,
+) -> bytes:
+    """COG-style multi-page GeoTIFF: page 0 = full resolution, following
+    pages = overviews (NewSubfileType = reduced-resolution) chained
+    through the next-IFD pointers — the overview structure
+    GeoTiffRasterSource's Auto(n) strategy selects from
+    (CogUtils.scala:55-70). All pages share the extent (each page's pixel
+    scale derives from its own dims); strips stay uncompressed so the
+    stdlib decoder reads every page."""
+    if not arrays:
+        raise ValueError("need at least one page")
+    pages = [_check_shape(a) for a in arrays]
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    blocks: list[bytes] = []
+    ptrs: list[int] = []
+    offset = len(header)
+    for i, a in enumerate(pages):
+        block, ptr_at = _page_block(a, extent, epsg, nodata, offset, overview=i > 0)
+        blocks.append(block)
+        ptrs.append(offset + ptr_at)
+        offset += len(block)
+    out = bytearray(header)
+    starts = []
+    pos = len(header)
+    for block in blocks:
+        starts.append(pos)
+        out.extend(block)
+        pos += len(block)
+    for i in range(len(blocks) - 1):  # chain page i → page i+1
+        struct.pack_into("<I", out, ptrs[i], starts[i + 1])
     return bytes(out)
 
 
-def decode_geotiff(data: bytes):
-    """Uncompressed striped TIFF → (array, (xmin, ymin, xmax, ymax), epsg).
-    Single-band float/int or chunky 3-band uint8."""
-    bo, magic, ifd_off = struct.unpack_from("<2sHI", data, 0)
-    if bo == b"II":
-        e = "<"
-    elif bo == b"MM":
-        e = ">"
-        _, magic, ifd_off = struct.unpack_from(">2sHI", data, 0)
-    else:
-        raise ValueError("not a TIFF")
-    if magic != 42:
-        raise ValueError("not a TIFF (bad magic)")
+def encode_geotiff(
+    array: np.ndarray,
+    extent: tuple[float, float, float, float],
+    epsg: int = 3857,
+    nodata: float | None = None,
+) -> bytes:
+    """array: float64 (h, w) single band, or uint8 (h, w) / (h, w, 3).
+    extent: (xmin, ymin, xmax, ymax) in the CRS given by ``epsg``."""
+    return encode_geotiff_pyramid([array], extent, epsg, nodata)
 
+
+def build_overviews(a: np.ndarray, min_size: int = 32) -> list[np.ndarray]:
+    """Full-resolution array → [full, /2, /4, ...] average-downsampled
+    pages until either dim would drop below ``min_size`` (the GDAL
+    overview recipe; average matches the reference's Auto overview
+    resampling default for continuous data)."""
+    from ..operators.resample import resample_block
+
+    pages = [np.asarray(a, dtype=np.float64)]
+    while min(pages[-1].shape[:2]) // 2 >= min_size:
+        h, w = pages[-1].shape[:2]
+        pages.append(resample_block(pages[-1], h // 2, w // 2, "average"))
+    return pages
+
+
+def _read_ifd(data: bytes, e: str, ifd_off: int):
+    """One IFD → (tags dict, next IFD offset)."""
     (n,) = struct.unpack_from(e + "H", data, ifd_off)
     tags: dict[int, list] = {}
     for i in range(n):
@@ -165,7 +226,40 @@ def decode_geotiff(data: bytes):
         else:
             fmt = e + _TYPE_FMT[typ] * count
             tags[tag] = list(struct.unpack_from(fmt, data, voff))
+    (nxt,) = struct.unpack_from(e + "I", data, ifd_off + 2 + n * 12)
+    return tags, nxt
 
+
+def decode_geotiff_pages(data: bytes):
+    """All IFD pages → list of (array, extent, epsg, is_overview) in file
+    order (page 0 = full resolution; overview pages carry
+    NewSubfileType=1 — the COG overview chain)."""
+    bo, magic, ifd_off = struct.unpack_from("<2sHI", data, 0)
+    if bo == b"II":
+        e = "<"
+    elif bo == b"MM":
+        e = ">"
+        _, magic, ifd_off = struct.unpack_from(">2sHI", data, 0)
+    else:
+        raise ValueError("not a TIFF")
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    pages = []
+    while ifd_off:
+        tags, ifd_off = _read_ifd(data, e, ifd_off)
+        pages.append(_decode_page(data, e, tags))
+    return pages
+
+
+def decode_geotiff(data: bytes):
+    """Uncompressed striped TIFF → (array, (xmin, ymin, xmax, ymax), epsg)
+    of the FULL-RESOLUTION page. Single-band float/int or chunky 3-band
+    uint8; use decode_geotiff_pages for the overview chain."""
+    arr, extent, epsg, _ = decode_geotiff_pages(data)[0]
+    return arr, extent, epsg
+
+
+def _decode_page(data: bytes, e: str, tags: dict[int, list]):
     w, h = int(tags[256][0]), int(tags[257][0])
     compression = int(tags.get(259, [1])[0])
     if compression != 1:
@@ -200,7 +294,8 @@ def decode_geotiff(data: bytes):
             key, _, _, val = gd[i : i + 4]
             if key in (2048, 3072):
                 epsg = int(val)
-    return arr.copy(), extent, epsg
+    is_overview = bool(tags.get(254, [0])[0] & 1)
+    return arr.copy(), extent, epsg, is_overview
 
 
 def read_geotiff_path(path: str):

@@ -109,3 +109,32 @@ def test_load_geotiff_as_tile_table(spark, tmp_path):
     r = df.collect()[0]
     assert (r.layer, r.width, r.height, r.xmin, r.ymax) == ("r8", 8, 8, 0.0, 8.0)
     assert r.cells[:3] == [1.0, 2.0, 3.0] and sum(r.cells) == sum(range(1, 65))
+
+
+def test_pyramid_overview_chain_roundtrip():
+    from geotrellis_server_spark.operators.resample import resample_block
+    from geotrellis_server_spark.sources.gtiff import (
+        build_overviews, decode_geotiff_pages, encode_geotiff_pyramid)
+
+    full = np.arange(64 * 64, dtype=np.float64).reshape(64, 64)
+    pages_in = build_overviews(full, min_size=16)
+    assert [p.shape for p in pages_in] == [(64, 64), (32, 32), (16, 16)]
+    ext = (0.0, 0.0, 64.0, 64.0)
+    data = encode_geotiff_pyramid(pages_in, ext, epsg=3857, nodata=float("nan"))
+
+    pages = decode_geotiff_pages(data)
+    assert len(pages) == 3
+    arr0, ext0, epsg0, ov0 = pages[0]
+    assert not ov0 and epsg0 == 3857 and np.allclose(arr0, full)
+    assert np.allclose(ext0, ext)
+    for i, (arr, exti, _, ov) in enumerate(pages[1:], start=1):
+        assert ov  # NewSubfileType marks reduced resolution
+        assert np.allclose(exti, ext)  # same footprint, coarser pixels
+        assert np.allclose(arr, pages_in[i])
+    # overview content = average downsample of the level above
+    assert np.allclose(pages[1][0], resample_block(full, 32, 32, "average"))
+    # decode_geotiff still returns the full-resolution page
+    from geotrellis_server_spark.sources.gtiff import decode_geotiff
+
+    arr, e2, p2 = decode_geotiff(data)
+    assert arr.shape == (64, 64) and np.allclose(e2, ext)
