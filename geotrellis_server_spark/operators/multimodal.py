@@ -1,9 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via ``mapInPandas`` in Arrow
-batches. The image/audio codec libraries are NOT in this container, so
-the decode step is STUBBED (deterministic fake, clearly marked) — the
-Spark-side plumbing (schema, partitioning, UDF signatures, batch shapes)
-is real and tested, and a real decoder drops into ``DECODERS`` unchanged.
+batches.
+
+Decoders: IMAGE decode is REAL for PNG payloads (the pure-stdlib decoder
+in styles/png.py — all five scanline filters; synth media payloads are
+genuine PNG bytes, so the pipeline exercises a true bytes→pixels codec
+end to end). JPEG falls back to Pillow when installed. Audio/video
+decoding remains a clearly-marked deterministic stub (no codec libs in
+this container); a real decoder drops into ``DECODERS`` unchanged.
 """
 
 from __future__ import annotations
@@ -17,6 +21,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..styles.png import decode_png, encode_png
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -45,31 +53,57 @@ def synth_media(spark, docs: DataFrame) -> DataFrame:
             for ref in pdf["media_ref"]:
                 seed = hashlib.md5(ref.encode()).digest()
                 kind = ["image", "audio", "video"][seed[0] % 3]
-                payload = (seed * 8)[: 64 + seed[1] % 64]
-                rows.append(
-                    (ref, kind, payload,
-                     {"bytes": str(len(payload)), "codec": "fake/v1"})
-                )
+                if kind == "image":
+                    # REAL PNG payload: deterministic pixels → encode_png,
+                    # so downstream decode exercises a true codec
+                    side = 4 + seed[1] % 5
+                    px = np.frombuffer(
+                        (seed * (3 * side * side))[: side * side * 3], dtype=np.uint8
+                    ).reshape(side, side, 3)
+                    payload = encode_png(px)
+                    meta = {"bytes": str(len(payload)), "codec": "image/png"}
+                else:
+                    payload = (seed * 8)[: 64 + seed[1] % 64]
+                    meta = {"bytes": str(len(payload)), "codec": "fake/v1"}
+                rows.append((ref, kind, payload, meta))
             yield pd.DataFrame(rows, columns=["media_ref", "kind", "payload", "meta"])
 
     return refs.mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def _decode_image(payload: bytes) -> np.ndarray:
+    """REAL for PNG (pure-stdlib decoder); Pillow fallback for other
+    formats when installed; deterministic fake otherwise (clearly
+    marked — no JPEG codec ships in this container)."""
+    if payload[:8] == PNG_MAGIC:
+        arr = decode_png(payload)
+        return arr if arr.ndim == 3 else arr[..., None].repeat(3, axis=-1)
+    try:  # pragma: no cover - Pillow absent in this container
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        return _fake_decode_image(payload)
+
+
 def _fake_decode_image(payload: bytes) -> np.ndarray:
-    """STUB — no PIL/libjpeg in this container. Deterministic 8×8×3 uint8
-    'pixels' from the payload hash. Replace with PIL.Image.open in prod."""
+    """STUB fallback for non-PNG payloads without Pillow. Deterministic
+    8×8×3 uint8 'pixels' from the payload hash."""
     h = hashlib.sha256(payload).digest()
     return np.frombuffer((h * 6)[: 8 * 8 * 3], dtype=np.uint8).reshape(8, 8, 3).copy()
 
 
 def _fake_decode_audio(payload: bytes) -> np.ndarray:
-    """STUB — deterministic 256-sample float32 'waveform'."""
+    """STUB — deterministic 256-sample float32 'waveform' (no audio codec
+    libs in this container)."""
     h = hashlib.sha256(payload + b"a").digest()
     raw = np.frombuffer((h * 32)[: 256 * 4], dtype=np.uint8).astype(np.float32)
     return (raw - 127.5) / 127.5
 
 
-DECODERS = {"image": _fake_decode_image, "audio": _fake_decode_audio}
+DECODERS = {"image": _decode_image, "audio": _fake_decode_audio}
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -91,7 +125,7 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
         for pdf in batches:
             out = []
             for ref, kind, payload in zip(pdf["media_ref"], pdf["kind"], pdf["payload"]):
-                dec = DECODERS.get(kind, _fake_decode_image)
+                dec = DECODERS.get(kind, _decode_image)
                 arr = dec(bytes(payload))
                 if arr.ndim == 3:  # image: H×W×C
                     h, w = arr.shape[:2]
@@ -126,7 +160,7 @@ def resize_images(media: DataFrame, size: tuple[int, int] = (4, 4)) -> DataFrame
             for ref, kind, payload in zip(pdf["media_ref"], pdf["kind"], pdf["payload"]):
                 if kind != "image":
                     continue
-                img = _fake_decode_image(bytes(payload))
+                img = _decode_image(bytes(payload))
                 h, w = img.shape[:2]
                 yi = (np.arange(th) * h // th)[:, None]
                 xi = (np.arange(tw) * w // tw)[None, :]

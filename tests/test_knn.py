@@ -66,3 +66,26 @@ def test_knn_bulk_k_exceeds_population(spark):
     d = synth.extract_geometry(synth.docs(spark, 30))
     res = knn.knn_join_bulk(d, _qdf(spark, [(0, 0.0, 0.0), (1, 100.0, 50.0)]), k=100).toPandas()
     assert len(res) == 60
+
+
+def test_knn_bulk_plan_broadcasts_queries(spark):
+    # the docs side must never shuffle for the candidate join: query
+    # disk-cells broadcast, docs flow map-side through BroadcastHashJoin
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from geotrellis_server_spark.grids import cells as C
+
+    d = synth.extract_geometry(synth.docs(spark, 500))
+    docs_c = d.withColumn("_cell", C.cell_key_col("lon", "lat", 4))
+    q = _qdf(spark, [(0, 1.0, 1.0)]).selectExpr(
+        "query_id", "qlon", "qlat",
+        "CAST(floor((qlon + 180.0) / 360.0 * 16) AS BIGINT) AS _qcx",
+        "CAST(8 AS BIGINT) AS _qcy",
+    ).withColumn("_cell", F.expr("_qcx * 16 + _qcy"))
+    joined = docs_c.join(F.broadcast(q), "_cell", "inner")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

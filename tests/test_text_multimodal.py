@@ -68,7 +68,8 @@ def test_feature_extraction_shapes(spark):
     for r in feats[:10]:
         assert len(r.feature) == 16
         if r.kind == "image":
-            assert (r.width, r.height) == (8, 8)
+            # real PNG payloads are 4-8 px square (synth_media side seed)
+            assert 4 <= r.width <= 8 and r.width == r.height
 
 
 def test_resize_plumbing(spark):
@@ -79,3 +80,74 @@ def test_resize_plumbing(spark):
     assert len(out) == n_img
     for r in out[:5]:
         assert len(r.pixels) == 4 * 4 * 3
+
+
+def test_png_decoder_all_filters():
+    # the decoder must handle every scanline filter, not just the type-0
+    # lines encode_png emits: hand-build a PNG using Sub/Up/Average/Paeth
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from geotrellis_server_spark.styles.png import _chunk, decode_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    h, w, c = img.shape
+
+    def paeth(a, b, cc):
+        p = int(a) + int(b) - int(cc)
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        line = img[y].ravel().astype(np.int32)
+        ftype = [1, 2, 3, 4, 0][y % 5]
+        raw.append(ftype)
+        enc = np.zeros(w * c, dtype=np.int32)
+        for x in range(w * c):
+            left = line[x - c] if x >= c else 0
+            ul = prev[x - c] if x >= c else 0
+            if ftype == 0:
+                enc[x] = line[x]
+            elif ftype == 1:
+                enc[x] = line[x] - left
+            elif ftype == 2:
+                enc[x] = line[x] - prev[x]
+            elif ftype == 3:
+                enc[x] = line[x] - ((left + prev[x]) >> 1)
+            else:
+                enc[x] = line[x] - paeth(left, prev[x], ul)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+    assert (decode_png(data) == img).all()
+
+
+def test_media_image_payloads_are_real_png(spark):
+    import numpy as np
+
+    from geotrellis_server_spark.operators import multimodal as MM
+    from geotrellis_server_spark.sources import synth
+    from geotrellis_server_spark.styles.png import decode_png
+
+    docs = synth.docs(spark, 300)
+    media = MM.synth_media(spark, docs)
+    imgs = media.filter("kind = 'image'").limit(5).collect()
+    assert imgs
+    for r in imgs:
+        payload = bytes(r.payload)
+        assert payload[:8] == MM.PNG_MAGIC
+        arr = decode_png(payload)
+        assert arr.ndim == 3 and arr.shape[2] == 3
+        assert r.meta["codec"] == "image/png"
+    # feature extraction consumes the REAL decoded pixels
+    feats = MM.extract_features(media.filter("kind = 'image'").limit(3)).collect()
+    for f in feats:
+        assert f.width >= 4 and f.height >= 4 and len(f.feature) == 16
