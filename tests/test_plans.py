@@ -1,0 +1,64 @@
+"""Physical-plan audits: the properties that make the engine scale must
+be visible in the executed plan, not just implied — filter pushdown to
+the parquet scan, column pruning in ReadSchema, broadcast joins on the
+flagship path (no sort-merge), and whole-stage codegen around the tile
+math. A regression in any of these silently costs 10-100x at 100 TB."""
+
+import pyspark.sql.functions as F
+
+from geotrellis_server_spark.operators import spatial_join, tiling
+from geotrellis_server_spark.sources import synth
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = ev.filter("ts >= timestamp '2024-01-10 00:00:00'").select("event_id")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "ts" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_in_read_schema(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = ev.filter("ts >= timestamp '2024-01-10 00:00:00'").select("event_id")
+    read_schema = _plan(q).split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in read_schema and "ts" in read_schema
+    # untouched columns must NOT be scanned
+    assert "user_id" not in read_schema and "lon" not in read_schema
+
+
+def test_flagship_broadcasts_and_never_sort_merges(spark):
+    d = synth.extract_geometry(synth.docs(spark, 1000))
+    joined = spatial_join.pip_join_rect(d, synth.zone_grid(spark))
+    out = tiling.assign_tiles(joined, 8).groupBy("zone_id", "tile_x", "tile_y").agg(
+        F.count("*").alias("n")
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tile_math_in_wholestage_codegen(spark):
+    d = synth.extract_geometry(synth.docs(spark, 1000))
+    df = tiling.tile_counts(d, 8)
+    df.collect()  # AQE: codegen stages appear in the FINAL plan only
+    plan = _plan(df)
+    # '*(n)' prefixes = whole-stage-codegen stage ids in the final plan
+    assert "*(" in plan and "isFinalPlan=true" in plan
+    # the hot path has no Python evaluation nodes
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partial_aggregation_before_exchange(spark):
+    # map-side combine: a HashAggregate must appear BELOW the exchange
+    # (partial) and above it (final) — hot keys collapse before shuffling
+    d = synth.extract_geometry(synth.docs(spark, 1000))
+    plan = _plan(tiling.tile_counts(d, 8))
+    ex = plan.index("Exchange")
+    assert "HashAggregate" in plan[:ex], "no map-side partial aggregate"
+    assert "HashAggregate" in plan[ex:], "no final aggregate"
