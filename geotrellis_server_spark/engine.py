@@ -147,6 +147,46 @@ class Engine:
         )
         return crop_to_extent(out, extent, lambda zz, tx, ty: SCHEME.layout(zz).extent_for(tx, ty))
 
+    # -- E1 in an arbitrary request CRS (reference WMS accepts any
+    #    supported CRS and returns the raster in it — OgcLayer.scala:82-91)
+    def get_extent_reprojected(
+        self,
+        layer_name: str,
+        extent: tuple,
+        crs_epsg: int,
+        out_w: int = 256,
+        out_h: int = 256,
+        method: str = "bilinear",
+    ):
+        """GetMap in a non-native CRS: the request extent back-projects to
+        the tiles' EPSG:3857 (densified envelope), the pyramid evaluates
+        there (pruned + cropped as usual), and the stitched window warps
+        onto the requested (out_w × out_h) grid in the request CRS.
+        Returns (numpy array, request extent). The collect is
+        request-bounded (one GetMap window)."""
+        from .grids.proj import reproject_extent, warp_block
+        from .operators.stitch import stitch
+
+        if crs_epsg == 3857:
+            raise ValueError("native-CRS requests go through get_extent")
+        ext3857 = reproject_extent(tuple(extent), crs_epsg, 3857)
+        cell = max(
+            (ext3857[2] - ext3857[0]) / out_w, (ext3857[3] - ext3857[1]) / out_h
+        )
+        tiles = self.get_extent(layer_name, ext3857, cell)
+        arr, src_ext = stitch(tiles)
+        warped = warp_block(
+            arr,
+            (src_ext.xmin, src_ext.ymin, src_ext.xmax, src_ext.ymax),
+            3857,
+            tuple(extent),
+            crs_epsg,
+            out_h,
+            out_w,
+            method,
+        )
+        return warped, tuple(extent)
+
     # -- histogram (A1) -----------------------------------------------------
     def get_histogram(self, layer_name: str, max_cells: int = 512, n_bins: int = 80) -> DataFrame:
         layer = self.layers[layer_name]

@@ -124,3 +124,50 @@ def test_reproject_tiles_dataframe(spark):
     cy = env[3] - (i + 0.5) * (env[3] - env[1]) / h
     _, exp_lat = proj.transform(np.array([cx]), np.array([cy]), UTM18N, 4326)
     assert abs(got[i, j] - exp_lat[0]) < 0.05  # 16px grid → coarse bilinear
+
+
+def test_engine_getmap_in_utm(spark):
+    # full-service path: rasterize a lon-valued layer on the 3857 pyramid,
+    # request a UTM-18N window, verify each output pixel's value equals
+    # the lon of its own center (inverse-transformed) — proving extent
+    # back-projection, pyramid pruning, and the final warp compose.
+    import pyspark.sql.functions as F
+
+    from geotrellis_server_spark.engine import Engine, Layer
+    from geotrellis_server_spark.grids.layout import (
+        ZoomedLayoutScheme, mercator_to_lonlat)
+    from geotrellis_server_spark.sources import synth
+
+    z, ts = 4, 32
+    scheme = ZoomedLayoutScheme(ts)
+    lay = scheme.layout(z)
+    rows = []
+    # build a z4 patch around the north-east US whose cell value = lon of
+    # the pixel center
+    for tx in range(4, 6):
+        for ty in range(5, 7):
+            e = lay.extent_for(tx, ty)
+            cells = []
+            for r in range(ts):
+                my = e.ymax - (r + 0.5) * (e.ymax - e.ymin) / ts
+                for c in range(ts):
+                    mx = e.xmin + (c + 0.5) * (e.xmax - e.xmin) / ts
+                    lon, _ = mercator_to_lonlat(np.array([mx]), np.array([my]))
+                    cells.append(float(lon[0]))
+            rows.append(("lonf", z, tx, ty, 0, ts, ts, e.xmin, e.ymin, e.xmax,
+                         e.ymax, "float64", float("nan"), cells))
+    tiles = spark.createDataFrame(rows, synth.TILE_SCHEMA)
+    eng = Engine(spark, {"lonf": Layer("lonf", tiles)})
+
+    utm_ext = (400000.0, 4300000.0, 700000.0, 4600000.0)  # UTM 18N box
+    arr, ext = eng.get_extent_reprojected("lonf", utm_ext, UTM18N, 64, 64)
+    assert arr.shape == (64, 64)
+    cx = ext[0] + (np.arange(64) + 0.5) * (ext[2] - ext[0]) / 64
+    cy = ext[3] - (np.arange(64) + 0.5) * (ext[3] - ext[1]) / 64
+    CX, CY = np.meshgrid(cx, cy)
+    exp_lon, _ = proj.transform(CX.ravel(), CY.ravel(), UTM18N, 4326)
+    exp = exp_lon.reshape(64, 64)
+    ok = ~np.isnan(arr)
+    assert ok.mean() > 0.5  # most of the window is covered by the patch
+    # bilinear over a (nearly) linear-in-mercator-x field: small tolerance
+    assert np.abs(arr[ok] - exp[ok]).max() < 0.02
