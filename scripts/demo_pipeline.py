@@ -1,8 +1,9 @@
 """End-to-end training-data pipeline demo over the interleaved docs table:
 
 ingest (docs + media) → text quality filter → exact + near dedup →
-media feature extraction (stubbed decode, real plumbing) → geo enrichment
-(cell keys) → train-ready table + per-stage metrics.
+media feature extraction (REAL PNG decode) → geo enrichment (cell keys)
+→ train-ready table → density raster → UTM GetMap render → GeoTIFF sink,
+with per-stage metrics.
 
 Run: python scripts/demo_pipeline.py
 """
@@ -83,6 +84,26 @@ def main() -> None:
     print("\nsample row:", sample.doc_id, "cell:", sample.cell_r6,
           "n_media:", sample.n_media, "text:", (sample.text or "")[:40])
     print("wrote", out)
+
+    # 5. round-2 serving tail: rasterize the kept docs, serve a UTM GetMap
+    #    window, and sink it as a (pure-stdlib) GeoTIFF
+    from geotrellis_server_spark.engine import Engine, Layer
+    from geotrellis_server_spark.operators import tiling
+    from geotrellis_server_spark.sources.gtiff import encode_geotiff
+
+    tiles = tiling.rasterize_count(
+        docs.join(deduped.select("doc_id"), "doc_id", "left_semi"), 5, tile_size=64
+    ).withColumn("band", F.lit(0))
+    eng = Engine(spark, {"density": Layer("density", tiles)})
+    t0 = time.time()
+    arr, ext = eng.get_extent_reprojected(
+        "density", (300000.0, 4200000.0, 800000.0, 4700000.0), 32618, 128, 128
+    )
+    tif = encode_geotiff(arr, ext, epsg=32618, nodata=float("nan"))
+    with open("/tmp/density_utm18n.tif", "wb") as f:
+        f.write(tif)
+    print(f"UTM GetMap + GeoTIFF sink: {arr.shape} px, "
+          f"{len(tif):,} bytes, {time.time() - t0:.2f}s -> /tmp/density_utm18n.tif")
     spark.stop()
 
 
