@@ -244,6 +244,33 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_dup_classes(_read_documents(spark, sf_dir), n_bits=16, id_col="doc_id")
 
 
+def _q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components (min-label + pointer jumping)
+    over the MinHash-LSH near-dup pairs — (doc id, cluster id = min id of
+    the component). Oracle: recursive-CTE transitive min over the same
+    edge set."""
+    from geotrellis_server_spark.operators import dedup
+
+    pairs = dedup.minhash_dedup_pairs(
+        _read_documents(spark, sf_dir), k=8, bands=4, rows_per_band=2, threshold=0.5
+    ).select("a", "b")
+    return dedup.connected_components(pairs)
+
+
+def _cluster_assign_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach(id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+    )
+    SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    """
+
+
 def _q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotrellis_server_spark.operators import dedup
 
@@ -671,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
         "dedup_simhash_classes": _q_simhash,
         "dedup_simhash_hamming_pairs": _q_simhash_hamming,
+        "dedup_cluster_assign": _q_cluster_assign,
         "text_stats": _q_text_stats,
         "text_token_count": _q_token_count,
         "text_fingerprint": _q_fingerprint,
@@ -815,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh_pairs": _minhash_oracle(),
         "dedup_simhash_classes": _simhash_oracle(),
+        "dedup_cluster_assign": _cluster_assign_oracle(),
         "dedup_simhash_hamming_pairs": _simhash_hamming_oracle(),
         "text_stats": """
             SELECT doc_id, length(text) AS n_chars,

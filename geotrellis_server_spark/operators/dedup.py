@@ -311,3 +311,63 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     sigs = minhash_signatures(toks, k, id_col)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
     return jaccard_verify(cand, toks, threshold, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs — the cluster→survivor step a
+# dedup pipeline actually applies (pairs alone don't dedup anything).
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iters: int = 20
+) -> DataFrame:
+    """(a, b) edges → (id, cluster_id) where cluster_id = min id reachable
+    — min-label propagation with POINTER JUMPING: each round takes
+    min(own, neighbors' labels) and then shortcuts label := label(label),
+    so convergence is O(log diameter) rounds, not O(diameter) (the
+    hash-to-min / Two-Phase CC recipe from the public large-graph CC
+    literature). Each round is two joins + one aggregate; labels are
+    localCheckpointed so lineage stays flat. The per-round driver value
+    is a single changed-count scalar."""
+    edges = (
+        pairs.selectExpr(f"{a_col} AS src", f"{b_col} AS dst")
+        .union(pairs.selectExpr(f"{b_col} AS src", f"{a_col} AS dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("_nl"))
+            .withColumnRenamed("src", "id")
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id", F.least("label", F.coalesce("_nl", "label")).alias("label")
+        )
+        # pointer jumping: label := label(label) (labels are node ids)
+        mapping = stepped.select(
+            F.col("id").alias("_mid"), F.col("label").alias("_mlabel")
+        )
+        new_labels = (
+            stepped.join(mapping, stepped.label == mapping._mid, "left")
+            .select("id", F.coalesce("_mlabel", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter("n.label != o.label")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

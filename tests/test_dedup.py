@@ -102,3 +102,42 @@ def test_simhash_hamming_pairs_complete_vs_brute(spark):
             if h <= 3:
                 want[(a, b) if a < b else (b, a)] = h
     assert got == want and len(want) > 0
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    from geotrellis_server_spark.operators.dedup import connected_components
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+
+    # driver-side union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    want = {v: min(members) for members in comp.values() for v in members}
+    assert got == want
+
+
+def test_connected_components_chain_diameter(spark):
+    # a 30-node path graph needs multiple propagation rounds
+    from geotrellis_server_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(30)], "a BIGINT, b BIGINT")
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    assert set(got.values()) == {0} and len(got) == 31
