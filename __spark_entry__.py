@@ -321,6 +321,35 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(_read_documents(spark, sf_dir))
 
 
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotrellis_server_spark.operators import text
+
+    return text.lang_id(_read_documents(spark, sf_dir)).selectExpr(
+        "doc_id", "lang_pred", "CAST(score AS INT) AS score"
+    )
+
+
+def _lang_id_oracle() -> str:
+    from geotrellis_server_spark.operators.text import LANG_MARKERS
+
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = ", ".join(f"'{m}'" for m in markers)
+        cols.append(
+            f"len(list_filter(string_split(text, ' '), t -> t IN ({arr}))) AS s_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+    WITH s AS (SELECT doc_id, {', '.join(cols)} FROM documents),
+    b AS (SELECT *, {best} AS best FROM s)
+    SELECT doc_id, {pred} AS lang_pred, CAST(best AS INT) AS score FROM b
+    """
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotrellis_server_spark.operators import text
 
@@ -702,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "text_token_count": _q_token_count,
         "text_fingerprint": _q_fingerprint,
+        "text_lang_id": _q_lang_id,
         "sim_cosine_topk20": _q_cosine_topk,
     }
 
@@ -863,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
         """,
+        "text_lang_id": _lang_id_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,
