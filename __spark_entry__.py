@@ -685,6 +685,25 @@ def _q_render_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return styled.select("tile_x", "tile_y", F.length("png").alias("png_bytes"))
 
 
+def _q_render_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 sink (rows-only: binary output, no SQL oracle): rasterize at
+    z2, render the full window as ONE uncompressed EPSG:3857 GeoTIFF via
+    the stdlib encoder, and return its deterministic envelope (byte size,
+    dims, epsg) as a single row. Bytes are stable: fixed tag layout, no
+    compression, no timestamps."""
+    from geotrellis_server_spark.operators.stitch import render_geotiff
+    from geotrellis_server_spark.sources.gtiff import decode_geotiff
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 2, tile_size=8)
+    data = render_geotiff(tiles, nodata=float("nan"))
+    arr, ext, epsg = decode_geotiff(data)  # self-check: decodable output
+    return spark.createDataFrame(
+        [(len(data), int(arr.shape[1]), int(arr.shape[0]), int(epsg))],
+        "tif_bytes BIGINT, width INT, height INT, epsg INT",
+    )
+
+
 def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-cell salted collect aggregation (north-rule O11) must equal the
     plain per-cell count — the oracle is the unsalted GROUP BY."""
@@ -706,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_interpret_as_int": _q_interpret_as,
         "raster_resample_avg": _q_resample_avg,
         "render_png_tiles": _q_render_png,
+        "render_geotiff_window": _q_render_geotiff,
         "geo_pip_join_poly_convex": _q_pip_poly_convex,
         "raster_mosaic_merge": _q_mosaic_merge,
         "time_between_half_open": _q_between_half_open,

@@ -130,3 +130,22 @@ def test_validate_get_tile_total(z, x, y):
     except RequestValidationError as e:
         assert not n_ok
         assert e.errors
+
+
+@given(
+    st.floats(min_value=-84.0, max_value=84.0),
+    st.floats(min_value=-39.99, max_value=39.99),
+)
+@settings(max_examples=200, deadline=None)
+def test_property_tm_roundtrip(lat, dlon):
+    # Karney TM forward∘inverse = identity to micro-degree precision for
+    # any point within ±40° of the central meridian
+    import numpy as np
+
+    from geotrellis_server_spark.grids import proj
+
+    lon0 = -75.0
+    e, n = proj.tm_forward(np.array([lon0 + dlon]), np.array([lat]), lon0)
+    lo, la = proj.tm_inverse(e, n, lon0)
+    assert abs(lo[0] - (lon0 + dlon)) < 1e-9
+    assert abs(la[0] - lat) < 1e-9
