@@ -704,6 +704,50 @@ def _q_render_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics of the z4 count raster over the rectangular zone
+    grid (count/sum/min/max/mean per zone; sums are exact — integer-valued
+    raster). Dense pixels (zeros included) so the oracle reproduces the
+    full domain."""
+    from geotrellis_server_spark.operators import zonal
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 4, tile_size=16)
+    out = zonal.zonal_stats_rect(tiles, 4, 16)
+    return out.selectExpr(
+        "zone_id", "n_cells", "CAST(sum AS DOUBLE) AS sum",
+        "CAST(min AS DOUBLE) AS min", "CAST(max AS DOUBLE) AS max",
+        "CAST(sum AS DOUBLE) / CAST(n_cells AS DOUBLE) AS mean",
+    )
+
+
+def _zonal_stats_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 4, 16)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    npx = (1 << 4) * 16
+    clon = f"((CAST(d.tx * 16 + d.px AS DOUBLE) + 0.5) / {npx} * 360.0 - 180.0)"
+    clat = (f"degrees(2.0 * atan(exp(pi() * (1.0 - 2.0 * "
+            f"((CAST(d.ty * 16 + d.py AS DOUBLE) + 0.5) / {npx})))) - pi() / 2.0)")
+    return f"""
+    WITH pix AS (
+      SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px, count(*) AS cnt
+      FROM ({pts}) GROUP BY 1, 2, 3, 4),
+    tiles AS (SELECT DISTINCT tx, ty FROM pix),
+    dom AS (
+      SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py, CAST(j.j AS BIGINT) AS px
+      FROM tiles t CROSS JOIN range(16) i(i) CROSS JOIN range(16) j(j)),
+    gval AS (
+      SELECT {sqlgen.zone_id_for_point_sql(clon, clat)} AS zone_id,
+             CAST(COALESCE(p.cnt, 0) AS DOUBLE) AS v
+      FROM dom d LEFT JOIN pix p
+        ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px)
+    SELECT zone_id, count(*) AS n_cells, CAST(sum(v) AS DOUBLE) AS sum,
+           CAST(min(v) AS DOUBLE) AS min, CAST(max(v) AS DOUBLE) AS max,
+           CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+    FROM gval GROUP BY 1
+    """
+
+
 def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-cell salted collect aggregation (north-rule O11) must equal the
     plain per-cell count — the oracle is the unsalted GROUP BY."""
@@ -724,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_interval_to_positions": _q_interval_positions,
         "raster_interpret_as_int": _q_interpret_as,
         "raster_resample_avg": _q_resample_avg,
+        "raster_zonal_stats_z4": _q_zonal_stats,
         "render_png_tiles": _q_render_png,
         "render_geotiff_window": _q_render_geotiff,
         "geo_pip_join_poly_convex": _q_pip_poly_convex,
@@ -824,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
             FROM hull
         """,
         "raster_resample_avg": _resample_avg_oracle(),
+        "raster_zonal_stats_z4": _zonal_stats_oracle(),
         "raster_interpret_as_int": """
             SELECT t.id % 5 AS tile_x, CAST((t.id - t.id % 5) / 5 AS BIGINT) AS tile_y,
                    CAST(s.i AS INT) AS idx,

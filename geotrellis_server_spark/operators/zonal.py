@@ -1,0 +1,58 @@
+"""Zonal statistics (classic map-algebra companion to the reference's
+polygonal summary path — geotrellis polygonal summaries over raster
+sources; SURVEY.md A-group aggregations generalized per zone).
+
+Per-zone aggregates of a tile table's cells: each pixel's CENTER is
+assigned to a zone, then one hash aggregation per zone. The pixel→zone
+assignment for the rectangular zone grid is pure SQL floor arithmetic
+(whole-stage codegen; identical fragment drives the DuckDB oracle);
+arbitrary polygon zones compose via geometry.rasterize masks instead.
+
+Scale shape: posexplode(cells) is a narrow generate (no shuffle); the
+only exchange is the final per-zone aggregation with map-side partials —
+the same skew story as tile counts (hot zones collapse before shuffling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import sqlgen
+
+
+def pixel_center_lonlat_sql(zoom: int, tile_size: int) -> tuple[str, str]:
+    """(lon, lat) SQL for the center of pixel ``idx`` of tile
+    (tile_x, tile_y) at ``zoom`` — inverse of tiling.pixel_index_sql's
+    floor mapping (columns tile_x, tile_y, idx must be in scope)."""
+    npx = (1 << zoom) * tile_size
+    gx = f"(tile_x * {tile_size} + idx % {tile_size})"
+    gy = f"(tile_y * {tile_size} + CAST(idx / {tile_size} AS INT))"
+    lon = f"((CAST({gx} AS DOUBLE) + 0.5) / {npx} * 360.0 - 180.0)"
+    lat = (
+        f"degrees(2.0 * atan(exp(pi() * (1.0 - 2.0 * "
+        f"((CAST({gy} AS DOUBLE) + 0.5) / {npx})))) - pi() / 2.0)"
+    )
+    return lon, lat
+
+
+def zonal_stats_rect(tiles: DataFrame, zoom: int, tile_size: int) -> DataFrame:
+    """Zonal count/sum/min/max/mean of ``tiles``' cells over the
+    rectangular zone grid (sqlgen zone arithmetic — F2 fixture). NoData
+    (NULL/NaN) cells are excluded. For integer-valued rasters the sum
+    (and hence the mean) is exact — double sums of integers < 2^53 are
+    order-independent, so the DuckDB oracle hashes identically."""
+    lon, lat = pixel_center_lonlat_sql(zoom, tile_size)
+    px = tiles.selectExpr(
+        "tile_x", "tile_y", "posexplode(cells) AS (idx, value)"
+    ).filter("value IS NOT NULL AND NOT isnan(value)")
+    zoned = px.selectExpr(
+        f"{sqlgen.zone_id_for_point_sql(lon, lat)} AS zone_id", "value"
+    )
+    return zoned.groupBy("zone_id").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("value").alias("sum"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        (F.sum("value") / F.count("*")).alias("mean"),
+    )
