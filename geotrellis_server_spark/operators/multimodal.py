@@ -168,3 +168,39 @@ def resize_images(media: DataFrame, size: tuple[int, int] = (4, 4)) -> DataFrame
             yield pd.DataFrame(rows, columns=["media_ref", "pixels"])
 
     return media.mapInPandas(run, schema)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video payloads (north-rule op): pick n_frames
+    evenly spaced frames and decode each to pixels + a tiny feature.
+    DECODE IS STUBBED for video (no codec libs in this container — the
+    deterministic fake derives per-frame bytes from (payload, frame_no));
+    the Spark plumbing (mapInPandas, one output row per sampled frame,
+    Arrow batch shapes) is real, and a real demuxer drops in at the
+    marked line."""
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("n_frames_total", T.IntegerType()),
+            T.StructField("pixels", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, kind, payload in zip(pdf["media_ref"], pdf["kind"], pdf["payload"]):
+                if kind != "video":
+                    continue
+                payload = bytes(payload)
+                # STUB demux: fake total frame count from payload length;
+                # replace with a real demuxer (e.g. av / ffmpeg) in prod
+                total = 8 + len(payload) % 24
+                picks = [int(i * (total - 1) / max(n_frames - 1, 1)) for i in range(n_frames)]
+                for fno in dict.fromkeys(picks):  # dedup, keep order
+                    frame = _fake_decode_image(payload + struct.pack("<I", fno))
+                    rows.append((ref, fno, total, frame.ravel().astype(np.int32)))
+            yield pd.DataFrame(rows, columns=["media_ref", "frame_no", "n_frames_total", "pixels"])
+
+    return media.mapInPandas(run, schema)

@@ -151,3 +151,27 @@ def test_media_image_payloads_are_real_png(spark):
     feats = MM.extract_features(media.filter("kind = 'image'").limit(3)).collect()
     for f in feats:
         assert f.width >= 4 and f.height >= 4 and len(f.feature) == 16
+
+
+def test_video_frame_sampling(spark):
+    from geotrellis_server_spark.operators import multimodal as MM
+    from geotrellis_server_spark.sources import synth
+
+    media = MM.synth_media(spark, synth.docs(spark, 400))
+    vids = media.filter("kind = 'video'")
+    assert vids.count() > 0
+    frames = MM.sample_frames(vids, n_frames=3).collect()
+    by_ref = {}
+    for r in frames:
+        by_ref.setdefault(r.media_ref, []).append(r)
+    for ref, rows in by_ref.items():
+        assert 1 <= len(rows) <= 3
+        nos = [r.frame_no for r in rows]
+        assert nos == sorted(nos) and nos[0] == 0  # evenly spaced from 0
+        assert all(r.frame_no < r.n_frames_total for r in rows)
+        assert all(len(r.pixels) == 8 * 8 * 3 for r in rows)
+    # determinism: same payload → same frames
+    again = {(r.media_ref, r.frame_no): list(r.pixels)
+             for r in MM.sample_frames(vids, n_frames=3).collect()}
+    for r in frames:
+        assert again[(r.media_ref, r.frame_no)] == list(r.pixels)
