@@ -364,6 +364,65 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, qvec, 20).select("vec_id", "rank")
 
 
+def _q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN exactness contract: probing EVERY cell (nprobe = n_centroids)
+    must degrade to the exact scan, so the oracle is plain exact top-k.
+    Exercises ivf_train (hash-ordered deterministic sample), ivf_assign
+    (Arrow matmul cells) and the TakeOrderedAndProject top-k."""
+    from geotrellis_server_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter("vec_id = 7").first().embedding]
+    cent = similarity.ivf_train(emb, n_centroids=8, seed=7)
+    return similarity.ivf_ann_topk(emb, cent, qvec, 15, nprobe=8).select("vec_id", "rank")
+
+
+def _q_lsh_ann_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN contract: deterministic sin-valued hyperplanes
+    (similarity._hyperplanes — no RNG state) mean the bucket membership is
+    reproducible in ANSI SQL; the oracle recomputes the same sign pattern
+    and in-bucket top-k in DuckDB."""
+    from geotrellis_server_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter("vec_id = 0").first().embedding]
+    return similarity.lsh_ann_topk(
+        emb, qvec, 10, n_planes=4, multiprobe=False
+    ).select("vec_id", "rank")
+
+
+def _lsh_bucket_oracle() -> str:
+    from geotrellis_server_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4)
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH planes(pid, pv) AS (VALUES {vals}),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT string_agg(CASE WHEN list_dot_product(qv, pv) >= 0 THEN '1' ELSE '0' END,
+                             '' ORDER BY pid) AS qbits
+           FROM planes, q),
+    bits AS (SELECT e.vec_id,
+                    string_agg(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pv) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY pid) AS bs
+             FROM embeddings e CROSS JOIN planes GROUP BY e.vec_id),
+    s AS (SELECT b.vec_id,
+                 list_dot_product(e.embedding::DOUBLE[], qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv, qv))) AS cosine
+          FROM bits b
+          JOIN embeddings e ON e.vec_id = b.vec_id, q, qb
+          WHERE b.bs = qb.qbits)
+    SELECT vec_id, rank FROM (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM s) WHERE rank <= 10
+    """
+
+
 def _q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row span-sequence signature AFTER join + repartition — the
     input_hint invariant, checked value-for-value by the oracle which
@@ -798,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_lang_id": _q_lang_id,
         "sim_cosine_topk20": _q_cosine_topk,
+        "sim_ivf_full_probe": _q_ivf_full_probe,
+        "sim_lsh_ann_bucket": _q_lsh_ann_bucket,
     }
 
 
@@ -960,6 +1021,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_lang_id": _lang_id_oracle(),
+        "sim_ivf_full_probe": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+            s AS (SELECT vec_id,
+                         list_dot_product(embedding::DOUBLE[], qv)
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(qv, qv))) AS cosine
+                  FROM embeddings, q)
+            SELECT vec_id, rank FROM (
+              SELECT vec_id,
+                     CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+              FROM s) WHERE rank <= 15
+        """,
+        "sim_lsh_ann_bucket": _lsh_bucket_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

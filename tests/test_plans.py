@@ -62,3 +62,37 @@ def test_partial_aggregation_before_exchange(spark):
     ex = plan.index("Exchange")
     assert "HashAggregate" in plan[:ex], "no map-side partial aggregate"
     assert "HashAggregate" in plan[ex:], "no final aggregate"
+
+
+def test_cosine_topk_is_take_ordered_not_global_sort(spark):
+    # Round-2 verdict item 1: top-k must plan as TakeOrderedAndProject
+    # (per-partition top-k + driver merge of k*P rows), NOT a global
+    # Window.orderBy that funnels the whole corpus into one task. The
+    # only single-partition exchange allowed is the rank window over the
+    # <=k-row result ABOVE the TakeOrderedAndProject.
+    from geotrellis_server_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter("vec_id = 0").first().embedding]
+    for df in (
+        S.cosine_topk(emb, qvec, 5),
+        S.lsh_ann_topk(emb, qvec, 5, n_planes=4),
+    ):
+        plan = _plan(df)
+        tk = plan.index("TakeOrderedAndProject")
+        # below the take-ordered (the corpus side): no single-partition
+        # exchange and no global sort of the scan
+        below = plan[tk:]
+        assert "Exchange SinglePartition" not in below
+        assert "Sort [" not in below
+
+
+def test_ivf_topk_is_take_ordered(spark):
+    from geotrellis_server_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter("vec_id = 0").first().embedding]
+    cent = S.ivf_train(emb, n_centroids=4, seed=7)
+    plan = _plan(S.ivf_ann_topk(emb, cent, qvec, 5, nprobe=4))
+    tk = plan.index("TakeOrderedAndProject")
+    assert "Exchange SinglePartition" not in plan[tk:]

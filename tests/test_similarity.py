@@ -183,3 +183,18 @@ def test_ivf_full_probe_is_exact_on_driver_table(spark):
     exact = [r.vec_id for r in S.cosine_topk(emb, qvec, 10).collect()]
     full = [r.vec_id for r in S.ivf_ann_topk(emb, cent, qvec, 10, nprobe=8).collect()]
     assert full == exact  # probing every cell degrades to the exact scan
+
+
+def test_ivf_train_invariant_under_repartitioning(spark):
+    # Round-2 verdict item 3: the codebook must not depend on the input's
+    # physical layout. Content-hash-ordered sampling is partition-
+    # invariant where .limit() (first-partition rows) and .sample()
+    # (per-partition seeded) are not.
+    df = spark.range(3000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 15), j -> CAST(sin(CAST(id AS DOUBLE) * 0.31 "
+        "+ CAST(j AS DOUBLE) * 1.7) AS FLOAT)) AS embedding",
+    )
+    a = S.ivf_train(df.repartition(16), n_centroids=8, seed=7, sample_limit=1000)
+    b = S.ivf_train(df.coalesce(1), n_centroids=8, seed=7, sample_limit=1000)
+    assert np.array_equal(a, b)
