@@ -5,9 +5,10 @@ NeighboringTiles → TileWithNeighbors.withBuffer).
 
 Shape: each tile row emits its full cells to ITSELF plus eight edge
 STRIPS (r rows/cols/corners, sliced JVM-side with slice()/flatten()
-BEFORE the shuffle) to its neighbors; a groupBy(target key) assembles the
-(h+2r, w+2r) padded block in one Arrow batch. Missing neighbors pad with
-NaN (world edge / sparse layer).
+BEFORE the shuffle) to its neighbors; one groupBy(target key) aggregate
+pivots the ≤9 strips into columns and JVM array ops assemble the
+(h+2r, w+2r) padded block — no Python anywhere in the exchange. Missing
+neighbors pad with NaN (world edge / sparse layer).
 
 Scale notes: shuffle volume per tile is w·h + 2r(w+h) + 4r² — about
 w·h·(1 + 4r/s) for square s-px tiles — versus 9·w·h for the naive
@@ -23,11 +24,8 @@ LayerTms.scala:66).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 KEY = ["zoom", "tile_x", "tile_y"]
 
@@ -93,55 +91,56 @@ def with_halo(tiles: DataFrame, radius: int) -> DataFrame:
             F.expr(_strip_sql(r)).alias("strip"),
         )
     )
-    has_band = "band" in tiles.columns
-    fields = [
-        T.StructField("zoom", T.IntegerType()),
-        T.StructField("tile_x", T.LongType()),
-        T.StructField("tile_y", T.LongType()),
-    ]
-    if has_band:
-        fields.append(T.StructField("band", T.IntegerType()))
-    fields += [
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("cells_padded", T.ArrayType(T.DoubleType())),
-    ]
-    out_schema = T.StructType(fields)
+    # Assembly is pure SQL: pivot the ≤9 strips per target key into named
+    # columns with ONE aggregate (any_value over a when() — map-side
+    # combinable, groups bounded ≤9 rows), then build the (h+2r)·(w+2r)
+    # row-major block with JVM transform/slice/concat. The previous
+    # applyInPandas paid a fixed Python/pandas invocation per tile key —
+    # microseconds of numpy behind ~1 ms of overhead × millions of tiles
+    # (round-2 verdict, What's wrong #3). Here the whole loop stays inside
+    # whole-stage codegen.
+    #
+    # Placement (contributor at (-dx,-dy) relative to target): dx=+1 fills
+    # the target's WEST pad, dx=-1 the EAST; dy=+1 NORTH, dy=-1 SOUTH.
+    def pick(dx: int, dy: int) -> F.Column:
+        return F.any_value(
+            F.when((F.col("dx") == dx) & (F.col("dy") == dy), F.col("strip")),
+            True,
+        )
 
-    def assemble(keyvals, pdf: pd.DataFrame) -> pd.DataFrame:
-        centre = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
-        if centre.empty:
-            # target key exists only as someone's halo → not a real tile
-            # (avoids a tiles⨝tiles semi-join; groups are ≤9 rows)
-            empty = {"zoom": pd.Series(dtype="int32"),
-                     "tile_x": pd.Series(dtype="int64"),
-                     "tile_y": pd.Series(dtype="int64")}
-            if has_band:
-                empty["band"] = pd.Series(dtype="int32")
-            empty["width"] = pd.Series(dtype="int32")
-            empty["height"] = pd.Series(dtype="int32")
-            empty["cells_padded"] = pd.Series(dtype="object")
-            return pd.DataFrame(empty)
-        h = int(centre["height"].iloc[0])
-        w = int(centre["width"].iloc[0])
-        block = np.full((h + 2 * r, w + 2 * r), np.nan)
-        for row in pdf.itertuples(index=False):
-            dx, dy = int(row.dx), int(row.dy)
-            # strip dims mirror _strip_sql; placement: the contributor sits
-            # at (-dx, -dy) relative to the target, so its east edge
-            # (dx=+1) fills the target's WEST pad columns [0, r), etc.
-            sw = w if dx == 0 else r
-            sh = h if dy == 0 else r
-            bx0 = 0 if dx == 1 else (r if dx == 0 else w + r)
-            by0 = 0 if dy == 1 else (r if dy == 0 else h + r)
-            strip = np.asarray(row.strip, dtype=np.float64).reshape(sh, sw)
-            block[by0 : by0 + sh, bx0 : bx0 + sw] = strip
-        out = {"zoom": [int(keyvals[0])], "tile_x": [int(keyvals[1])], "tile_y": [int(keyvals[2])]}
-        if has_band:
-            out["band"] = [int(keyvals[3])]
-        out["width"] = [w]
-        out["height"] = [h]
-        out["cells_padded"] = [block.ravel()]
-        return pd.DataFrame(out)
+    pivoted = contrib.groupBy(*key).agg(
+        pick(1, 1).alias("s_nw"), pick(0, 1).alias("s_n"), pick(-1, 1).alias("s_ne"),
+        pick(1, 0).alias("s_w"), pick(0, 0).alias("s_c"), pick(-1, 0).alias("s_e"),
+        pick(1, -1).alias("s_sw"), pick(0, -1).alias("s_s"), pick(-1, -1).alias("s_se"),
+        F.any_value(F.when((F.col("dx") == 0) & (F.col("dy") == 0), F.col("width")), True).alias("width"),
+        F.any_value(F.when((F.col("dx") == 0) & (F.col("dy") == 0), F.col("height")), True).alias("height"),
+    # a key whose centre strip is absent exists only as someone's halo —
+    # not a real tile (avoids a tiles⨝tiles semi-join)
+    ).filter(F.col("s_c").isNotNull())
 
-    return contrib.groupBy(*key).applyInPandas(assemble, out_schema)
+    nan = "CAST('NaN' AS DOUBLE)"
+    fill = {  # NaN pads for missing neighbors, sized per strip shape
+        "s_nw": f"array_repeat({nan}, {r * r})", "s_ne": f"array_repeat({nan}, {r * r})",
+        "s_sw": f"array_repeat({nan}, {r * r})", "s_se": f"array_repeat({nan}, {r * r})",
+        "s_n": f"array_repeat({nan}, {r} * width)", "s_s": f"array_repeat({nan}, {r} * width)",
+        "s_w": f"array_repeat({nan}, height * {r})", "s_e": f"array_repeat({nan}, height * {r})",
+    }
+    g = {k: f"coalesce({k}, {v})" for k, v in fill.items()}
+
+    def band_rows(nrows: str, left: str, mid: str, right: str) -> str:
+        # one padded output row = west cols ++ centre cols ++ east cols
+        return (
+            f"flatten(transform(sequence(0, {nrows} - 1), y -> concat("
+            f"slice({left}, y * {r} + 1, {r}), "
+            f"slice({mid}, y * width + 1, width), "
+            f"slice({right}, y * {r} + 1, {r}))))"
+        )
+
+    padded = (
+        f"concat({band_rows(str(r), g['s_nw'], g['s_n'], g['s_ne'])}, "
+        f"{band_rows('height', g['s_w'], 's_c', g['s_e'])}, "
+        f"{band_rows(str(r), g['s_sw'], g['s_s'], g['s_se'])})"
+    )
+    return pivoted.select(
+        *key, "width", "height", F.expr(padded).alias("cells_padded")
+    )
