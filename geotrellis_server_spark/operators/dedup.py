@@ -66,7 +66,22 @@ def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 4, rows_per_band: int = 2, id_col: str = "doc_id"
 ) -> DataFrame:
     """Band → bucket → within-bucket pairs (a < b). bands*rows_per_band
-    must equal the signature length."""
+    must equal the signature length.
+
+    Skew note (measured, q6 bench): the bucket self-join's output
+    partitioning follows the BUCKET key, so a few giant buckets
+    concentrate most candidate pairs in a few tasks — and the expensive
+    part (the exact array_intersect verify downstream) is broadcast-
+    joined, which AQE's skew splitter cannot rebalance. Candidates are
+    therefore explicitly re-distributed before returning: distinct()
+    (needed anyway when bands > 1 since a pair may collide in several
+    bands) doubles as that exchange; with bands == 1 pairs are already
+    unique, so a plain round-robin rebalance replaces the aggregate.
+    Removing the exchange entirely ran 3× SLOWER at sf0.1 despite doing
+    strictly less work. A fused explode-all-bands single join (the
+    simhash pattern) was also tried and measured 25% slower than the
+    per-band joins + union below — Generate breaks the collapsed
+    signature projection."""
     pair_dfs = []
     for b in range(bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -82,7 +97,7 @@ def lsh_candidate_pairs(
     out = pair_dfs[0]
     for p in pair_dfs[1:]:
         out = out.union(p)
-    return out.distinct()
+    return out.hint("rebalance") if bands == 1 else out.distinct()
 
 
 def jaccard_verify(
@@ -193,6 +208,13 @@ def minhash_dedup_pairs(
     band joins and the candidate joins — nothing proportional to the
     token count."""
     tok_arrays = doc_token_arrays(docs, text_col, id_col)
+    # signature hashing is the CPU-heavy map (k md5s per token): make sure
+    # it parallelizes even when the input is a single small file (one scan
+    # split). Wide inputs (the 100-TB case: thousands of splits) are left
+    # untouched — no shuffle added.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if tok_arrays.rdd.getNumPartitions() < par:
+        tok_arrays = tok_arrays.repartition(par)
     sigs = minhash_signatures_arrays(tok_arrays, k, id_col)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
     if est_margin is not None:
