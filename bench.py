@@ -208,6 +208,11 @@ def run_bench(cores: int) -> dict:
         "sf": _sf_of(SF_DIR),
         "n_docs": n,
         "cores": cores,
+        # noise provenance: per-query values are min-of-n_runs; the host
+        # carries external tenants (load>0 with nothing of ours running),
+        # so compare across rounds with the load note in mind
+        "n_runs": n_runs,
+        "load_avg_1m": round(os.getloadavg()[0], 2),
     }
 
 

@@ -43,8 +43,13 @@ class RequestCache:
                 return hit[1]  # type: ignore[return-value]
             self.misses += 1
         value = fn()  # compute OUTSIDE the lock (Spark jobs are slow)
+        # NOTE: concurrent misses on the same key each compute fn() —
+        # accepted (the reference's caffeine cache behaves the same for
+        # plain get-or-load); last writer wins below.
         with self._lock:
-            self._data[key] = (now, value)
+            # stamp AFTER fn() returns — a slow compute must not eat into
+            # the entry's TTL
+            self._data[key] = (self._clock(), value)
             self._data.move_to_end(key)
             while len(self._data) > self.max_entries:
                 self._data.popitem(last=False)

@@ -68,16 +68,29 @@ class Engine:
     def get_tile_png(self, layer_name: str, z: int, x: int, y: int) -> bytes | None:
         """GetTile + style + PNG encode, memoized on the full request key.
         Returns the PNG bytes of the (z, x, y) tile, or None if the layer
-        has no tile there. The collect is a single request-sized tile."""
-        key = ("tile_png", layer_name, z, x, y)
+        has no tile there. The collect is a single request-sized tile.
+
+        The key carries the Layer OBJECT's identity, so replacing a layer
+        (``set_layer`` or a direct ``engine.layers[name] = ...``) can
+        never serve tiles rendered from the old tables/style; stale
+        entries age out of the 32-entry LRU."""
+        layer = self.layers[layer_name]
+        key = ("tile_png", layer_name, id(layer), z, x, y)
 
         def compute() -> bytes | None:
-            layer = self.layers[layer_name]
             styled = self.render_png(self.get_tile(layer_name, z, x, y), layer.style)
             row = styled.select("png").first()
             return bytes(row.png) if row else None
 
         return self.request_cache.get_or(key, compute)
+
+    def set_layer(self, name: str, layer: Layer) -> None:
+        """Replace (or add) a layer and drop every cached response — the
+        id()-keyed tile entries above would already miss, but histogram/
+        coverage entries keyed by request params alone must not survive a
+        layer swap."""
+        self.layers[name] = layer
+        self.request_cache.invalidate()
 
     # -- catalog resolution (WmsModel.getLayer analog) ---------------------
     def find_layers(self, query: Q.Query) -> list[str]:
@@ -268,7 +281,9 @@ class Engine:
         def to_png(cells, w_s, h_s):
             out = []
             for c, w, h in zip(cells, w_s, h_s):
-                a = np.array([np.nan if v is None else v for v in c], dtype=np.float64).reshape(h, w)
+                # np.asarray maps None -> NaN for float64 directly (the
+                # NoData convention everywhere else) — no per-element loop
+                a = np.asarray(c, dtype=np.float64).reshape(h, w)
                 rgba = (
                     CM.interpolated_colormap(a, poles, clip) if poles else CM.render_rgba(a)
                 )

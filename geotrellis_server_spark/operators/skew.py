@@ -44,12 +44,20 @@ def detect_hot_keys(
     harmless — salting a lukewarm key only adds one tiny merge step.
 
     ``sample_fraction=None`` → exact single-scan variant (same persist
-    trick, no sampling)."""
+    trick, no sampling). When the sample lands too few rows for the
+    statistics to hold (small table — a just-over-threshold key may get
+    ZERO sampled rows), the sampled path falls back to the exact one;
+    the extra scan is cheap exactly when it triggers.
+    """
     src = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction else df
     cut = threshold * (safety_factor if sample_fraction else 1.0)
     cnts = src.groupBy(*key_cols).count().persist()
     try:
         total = cnts.agg(F.sum("count")).first()[0] or 0
+        if sample_fraction and total < 2000:
+            return detect_hot_keys(
+                df, key_cols, threshold, max_keys, sample_fraction=None
+            )
         rows = (
             cnts.filter(F.col("count") >= total * cut)
             .orderBy(F.desc("count"))

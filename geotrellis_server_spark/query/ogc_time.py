@@ -13,6 +13,7 @@ arithmetic, matching the reference's jsr310-based stepping.
 
 from __future__ import annotations
 
+import calendar
 import datetime as dt
 import re
 from dataclasses import dataclass
@@ -39,6 +40,10 @@ def parse_period(s: str) -> tuple[int, int, float]:
         + int(g.get("minutes", 0)) * 60.0
         + float(g.get("seconds", 0.0))
     )
+    if not (months or days or seconds):
+        # P0D etc. parse but denote a zero step — stepping by it never
+        # advances (to_positions would loop forever)
+        raise ValueError(f"zero-length ISO-8601 period: {s!r}")
     return months, days, seconds
 
 
@@ -99,7 +104,11 @@ class OgcTimeInterval:
             total_m = (self.start.month - 1) + months * i
             y = self.start.year + total_m // 12
             mo = total_m % 12 + 1
-            cur = self.start.replace(year=y, month=mo) + dt.timedelta(
+            # jsr310 plusMonths semantics: day-of-month clamps to the
+            # target month's length (Jan 31 + P1M -> Feb 28/29), instead
+            # of datetime.replace raising "day is out of range for month"
+            day = min(self.start.day, calendar.monthrange(y, mo)[1])
+            cur = self.start.replace(year=y, month=mo, day=day) + dt.timedelta(
                 days=days * i, seconds=seconds * i
             )
         return out

@@ -155,3 +155,40 @@ def test_get_tile_png_cached(spark):
     png2 = eng.get_tile_png("density", 2, 1, 1)
     assert png2 == png1
     assert eng.request_cache.misses == misses and eng.request_cache.hits >= 1
+
+
+def test_request_cache_ttl_stamped_after_compute():
+    # ADVICE r2: a slow fn() must not eat into the entry's TTL
+    from geotrellis_server_spark.cache import RequestCache
+
+    t = [0.0]
+    c = RequestCache(max_entries=4, ttl_seconds=10.0, clock=lambda: t[0])
+
+    def slow():
+        t[0] += 9.0  # compute takes 9s of the 10s TTL
+        return "v"
+
+    assert c.get_or("k", slow) == "v"
+    t[0] += 9.0  # 9s after compute finished -> still fresh
+    assert c.get_or("k", lambda: "recomputed") == "v"
+
+
+def test_tile_png_cache_invalidated_on_layer_swap(spark):
+    import dataclasses
+
+    from geotrellis_server_spark.engine import Engine, Layer
+    from geotrellis_server_spark.operators import tiling
+    from geotrellis_server_spark.sources import synth
+
+    d = synth.extract_geometry(synth.docs(spark, 2000))
+    tiles = tiling.rasterize_count(d, 2, tile_size=8).withColumn("band", F.lit(0))
+    eng = Engine(spark, {"density": Layer("density", tiles)})
+    a = eng.get_tile_png("density", 2, 1, 1)
+    hits0 = eng.request_cache.hits
+    assert eng.get_tile_png("density", 2, 1, 1) == a  # cached
+    assert eng.request_cache.hits == hits0 + 1
+    # swap the layer object (same tables) -> must recompute, not serve stale
+    eng.set_layer("density", dataclasses.replace(eng.layers["density"]))
+    misses0 = eng.request_cache.misses
+    eng.get_tile_png("density", 2, 1, 1)
+    assert eng.request_cache.misses == misses0 + 1

@@ -66,3 +66,30 @@ def test_spark_sequence_matches_driver_expansion(spark):
     got = H.interval_to_positions(df, step="P1M").collect()[0].positions
     iv = OgcTimeInterval(dt.datetime(2024, 1, 15), dt.datetime(2024, 4, 20), "P1M")
     assert [p.replace(tzinfo=None) for p in got] == iv.to_positions()
+
+
+def test_to_positions_month_end_clamps():
+    # ADVICE r2: Jan 31 + P1M must clamp to Feb 29/28 (jsr310 plusMonths),
+    # not raise "day is out of range for month"
+    import datetime as dt
+
+    from geotrellis_server_spark.query.ogc_time import OgcTimeInterval
+
+    iv = OgcTimeInterval(dt.datetime(2020, 1, 31), dt.datetime(2020, 4, 30), "P1M")
+    got = iv.to_positions()
+    assert got == [
+        dt.datetime(2020, 1, 31),
+        dt.datetime(2020, 2, 29),
+        dt.datetime(2020, 3, 31),
+        dt.datetime(2020, 4, 30),
+    ]
+
+
+def test_zero_length_period_rejected():
+    import pytest as _pytest
+
+    from geotrellis_server_spark.query.ogc_time import parse_period
+
+    for bad in ("P0D", "PT0S", "P0Y0M0DT0H0M0S"):
+        with _pytest.raises(ValueError):
+            parse_period(bad)
