@@ -12,7 +12,12 @@ formulas:
 - EPSG:326xx / 327xx (WGS84 UTM north/south, all 60 zones) via the
   Karney–Krüger series to n^6 (Karney 2011, "Transverse Mercator with an
   accuracy of a few nanometers"): forward+inverse accurate to sub-mm
-  within ~±40° of the central meridian.
+  within ~±40° of the central meridian,
+- EPSG:3035 (ETRS89-extended / LAEA Europe — the standard European
+  request CRS) via the ellipsoidal Lambert azimuthal equal-area
+  (Snyder 1987 §24, EPSG method 9820),
+- EPSG:3413 / 3031 / 3032 (polar stereographic north/south, EPSG
+  method 9829 variant B — Snyder §21 ellipsoidal).
 
 All transforms route src → lonlat → dst, vectorized over numpy arrays.
 """
@@ -136,6 +141,161 @@ def meridian_arc(lat_deg) -> np.ndarray:
     return _A_RECT * xi
 
 
+# --- Lambert azimuthal equal-area (ellipsoidal, Snyder 1987 §24) -----------
+
+# GRS80 (ETRS89's ellipsoid — e² differs from WGS84 in the 11th decimal)
+A_GRS80 = 6378137.0
+F_GRS80 = 1.0 / 298.257222101
+E2_GRS80 = F_GRS80 * (2.0 - F_GRS80)
+
+
+def _q_auth(sphi, e: float, e2: float):
+    """Authalic-latitude q function (Snyder eq. 3-12)."""
+    return (1.0 - e2) * (
+        sphi / (1.0 - e2 * sphi * sphi)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * sphi) / (1.0 + e * sphi))
+    )
+
+
+def _laea_consts(p: dict) -> tuple[float, float, float, float, float]:
+    """(qp, beta1, Rq, D, e) for a LAEA parameter dict."""
+    a, e2 = p["a"], p["e2"]
+    e = float(np.sqrt(e2))
+    qp = float(_q_auth(1.0, e, e2))
+    phi1 = np.radians(p["lat0"])
+    q1 = float(_q_auth(np.sin(phi1), e, e2))
+    beta1 = float(np.arcsin(q1 / qp))
+    rq = a * float(np.sqrt(qp / 2.0))
+    m1 = float(np.cos(phi1) / np.sqrt(1.0 - e2 * np.sin(phi1) ** 2))
+    d = a * m1 / (rq * np.cos(beta1))
+    return qp, beta1, rq, d, e
+
+
+def laea_forward(lon, lat, p: dict):
+    """Snyder eqs. 24-2..24-19 (oblique ellipsoidal case)."""
+    qp, beta1, rq, d, e = _laea_consts(p)
+    e2 = p["e2"]
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    q = _q_auth(np.sin(phi), e, e2)
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    b = rq * np.sqrt(
+        2.0 / (1.0 + np.sin(beta1) * np.sin(beta) + np.cos(beta1) * np.cos(beta) * np.cos(lam))
+    )
+    x = p["fe"] + b * d * np.cos(beta) * np.sin(lam)
+    y = p["fn"] + (b / d) * (
+        np.cos(beta1) * np.sin(beta) - np.sin(beta1) * np.cos(beta) * np.cos(lam)
+    )
+    return x, y
+
+
+def laea_inverse(x, y, p: dict):
+    qp, beta1, rq, d, e = _laea_consts(p)
+    e2 = p["e2"]
+    xp = np.asarray(x, dtype=np.float64) - p["fe"]
+    yp = np.asarray(y, dtype=np.float64) - p["fn"]
+    rho = np.sqrt((xp / d) ** 2 + (d * yp) ** 2)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+    at_centre = rho == 0.0
+    rho_safe = np.where(at_centre, 1.0, rho)
+    q = qp * (
+        np.cos(ce) * np.sin(beta1) + d * yp * np.sin(ce) * np.cos(beta1) / rho_safe
+    )
+    q = np.where(at_centre, qp * np.sin(beta1), q)
+    lam = np.arctan2(
+        xp * np.sin(ce),
+        d * rho_safe * np.cos(beta1) * np.cos(ce) - d * d * yp * np.sin(beta1) * np.sin(ce),
+    )
+    lam = np.where(at_centre, 0.0, lam)
+    # latitude from authalic q (Snyder eq. 3-16 iteration)
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(6):
+        s = np.sin(phi)
+        phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e2)
+            - s / (1.0 - e2 * s * s)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+    return p["lon0"] + np.degrees(lam), np.degrees(phi)
+
+
+# --- Polar stereographic, variant B (Snyder §21 / EPSG method 9829) ---------
+
+
+def _ps_tf_mf(p: dict) -> tuple[float, float, float]:
+    """(tF, mF, e) at the standard parallel (north-aspect values —
+    south aspects negate the latitude before calling)."""
+    e2 = p["e2"]
+    e = float(np.sqrt(e2))
+    phif = np.radians(abs(p["lat_ts"]))
+    sf = np.sin(phif)
+    tf = float(
+        np.tan(np.pi / 4.0 - phif / 2.0)
+        * ((1.0 + e * sf) / (1.0 - e * sf)) ** (e / 2.0)
+    )
+    mf = float(np.cos(phif) / np.sqrt(1.0 - e2 * sf * sf))
+    return tf, mf, e
+
+
+def ps_forward(lon, lat, p: dict):
+    """Polar stereographic forward; ``p['lat_ts'] < 0`` = south aspect
+    (computed as the north aspect of the mirrored point, y negated)."""
+    south = p["lat_ts"] < 0
+    tf, mf, e = _ps_tf_mf(p)
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    if south:
+        phi = -phi
+    sphi = np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) * (
+        (1.0 + e * sphi) / (1.0 - e * sphi)
+    ) ** (e / 2.0)
+    rho = p["a"] * mf * t / tf
+    x = p["fe"] + rho * np.sin(lam)
+    y = p["fn"] + (rho * np.cos(lam) if south else -rho * np.cos(lam))
+    return x, y
+
+
+def ps_inverse(x, y, p: dict):
+    south = p["lat_ts"] < 0
+    tf, mf, e = _ps_tf_mf(p)
+    e2 = p["e2"]
+    xp = np.asarray(x, dtype=np.float64) - p["fe"]
+    yp = np.asarray(y, dtype=np.float64) - p["fn"]
+    if not south:
+        yp = -yp  # fold both aspects onto the south-style (+y toward pole)
+    rho = np.hypot(xp, yp)
+    t = rho * tf / (p["a"] * mf)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)  # conformal first guess
+    for _ in range(6):
+        s = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+        )
+    lam = np.arctan2(xp, yp)
+    lon = p["lon0"] + np.degrees(lam)
+    lat = np.degrees(-phi if south else phi)
+    return lon, lat
+
+
+# EPSG registry for the closed-form projections above. UTM zones resolve
+# arithmetically in _utm_params; everything else is a parameter dict here.
+CRS_REGISTRY: dict[int, tuple[str, dict]] = {
+    # ETRS89-extended / LAEA Europe (the standard European request CRS)
+    3035: ("laea", {"a": A_GRS80, "e2": E2_GRS80, "lat0": 52.0, "lon0": 10.0,
+                    "fe": 4321000.0, "fn": 3210000.0}),
+    # NSIDC Sea Ice Polar Stereographic North
+    3413: ("ps", {"a": A_WGS84, "e2": E2, "lat_ts": 70.0, "lon0": -45.0,
+                  "fe": 0.0, "fn": 0.0}),
+    # Antarctic Polar Stereographic
+    3031: ("ps", {"a": A_WGS84, "e2": E2, "lat_ts": -71.0, "lon0": 0.0,
+                  "fe": 0.0, "fn": 0.0}),
+    # WGS 84 / Australian Antarctic Polar Stereographic (EPSG 7-2 example)
+    3032: ("ps", {"a": A_WGS84, "e2": E2, "lat_ts": -71.0, "lon0": 70.0,
+                  "fe": 6000000.0, "fn": 6000000.0}),
+}
+
+
 # --- CRS registry / generic transform --------------------------------------
 
 
@@ -146,6 +306,9 @@ def _to_lonlat(x, y, epsg: int):
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     if epsg == 3857:
         return mercator_to_lonlat(x, y)
+    if epsg in CRS_REGISTRY:
+        kind, p = CRS_REGISTRY[epsg]
+        return laea_inverse(x, y, p) if kind == "laea" else ps_inverse(x, y, p)
     lon0, fn = _utm_params(epsg)
     return tm_inverse(x, y, lon0, fn)
 
@@ -157,6 +320,9 @@ def _from_lonlat(lon, lat, epsg: int):
         return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
     if epsg == 3857:
         return lonlat_to_mercator(lon, lat)
+    if epsg in CRS_REGISTRY:
+        kind, p = CRS_REGISTRY[epsg]
+        return laea_forward(lon, lat, p) if kind == "laea" else ps_forward(lon, lat, p)
     lon0, fn = _utm_params(epsg)
     return tm_forward(lon, lat, lon0, fn)
 
