@@ -364,6 +364,38 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, qvec, 20).select("vec_id", "rank")
 
 
+def _q_tile_assign_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM-33N NATIVE pyramid keying (CrsLayoutScheme — the non-
+    WebMercator tile-matrix-set surface, reference
+    GeotrellisTileMatrix.scala:37-49): lon/lat → Karney-series UTM →
+    floor keys over the custom layout. Oracle = constant VALUES derived
+    with the independent Snyder N/T/C/A/M series
+    (scripts/gen_utm_goldens.py)."""
+    from geotrellis_server_spark.grids.layout import CrsLayoutScheme, Extent
+    from geotrellis_server_spark.operators import tiling
+    from geotrellis_server_spark.sources.utm_goldens import (
+        BASE_EXTENT, EPSG, GOLDEN_UTM33, ZOOM)
+
+    lay = CrsLayoutScheme(EPSG, Extent(*BASE_EXTENT), 256).layout(ZOOM)
+    df = spark.createDataFrame(
+        [(pid, lon, lat) for pid, lon, lat, _, _ in GOLDEN_UTM33],
+        "pid BIGINT, lon DOUBLE, lat DOUBLE",
+    )
+    pts = tiling.project_to_epsg(df, EPSG)
+    return tiling.assign_tiles_layout(pts, lay).select("pid", "tile_x", "tile_y")
+
+
+def _tile_assign_utm_oracle() -> str:
+    from geotrellis_server_spark.sources.utm_goldens import GOLDEN_UTM33
+
+    vals = ", ".join(f"({pid}, {tx}, {ty})" for pid, _, _, tx, ty in GOLDEN_UTM33)
+    return f"""
+    SELECT CAST(pid AS BIGINT) AS pid, CAST(tx AS BIGINT) AS tile_x,
+           CAST(ty AS BIGINT) AS tile_y
+    FROM (VALUES {vals}) AS g(pid, tx, ty)
+    """
+
+
 def _q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN exactness contract: probing EVERY cell (nprobe = n_centroids)
     must degrade to the exact scan, so the oracle is plain exact top-k.
@@ -840,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_assign_z8": _q_tile_assign(8),
         "geo_tile_assign_z12": _q_tile_assign(12),
         "geo_tile_assign_golden": _q_tile_assign_golden,
+        "geo_tile_assign_utm33": _q_tile_assign_utm,
         "geo_pip_join_rect": _q_pip_join,
         "geo_pip_zone_agg": _q_pip_zone_agg,
         "geo_knn_ring_k10": _q_knn,
@@ -880,6 +913,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts}) GROUP BY 1, 2
         """,
         "geo_tile_assign_golden": _tile_assign_golden_oracle(),
+        "geo_tile_assign_utm33": _tile_assign_utm_oracle(),
         "geo_tile_assign_z12": f"""
             SELECT {sqlgen.tile_x_sql('lon', 12)} AS tile_x, {sqlgen.tile_y_sql('lat', 12)} AS tile_y,
                    count(*) AS n_docs

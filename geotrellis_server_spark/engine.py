@@ -38,6 +38,10 @@ class Layer:
     expression: M.Expr | None = None  # None → identity (SimpleOgcLayer)
     style: dict | None = None  # {'poles': {...}, 'clip': ...} for the LUT
     sources: dict[str, DataFrame] = field(default_factory=dict)  # MAML vars
+    # None = default WebMercator square pyramid; a CrsLayoutScheme makes
+    # the layer a custom (CRS, extent, tile size) matrix set — request
+    # validation + layout math follow it (GeotrellisTileMatrix parity)
+    scheme: object | None = None
     _meta: dict = field(default_factory=dict, repr=False)  # lazy metadata cache
 
     def meta(self) -> tuple[int, list[int]]:
@@ -124,8 +128,8 @@ class Engine:
         pruning, then kernel eval on the ≤9 tiles involved."""
         from .validate import validate_get_tile
 
-        validate_get_tile(z, x, y)
         layer = self.layers[layer_name]
+        validate_get_tile(z, x, y, scheme=layer.scheme)
         key_filter = (
             (F.col("zoom") == z)
             & F.col("tile_x").between(x - 1, x + 1)

@@ -179,6 +179,52 @@ class ZoomedLayoutScheme:
         return max_zoom
 
 
+class CrsLayoutScheme:
+    """Power-of-two pyramid over an ARBITRARY (CRS, base extent, tile
+    size) — the WMTS custom tile-matrix-set surface (reference:
+    GeotrellisTileMatrix.scala:37-49 builds a LayoutDefinition from any
+    configured matrix set; scale-denominator math at :49). The
+    WebMercator ``ZoomedLayoutScheme`` is the special case
+    (extent = world square, 1×1 at zoom 0).
+
+    Level 0 fits the extent's aspect ratio with near-square tiles
+    (cols0 × rows0); level z has cols0·2^z × rows0·2^z tiles. All key
+    math is plain LayoutDefinition arithmetic, so the SQL floor-keying
+    and partition pruning work unchanged over projected coordinates.
+    """
+
+    def __init__(self, crs_epsg: int, extent: Extent, tile_size: int = TILE_SIZE):
+        self.crs_epsg = int(crs_epsg)
+        self.extent = extent
+        self.tile_size = int(tile_size)
+        if extent.width >= extent.height:
+            self.rows0 = 1
+            self.cols0 = max(1, round(extent.width / extent.height))
+        else:
+            self.cols0 = 1
+            self.rows0 = max(1, round(extent.height / extent.width))
+
+    def layout(self, zoom: int) -> LayoutDefinition:
+        return LayoutDefinition(
+            self.extent, self.cols0 << zoom, self.rows0 << zoom,
+            self.tile_size, self.tile_size,
+        )
+
+    def cell_size(self, zoom: int) -> float:
+        return self.extent.width / ((self.cols0 << zoom) * self.tile_size)
+
+    def scale_denominator(self, zoom: int, metres_per_unit: float = 1.0) -> float:
+        """WMTS scale denominator: cell size over the standardized 0.28 mm
+        pixel (GeotrellisTileMatrix.scala:49)."""
+        return self.cell_size(zoom) * metres_per_unit / 0.00028
+
+    def zoom_for_cell_size(self, cell_size: float, max_zoom: int = 30) -> int:
+        for z in range(max_zoom + 1):
+            if self.cell_size(z) <= cell_size:
+                return z
+        return max_zoom
+
+
 def lonlat_to_mercator(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """EPSG:4326 → EPSG:3857, vectorized. The only reprojection the engine
     needs internally (SURVEY.md R2: one canonical CRS, WebMercator for tile

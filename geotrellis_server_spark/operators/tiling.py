@@ -37,6 +37,51 @@ def tile_counts(points: DataFrame, zoom: int, lon: str = "lon", lat: str = "lat"
     )
 
 
+def project_to_epsg(
+    points: DataFrame, dst_epsg: int, lon: str = "lon", lat: str = "lat",
+    x_col: str = "x", y_col: str = "y",
+) -> DataFrame:
+    """lon/lat → projected (x, y) in any registered CRS, as ONE
+    Arrow-batched pandas UDF (the closed-form numpy transforms in
+    grids.proj — Karney TM / LAEA / polar stereographic aren't
+    SQL-expressible). Emits a struct so the transform runs once per row,
+    not once per output column."""
+    from ..grids import proj
+
+    @F.pandas_udf("x double, y double")
+    def _proj(lo: pd.Series, la: pd.Series) -> pd.DataFrame:
+        x, y = proj.transform(lo.to_numpy(np.float64), la.to_numpy(np.float64),
+                              4326, dst_epsg)
+        return pd.DataFrame({"x": x, "y": y})
+
+    out = points.withColumn("_xy", _proj(F.col(lon), F.col(lat)))
+    return out.withColumn(x_col, F.col("_xy.x")).withColumn(
+        y_col, F.col("_xy.y")
+    ).drop("_xy")
+
+
+def assign_tiles_layout(
+    points: DataFrame, layout, x_col: str = "x", y_col: str = "y",
+) -> DataFrame:
+    """SpatialKey assignment over PROJECTED coordinates for an arbitrary
+    LayoutDefinition (CrsLayoutScheme levels) — plain floor arithmetic,
+    whole-stage codegen, same clamp convention as the WebMercator
+    fragments. The projection itself (if needed) happens upstream in
+    project_to_epsg; layers already stored in a projected CRS key
+    directly."""
+    e = layout.extent
+    tw, th = layout.tile_width, layout.tile_height
+    tx = (
+        f"CAST(greatest(least(floor(({x_col} - CAST({e.xmin!r} AS DOUBLE)) / "
+        f"CAST({tw!r} AS DOUBLE)), {layout.layout_cols - 1}), 0) AS BIGINT)"
+    )
+    ty = (
+        f"CAST(greatest(least(floor((CAST({e.ymax!r} AS DOUBLE) - {y_col}) / "
+        f"CAST({th!r} AS DOUBLE)), {layout.layout_rows - 1}), 0) AS BIGINT)"
+    )
+    return points.withColumn("tile_x", F.expr(tx)).withColumn("tile_y", F.expr(ty))
+
+
 def pixel_index_sql(lon: str, lat: str, zoom: int, tile_size: int = 256) -> tuple[str, str, str, str]:
     """(tile_x, tile_y, px, py) SQL fragments. Global pixel grid at zoom z
     is 2^z * tile_size; within-tile pixel = global - tile * tile_size.

@@ -38,16 +38,23 @@ def validate_get_extent(extent, cell_size, crs: str = "EPSG:4326") -> None:
         raise RequestValidationError(errs)
 
 
-def validate_get_tile(z, x, y, max_zoom: int = 30) -> None:
+def validate_get_tile(z, x, y, max_zoom: int = 30, scheme=None) -> None:
+    """``scheme=None`` validates against the default WebMercator square
+    pyramid (2^z × 2^z); a CrsLayoutScheme/ZoomedLayoutScheme validates
+    against ITS grid dimensions (custom matrix sets are rectangular)."""
     errs = []
     if not (0 <= z <= max_zoom):
         errs.append(f"zoom {z} out of [0, {max_zoom}]")
     else:
-        n = 1 << z
-        if not (0 <= x < n):
-            errs.append(f"tile_x {x} out of [0, {n}) at zoom {z}")
-        if not (0 <= y < n):
-            errs.append(f"tile_y {y} out of [0, {n}) at zoom {z}")
+        if scheme is not None:
+            lay = scheme.layout(z)
+            cols, rows = lay.layout_cols, lay.layout_rows
+        else:
+            cols = rows = 1 << z
+        if not (0 <= x < cols):
+            errs.append(f"tile_x {x} out of [0, {cols}) at zoom {z}")
+        if not (0 <= y < rows):
+            errs.append(f"tile_y {y} out of [0, {rows}) at zoom {z}")
     if errs:
         raise RequestValidationError(errs)
 

@@ -126,3 +126,82 @@ def test_zoom_for_cell_size():
     assert scheme.zoom_for_cell_size(cs5) == 5
     assert scheme.zoom_for_cell_size(cs5 * 0.99) == 6
     assert scheme.zoom_for_cell_size(cs5 * 2) == 4
+
+
+# --- CrsLayoutScheme (non-WebMercator pyramids, r3) -------------------------
+
+
+def test_crs_layout_scheme_grid_shape():
+    from geotrellis_server_spark.grids.layout import CrsLayoutScheme, Extent
+
+    s = CrsLayoutScheme(32633, Extent(0.0, 0.0, 1000000.0, 10000000.0), 256)
+    assert (s.cols0, s.rows0) == (1, 10)
+    lay = s.layout(3)
+    assert (lay.layout_cols, lay.layout_rows) == (8, 80)
+    assert lay.tile_width == 125000.0 and lay.tile_height == 125000.0
+    # key <-> extent roundtrip
+    e = lay.extent_for(4, 40)
+    tx, ty = lay.key_for((e.xmin + e.xmax) / 2, (e.ymin + e.ymax) / 2)
+    assert (tx, ty) == (4, 40)
+    # wide extent flips the aspect
+    s2 = CrsLayoutScheme(3035, Extent(0.0, 0.0, 4000000.0, 1000000.0), 256)
+    assert (s2.cols0, s2.rows0) == (4, 1)
+
+
+def test_crs_layout_scale_denominator():
+    from geotrellis_server_spark.grids.layout import CrsLayoutScheme, Extent
+
+    s = CrsLayoutScheme(32633, Extent(0.0, 0.0, 1000000.0, 10000000.0), 256)
+    # cell size at z0 = 1e6 / 256 m; WMTS pixel = 0.28 mm
+    assert abs(s.scale_denominator(0) - (1000000.0 / 256) / 0.00028) < 1e-6
+    # halves per level
+    assert abs(s.scale_denominator(3) - s.scale_denominator(0) / 8) < 1e-6
+
+
+def test_utm_native_tile_assignment_golden(spark):
+    # 155-point independent golden: Snyder-series expected keys vs the
+    # engine's Karney projection + SQL floor keying
+    from geotrellis_server_spark.grids.layout import CrsLayoutScheme, Extent
+    from geotrellis_server_spark.operators import tiling
+    from geotrellis_server_spark.sources.utm_goldens import (
+        BASE_EXTENT, EPSG, GOLDEN_UTM33, ZOOM)
+
+    lay = CrsLayoutScheme(EPSG, Extent(*BASE_EXTENT), 256).layout(ZOOM)
+    df = spark.createDataFrame(
+        [(pid, lon, lat) for pid, lon, lat, _, _ in GOLDEN_UTM33],
+        "pid BIGINT, lon DOUBLE, lat DOUBLE",
+    )
+    got = {
+        r.pid: (r.tile_x, r.tile_y)
+        for r in tiling.assign_tiles_layout(
+            tiling.project_to_epsg(df, EPSG), lay
+        ).collect()
+    }
+    for pid, _, _, tx, ty in GOLDEN_UTM33:
+        assert got[pid] == (tx, ty), pid
+
+
+def test_engine_get_tile_on_utm_pyramid(spark):
+    # engine surface over a UTM-native pyramid: get_tile is CRS-agnostic
+    # (key equi-join); tile extents are UTM meters from the custom layout
+    import pyspark.sql.functions as F
+
+    from geotrellis_server_spark.engine import Engine, Layer
+    from geotrellis_server_spark.grids.layout import CrsLayoutScheme, Extent
+    from geotrellis_server_spark.sources import synth
+
+    s = CrsLayoutScheme(32633, Extent(0.0, 0.0, 1000000.0, 10000000.0), 8)
+    lay = s.layout(2)
+    rows = []
+    for tx in range(2, 4):
+        for ty in range(30, 32):
+            e = lay.extent_for(tx, ty)
+            cells = [float(tx * 1000 + ty)] * 64
+            rows.append(("utm", 2, tx, ty, 0, 8, 8, e.xmin, e.ymin, e.xmax,
+                         e.ymax, "float64", float("nan"), cells))
+    tiles = spark.createDataFrame(rows, synth.TILE_SCHEMA)
+    eng = Engine(spark, {"utm": Layer("utm", tiles, scheme=s)})
+    got = eng.get_tile("utm", 2, 3, 31).collect()
+    assert len(got) == 1
+    assert got[0].cells[0] == 3031.0
+    assert got[0].xmin == lay.extent_for(3, 31).xmin
