@@ -455,6 +455,57 @@ def _lsh_bucket_oracle() -> str:
     """
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram MinHash-LSH near-dup pairs (the n-gram variant of
+    the word-token pipeline) — same signature/band/verify skeleton, oracle
+    reuses _minhash_oracle with the shingle tokenizer."""
+    from geotrellis_server_spark.operators import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        _read_documents(spark, sf_dir), n=3, threshold=0.5, k=8, bands=4,
+        rows_per_band=2,
+    ).select("a", "b")
+
+
+def _q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs via full-sign-pattern buckets +
+    exact verify; deterministic sin-valued hyperplanes make the bucket
+    membership reproducible in SQL."""
+    from geotrellis_server_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dup_pairs(
+        emb, threshold=0.2, n_planes=10
+    ).select("a", "b")
+
+
+def _near_dup_oracle(threshold: float = 0.2, n_planes: int = 10) -> str:
+    from geotrellis_server_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes)
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH planes(pid, pv) AS (VALUES {vals}),
+    bits AS (SELECT e.vec_id,
+                    string_agg(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pv) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY pid) AS bs
+             FROM embeddings e CROSS JOIN planes GROUP BY e.vec_id),
+    cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+             FROM bits x JOIN bits y ON x.bs = y.bs AND x.vec_id < y.vec_id)
+    SELECT c.a, c.b
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.a
+    JOIN embeddings eb ON eb.vec_id = c.b
+    WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+          >= {threshold}
+    """
+
+
 def _q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row span-sequence signature AFTER join + repartition — the
     input_hint invariant, checked value-for-value by the oracle which
@@ -885,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_classes": _q_simhash,
         "dedup_simhash_hamming_pairs": _q_simhash_hamming,
         "dedup_cluster_assign": _q_cluster_assign,
+        "dedup_ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dedup_embed_near_dup_pairs": _q_embed_near_dup,
         "text_stats": _q_text_stats,
         "text_token_count": _q_token_count,
         "text_fingerprint": _q_fingerprint,
@@ -1036,6 +1089,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_classes": _simhash_oracle(),
         "dedup_cluster_assign": _cluster_assign_oracle(),
         "dedup_simhash_hamming_pairs": _simhash_hamming_oracle(),
+        "dedup_ngram_jaccard_pairs": _minhash_oracle(toks_sql=_NGRAM_TOKS),
+        "dedup_embed_near_dup_pairs": _near_dup_oracle(),
         "text_stats": """
             SELECT doc_id, length(text) AS n_chars,
                    len(string_split(text, ' ')) AS n_tokens,
@@ -1114,7 +1169,15 @@ def _span_invariant_oracle() -> str:
     """
 
 
-def _minhash_oracle(k: int = 8, bands: int = 4, rows: int = 2, thr: float = 0.5) -> str:
+_WORD_TOKS = "SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+_NGRAM_TOKS = (
+    "SELECT DISTINCT doc_id, unnest(list_distinct([substring(text, CAST(i AS INT), 3) "
+    "for i in range(1, greatest(length(text) - 2, 1) + 1)])) AS tok FROM documents"
+)
+
+
+def _minhash_oracle(k: int = 8, bands: int = 4, rows: int = 2, thr: float = 0.5,
+                    toks_sql: str = _WORD_TOKS) -> str:
     sig_cols = ", ".join(f"min(md5(tok || '#{i}')) AS mh{i}" for i in range(k))
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sigs".format(
@@ -1124,7 +1187,7 @@ def _minhash_oracle(k: int = 8, bands: int = 4, rows: int = 2, thr: float = 0.5)
         for b in range(bands)
     )
     return f"""
-    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    WITH toks AS ({toks_sql}),
     sigs AS (SELECT doc_id, {sig_cols} FROM toks GROUP BY doc_id),
     bandt AS ({band_selects}),
     cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
