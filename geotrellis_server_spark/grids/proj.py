@@ -17,7 +17,10 @@ formulas:
   request CRS) via the ellipsoidal Lambert azimuthal equal-area
   (Snyder 1987 §24, EPSG method 9820),
 - EPSG:3413 / 3031 / 3032 (polar stereographic north/south, EPSG
-  method 9829 variant B — Snyder §21 ellipsoidal).
+  method 9829 variant B — Snyder §21 ellipsoidal),
+- EPSG:2154 / 3347 (Lambert conformal conic 2SP — Snyder §15, EPSG
+  method 9802; the conic family behind Lambert-93 and most US state
+  plane zones — new zones are one registry entry).
 
 All transforms route src → lonlat → dst, vectorized over numpy arrays.
 """
@@ -278,6 +281,61 @@ def ps_inverse(x, y, p: dict):
     return lon, lat
 
 
+# --- Lambert conformal conic, 2SP (Snyder §15 / EPSG method 9802) ----------
+
+
+def _lcc_m_t(phi, e: float, e2: float):
+    s = np.sin(phi)
+    m = np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * s) / (1.0 + e * s)
+    ) ** (e / 2.0)
+    return m, t
+
+
+def _lcc_consts(p: dict) -> tuple[float, float, float, float]:
+    """(n, F, rho_F, e) for an LCC-2SP parameter dict (lat1/lat2 standard
+    parallels, lat_f/lon0 false origin)."""
+    e2 = p["e2"]
+    e = float(np.sqrt(e2))
+    m1, t1 = _lcc_m_t(np.radians(p["lat1"]), e, e2)
+    m2, t2 = _lcc_m_t(np.radians(p["lat2"]), e, e2)
+    _, tf = _lcc_m_t(np.radians(p["lat_f"]), e, e2)
+    n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
+    f = float(m1 / (n * t1**n))
+    rho_f = float(p["a"] * f * tf**n)
+    return n, f, rho_f, e
+
+
+def lcc_forward(lon, lat, p: dict):
+    n, f, rho_f, e = _lcc_consts(p)
+    e2 = p["e2"]
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    theta = n * np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    _, t = _lcc_m_t(phi, e, e2)
+    rho = p["a"] * f * t**n
+    x = p["fe"] + rho * np.sin(theta)
+    y = p["fn"] + rho_f - rho * np.cos(theta)
+    return x, y
+
+
+def lcc_inverse(x, y, p: dict):
+    n, f, rho_f, e = _lcc_consts(p)
+    e2 = p["e2"]
+    xp = np.asarray(x, dtype=np.float64) - p["fe"]
+    yp = rho_f - (np.asarray(y, dtype=np.float64) - p["fn"])
+    rho = np.sign(n) * np.hypot(xp, yp)
+    t = (rho / (p["a"] * f)) ** (1.0 / n)
+    theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)  # conformal first guess
+    for _ in range(6):
+        s = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+        )
+    return p["lon0"] + np.degrees(theta / n), np.degrees(phi)
+
+
 # EPSG registry for the closed-form projections above. UTM zones resolve
 # arithmetically in _utm_params; everything else is a parameter dict here.
 CRS_REGISTRY: dict[int, tuple[str, dict]] = {
@@ -293,7 +351,17 @@ CRS_REGISTRY: dict[int, tuple[str, dict]] = {
     # WGS 84 / Australian Antarctic Polar Stereographic (EPSG 7-2 example)
     3032: ("ps", {"a": A_WGS84, "e2": E2, "lat_ts": -71.0, "lon0": 70.0,
                   "fe": 6000000.0, "fn": 6000000.0}),
+    # RGF93 / Lambert-93 (the standard French national CRS) — LCC 2SP
+    2154: ("lcc", {"a": A_GRS80, "e2": E2_GRS80, "lat1": 49.0, "lat2": 44.0,
+                   "lat_f": 46.5, "lon0": 3.0, "fe": 700000.0, "fn": 6600000.0}),
+    # NAD83 / Statistics Canada Lambert
+    3347: ("lcc", {"a": A_GRS80, "e2": E2_GRS80, "lat1": 49.0, "lat2": 77.0,
+                   "lat_f": 63.390675, "lon0": -91.866667,
+                   "fe": 6200000.0, "fn": 3000000.0}),
 }
+
+_KIND_FWD = {"laea": laea_forward, "ps": ps_forward, "lcc": lcc_forward}
+_KIND_INV = {"laea": laea_inverse, "ps": ps_inverse, "lcc": lcc_inverse}
 
 
 # --- CRS registry / generic transform --------------------------------------
@@ -308,7 +376,7 @@ def _to_lonlat(x, y, epsg: int):
         return mercator_to_lonlat(x, y)
     if epsg in CRS_REGISTRY:
         kind, p = CRS_REGISTRY[epsg]
-        return laea_inverse(x, y, p) if kind == "laea" else ps_inverse(x, y, p)
+        return _KIND_INV[kind](x, y, p)
     lon0, fn = _utm_params(epsg)
     return tm_inverse(x, y, lon0, fn)
 
@@ -322,7 +390,7 @@ def _from_lonlat(lon, lat, epsg: int):
         return lonlat_to_mercator(lon, lat)
     if epsg in CRS_REGISTRY:
         kind, p = CRS_REGISTRY[epsg]
-        return laea_forward(lon, lat, p) if kind == "laea" else ps_forward(lon, lat, p)
+        return _KIND_FWD[kind](lon, lat, p)
     lon0, fn = _utm_params(epsg)
     return tm_forward(lon, lat, lon0, fn)
 

@@ -277,3 +277,38 @@ def test_engine_getmap_in_epsg3035(spark):
     ok = ~np.isnan(arr)
     assert ok.mean() > 0.5
     assert np.abs(arr[ok] - exp[ok]).max() < 0.02
+
+
+def test_lcc_epsg_worked_example():
+    # EPSG Guidance 7-2, method 9802 (NAD27 / Texas South Central, Clarke
+    # 1866, US survey feet): 28d30'N 96dW -> E 2963503.91, N 254759.80
+    p = {"a": 20925832.16, "e2": 0.00676866, "lat1": 28 + 23 / 60,
+         "lat2": 30 + 17 / 60, "lat_f": 27 + 50 / 60, "lon0": -99.0,
+         "fe": 2000000.0, "fn": 0.0}
+    x, y = proj.lcc_forward(-96.0, 28.5, p)
+    assert abs(float(x) - 2963503.91) < 0.01
+    assert abs(float(y) - 254759.80) < 0.01
+    lon, lat = proj.lcc_inverse(x, y, p)
+    assert abs(float(lon) + 96.0) < 1e-9 and abs(float(lat) - 28.5) < 1e-9
+
+
+def test_lambert93_roundtrip_and_conformal_scale():
+    rng = np.random.default_rng(5)
+    lons = rng.uniform(-4.5, 8.0, 300)
+    lats = rng.uniform(41.5, 51.0, 300)
+    x, y = proj.transform(lons, lats, 4326, 2154)
+    lo, la = proj.transform(x, y, 2154, 4326)
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+    # conformality: at a standard parallel the scale factor is 1 (check
+    # east-west: 1 arcsec of lon maps to its true parallel-circle length)
+    e2 = proj.E2_GRS80
+    for lat0 in (44.0, 49.0):
+        d = 1.0 / 3600.0
+        (x1, y1) = proj.transform(3.0, lat0, 4326, 2154)
+        (x2, y2) = proj.transform(3.0 + d, lat0, 4326, 2154)
+        phi = np.radians(lat0)
+        nu = proj.A_GRS80 / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        true_len = nu * np.cos(phi) * np.radians(d)
+        got_len = float(np.hypot(x2 - x1, y2 - y1))
+        assert abs(got_len - true_len) / true_len < 1e-7
