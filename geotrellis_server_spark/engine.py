@@ -142,16 +142,24 @@ class Engine:
     def get_extent(self, layer_name: str, extent: tuple, cell_size: float) -> DataFrame:
         """Evaluate at the zoom matching cell_size (overview pruning R5/O3),
         restricted to tiles intersecting the extent (O4), cropped (R6).
-        ``extent`` is in the tiles' CRS (EPSG:3857 for standard pyramids)."""
+        ``extent`` is in the tiles' CRS — EPSG:3857 for standard pyramids,
+        the layer's own CRS when it carries a custom ``scheme``
+        (CrsLayoutScheme matrix sets: zoom selection, key pruning and crop
+        all follow the layer's layout)."""
         from .validate import validate_get_extent
 
-        # CRS here is the tiles' CRS (3857) — only ordering/positivity apply
-        validate_get_extent(extent, cell_size, crs="EPSG:3857")
         layer = self.layers[layer_name]
+        # CRS here is the tiles' CRS — only ordering/positivity apply
+        validate_get_extent(extent, cell_size, crs="projected")
         tile_px, zooms = layer.meta()
-        z = SCHEME.zoom_for_cell_size(cell_size, tile_size=tile_px)
+        if layer.scheme is None:
+            scheme = SCHEME
+            z = scheme.zoom_for_cell_size(cell_size, tile_size=tile_px)
+        else:
+            scheme = layer.scheme
+            z = scheme.zoom_for_cell_size(cell_size)
         z = min(zooms, key=lambda zz: (abs(zz - z), zz)) if zooms else z
-        layout = SCHEME.layout(z)
+        layout = scheme.layout(z)
         e = Extent(*extent)
         tx0, ty0, tx1, ty1 = layout.keys_for_extent(e)
         key_filter = (
@@ -162,7 +170,7 @@ class Engine:
         out = self._eval(layer, key_filter).filter(
             F.col("tile_x").between(tx0, tx1) & F.col("tile_y").between(ty0, ty1)
         )
-        return crop_to_extent(out, extent, lambda zz, tx, ty: SCHEME.layout(zz).extent_for(tx, ty))
+        return crop_to_extent(out, extent, lambda zz, tx, ty: scheme.layout(zz).extent_for(tx, ty))
 
     # -- E1 in an arbitrary request CRS (reference WMS accepts any
     #    supported CRS and returns the raster in it — OgcLayer.scala:82-91)

@@ -205,3 +205,38 @@ def test_engine_get_tile_on_utm_pyramid(spark):
     assert len(got) == 1
     assert got[0].cells[0] == 3031.0
     assert got[0].xmin == lay.extent_for(3, 31).xmin
+
+
+def test_engine_get_extent_on_utm_pyramid(spark):
+    # GetCoverage over a UTM-native matrix set: zoom selection, key-range
+    # pruning and crop all follow the layer's CrsLayoutScheme
+    from geotrellis_server_spark.engine import Engine, Layer
+    from geotrellis_server_spark.grids.layout import CrsLayoutScheme, Extent
+    from geotrellis_server_spark.sources import synth
+
+    s = CrsLayoutScheme(32633, Extent(0.0, 0.0, 1000000.0, 10000000.0), 8)
+    rows = []
+    for z in (1, 2):
+        lay = s.layout(z)
+        for tx in range(lay.layout_cols):
+            for ty in range(12 << (z - 1), 16 << (z - 1)):
+                e = lay.extent_for(tx, ty)
+                cells = [float(z * 100000 + tx * 1000 + ty)] * 64
+                rows.append(("utm", z, tx, ty, 0, 8, 8, e.xmin, e.ymin,
+                             e.xmax, e.ymax, "float64", float("nan"), cells))
+    tiles = spark.createDataFrame(rows, synth.TILE_SCHEMA)
+    eng = Engine(spark, {"utm": Layer("utm", tiles, scheme=s)})
+
+    # request a window at z2 resolution (cell = 1e6/(4*8)/8 m at z2)
+    req = (300000.0, 3200000.0, 560000.0, 3450000.0)
+    got = eng.get_extent("utm", req, s.cell_size(2)).collect()
+    assert got, "window must hit tiles"
+    assert {r.zoom for r in got} == {2}
+    lay2 = s.layout(2)
+    for r in got:
+        e = lay2.extent_for(r.tile_x, r.tile_y)
+        assert e.xmax > req[0] and e.xmin < req[2]
+        assert e.ymax > req[1] and e.ymin < req[3]
+    # zoom selection picks z1 for a coarse request
+    coarse = eng.get_extent("utm", req, s.cell_size(1)).collect()
+    assert coarse and {r.zoom for r in coarse} == {1}
