@@ -231,6 +231,35 @@ def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding",
     return df.withColumn(cell_col, cell_of(F.col(vec_col)))
 
 
+def ivf_write_partitioned(
+    df: DataFrame, centroids, path: str, vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> None:
+    """Materialize the corpus PARTITIONED BY the IVF cell — the 100-TB
+    layout: each coarse-quantizer cell is a parquet partition directory,
+    so an nprobe-cell probe is pure partition pruning (the scan never
+    opens the other cells' files). ``ivf_read_probe`` below shows the
+    matching read path; tests assert PartitionFilters reach the scan."""
+    assigned = ivf_assign(df, centroids, vec_col, cell_col)
+    assigned.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+
+
+def ivf_read_probe(
+    spark, path: str, centroids, query_vec: list[float], k: int,
+    nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Probe an ivf_write_partitioned layout: filter on the partition
+    column (pruned at planning time), then exact top-k within the probed
+    cells."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in np.argsort(-(cent @ q))[: int(nprobe)]]
+    scanned = spark.read.parquet(path).filter(F.col(cell_col).isin(probes))
+    return cosine_topk(scanned.drop(cell_col), query_vec, k, id_col, vec_col)
+
+
 def ivf_ann_topk(
     df: DataFrame, centroids, query_vec: list[float], k: int,
     nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",

@@ -198,3 +198,23 @@ def test_ivf_train_invariant_under_repartitioning(spark):
     a = S.ivf_train(df.repartition(16), n_centroids=8, seed=7, sample_limit=1000)
     b = S.ivf_train(df.coalesce(1), n_centroids=8, seed=7, sample_limit=1000)
     assert np.array_equal(a, b)
+
+
+def test_ivf_partitioned_layout_prunes_partitions(spark, tmp_path):
+    # the 100-TB shape: cells-as-partition-dirs; a probe's cell filter
+    # must appear as PartitionFilters in the scan (planning-time pruning,
+    # not a post-scan filter) and the probe result must equal the
+    # in-memory ivf_ann_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter("vec_id = 3").first().embedding]
+    cent = S.ivf_train(emb, n_centroids=8, seed=7)
+    path = str(tmp_path / "ivf_layout")
+    S.ivf_write_partitioned(emb, cent, path)
+
+    got = S.ivf_read_probe(spark, path, cent, qvec, 10, nprobe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "ivf_cell" in pf  # pruning reaches the scan
+    mem = S.ivf_ann_topk(S.ivf_assign(emb, cent, cell_col="_ivf_cell"),
+                         cent, qvec, 10, nprobe=3, cell_col="_ivf_cell")
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
