@@ -270,15 +270,34 @@ class Engine:
                 nw = layout.extent_for(int(k[0]), int(k[1]))
                 se = layout.extent_for(int(k[2]), int(k[3]))
                 ext = (nw.xmin, se.ymin, se.xmax, nw.ymax)
-            out.append(
-                {
-                    "name": name,
-                    "zooms": zooms,
-                    "extent": tuple(ext),
-                    "expression": layer.expression.to_dict() if layer.expression else None,
-                    "styled": layer.style is not None,
+            entry = {
+                "name": name,
+                "zooms": zooms,
+                "extent": tuple(ext),
+                "expression": layer.expression.to_dict() if layer.expression else None,
+                "styled": layer.style is not None,
+            }
+            if layer.scheme is not None:
+                # WMTS tile-matrix-set metadata (GeotrellisTileMatrix
+                # capabilities analog): CRS + per-zoom grid dims and
+                # scale denominators (0.28 mm standardized pixel)
+                s = layer.scheme
+                entry["matrix_set"] = {
+                    "crs_epsg": getattr(s, "crs_epsg", 3857),
+                    "extent": (s.extent.xmin, s.extent.ymin,
+                               s.extent.xmax, s.extent.ymax),
+                    "tile_size": s.tile_size,
+                    "matrices": [
+                        {
+                            "zoom": z,
+                            "cols": s.layout(z).layout_cols,
+                            "rows": s.layout(z).layout_rows,
+                            "scale_denominator": s.scale_denominator(z),
+                        }
+                        for z in zooms
+                    ],
                 }
-            )
+            out.append(entry)
         return out
 
     # -- render (E1 tail): tiles → PNG bytes --------------------------------

@@ -240,3 +240,24 @@ def test_engine_get_extent_on_utm_pyramid(spark):
     # zoom selection picks z1 for a coarse request
     coarse = eng.get_extent("utm", req, s.cell_size(1)).collect()
     assert coarse and {r.zoom for r in coarse} == {1}
+
+
+def test_describe_exposes_matrix_set(spark):
+    from geotrellis_server_spark.engine import Engine, Layer
+    from geotrellis_server_spark.grids.layout import CrsLayoutScheme, Extent
+    from geotrellis_server_spark.sources import synth
+
+    s = CrsLayoutScheme(32633, Extent(0.0, 0.0, 1000000.0, 10000000.0), 8)
+    lay = s.layout(2)
+    e = lay.extent_for(2, 24)
+    tiles = spark.createDataFrame(
+        [("utm", 2, 2, 24, 0, 8, 8, e.xmin, e.ymin, e.xmax, e.ymax,
+          "float64", float("nan"), [1.0] * 64)], synth.TILE_SCHEMA)
+    eng = Engine(spark, {"utm": Layer("utm", tiles, scheme=s)})
+    (d,) = eng.describe()
+    ms = d["matrix_set"]
+    assert ms["crs_epsg"] == 32633
+    assert ms["matrices"] == [{
+        "zoom": 2, "cols": 4, "rows": 40,
+        "scale_denominator": s.scale_denominator(2),
+    }]
