@@ -356,6 +356,27 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_read_documents(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (size 50, overlap 10) — the training-corpus
+    context-window preparation step; row-local, zero shuffle."""
+    from geotrellis_server_spark.operators import text
+
+    return text.chunk_documents(
+        _read_documents(spark, sf_dir), size=50, overlap=10
+    ).select("doc_id", "chunk_id", "chunk", "n_chunk_tokens")
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val/test split — a pure function of
+    (id, salt), reproduced exactly by the oracle via the same md5-hex
+    string thresholds."""
+    from geotrellis_server_spark.operators import text
+
+    return text.split_assign(
+        _read_documents(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotrellis_server_spark.operators import similarity
 
@@ -942,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_token_count,
         "text_fingerprint": _q_fingerprint,
         "text_lang_id": _q_lang_id,
+        "text_chunk_windows": _q_chunk_documents,
+        "text_split_assign": _q_split_assign,
         "sim_cosine_topk20": _q_cosine_topk,
         "sim_ivf_full_probe": _q_ivf_full_probe,
         "sim_lsh_ann_bucket": _q_lsh_ann_bucket,
@@ -1110,6 +1133,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_lang_id": _lang_id_oracle(),
+        "text_chunk_windows": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            n AS (SELECT doc_id, toks,
+                         greatest(CAST(ceil((len(toks) - 10) / 40.0) AS INT), 1) AS nw
+                  FROM t),
+            w AS (SELECT doc_id, toks, unnest(range(0, nw)) AS i FROM n)
+            SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                   array_to_string(toks[(i*40+1):(i*40+50)], ' ') AS chunk,
+                   CAST(len(toks[(i*40+1):(i*40+50)]) AS INT) AS n_chunk_tokens
+            FROM w
+        """,
+        "text_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN h < 'cccd' THEN 'train'
+                        WHEN h < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         substr(md5(CAST(doc_id AS VARCHAR) || '#split-v1'), 1, 4) AS h
+                  FROM documents)
+        """,
         "sim_ivf_full_probe": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
             s AS (SELECT vec_id,

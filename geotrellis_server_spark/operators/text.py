@@ -100,3 +100,62 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.md5(norm).alias("fingerprint"),
         F.concat(*parts).alias("sketch8"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = 50, overlap: int = 10,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window chunking — split each document into overlapping
+    whitespace-token windows (the standard training-corpus preparation
+    step: a 100-TB corpus chunks to fixed context windows before
+    tokenization). Returns (id, chunk_id, chunk, n_chunk_tokens).
+
+    Pure built-in SQL (split / sequence / slice / array_join inside
+    posexplode) — whole-stage codegen, zero shuffle: chunking is a
+    row-local map, so it composes with any upstream scan at any scale.
+    The last window keeps the tail (may be shorter than ``size``)."""
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    step = size - overlap
+    toks = f"split({text_col}, ' ')"
+    n_win = (
+        f"greatest(CAST(ceil((size({toks}) - {overlap}) / CAST({step} AS DOUBLE)) AS INT), 1)"
+    )
+    windows = (
+        f"transform(sequence(0, {n_win} - 1), "
+        f"i -> array_join(slice({toks}, i * {step} + 1, {size}), ' '))"
+    )
+    out = docs.select(
+        F.col(id_col), F.expr(f"posexplode({windows}) AS (chunk_id, chunk)")
+    )
+    return out.withColumn(
+        "n_chunk_tokens", F.size(F.split(F.col("chunk"), " "))
+    )
+
+
+def split_assign(
+    docs: DataFrame, weights: dict[str, float] | None = None,
+    id_col: str = "doc_id", salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by CONTENT HASH of the id —
+    the split is a pure function of (id, salt): stable across runs,
+    partitionings, cluster sizes, and engines (md5 hex is identical in
+    Spark and DuckDB, so the oracle reproduces it exactly). Weights
+    quantize to 1/65536 via 4-hex-digit string thresholds — string
+    comparison, no integer hex parsing (portable).
+
+    Row-local map: no shuffle at any scale; downstream consumers filter
+    on the split column (partition it at write time for pruning)."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {weights}")
+    h = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))), 1, 4)
+    items = list(weights.items())
+    cum, expr = 0.0, None
+    for name, w in items[:-1]:
+        cum += w
+        thr = format(int(round(cum * 65536)), "04x")
+        expr = F.when(h < thr, name) if expr is None else expr.when(h < thr, name)
+    expr = items[-1][0] if expr is None else expr.otherwise(items[-1][0])
+    return docs.select(F.col(id_col), F.lit(expr).alias("split") if isinstance(expr, str) else expr.alias("split"))

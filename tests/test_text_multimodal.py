@@ -175,3 +175,53 @@ def test_video_frame_sampling(spark):
              for r in MM.sample_frames(vids, n_frames=3).collect()}
     for r in frames:
         assert again[(r.media_ref, r.frame_no)] == list(r.pixels)
+
+
+def test_chunk_documents_windows(spark):
+    from geotrellis_server_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(95))), (1, "a b"), (2, "only")],
+        "doc_id LONG, text STRING",
+    )
+    rows = text.chunk_documents(df, size=50, overlap=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: 95 tokens -> ceil((95-10)/40)=3 windows at offsets 0/40/80
+    w0 = sorted(by_doc[0], key=lambda r: r.chunk_id)
+    assert [r.n_chunk_tokens for r in w0] == [50, 50, 15]
+    assert w0[0].chunk.split(" ")[0] == "t0"
+    assert w0[1].chunk.split(" ")[0] == "t40"
+    assert w0[2].chunk.split(" ")[-1] == "t94"
+    # overlap: last 10 tokens of window 0 = first 10 of window 1
+    assert w0[0].chunk.split(" ")[-10:] == w0[1].chunk.split(" ")[:10]
+    # short docs -> exactly one window, tail kept
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 2
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk == "only"
+    # no shuffle: chunking must plan without Exchange
+    plan = text.chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_split_assign_deterministic_and_weighted(spark):
+    from geotrellis_server_spark.operators import text
+
+    df = spark.range(20000).selectExpr("id AS doc_id")
+    a = text.split_assign(df).groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in a}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.01
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20000 - 0.1) < 0.01
+    # pure function of (id, salt): repartitioning cannot move a doc
+    one = {r.doc_id: r.split for r in text.split_assign(df.repartition(16)).collect()}
+    two = {r.doc_id: r.split for r in text.split_assign(df.coalesce(1)).collect()}
+    assert one == two
+    # different salt -> different assignment (not all docs though)
+    other = {r.doc_id: r.split
+             for r in text.split_assign(df, salt="split-v2").collect()}
+    assert one != other
+    # weights must sum to 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        text.split_assign(df, {"train": 0.5, "test": 0.4})
