@@ -377,6 +377,34 @@ def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balancing: deterministic per-stratum sampling keyed by the
+    language-ID prediction (keep all 'en', 25% of 'und', 50% otherwise) —
+    a pure function of (id, salt, stratum), so the oracle reproduces the
+    kept rows exactly."""
+    from geotrellis_server_spark.operators import text
+
+    d = _read_documents(spark, sf_dir)
+    lang = text.lang_id(d).select("doc_id", "lang_pred")
+    return text.stratified_sample(
+        d.join(lang, "doc_id"), {"en": 1.0, "und": 0.25}, "lang_pred",
+        default_rate=0.5,
+    ).select("doc_id", "lang_pred")
+
+
+def _stratified_sample_oracle() -> str:
+    return f"""
+    WITH l AS ({_lang_id_oracle()}),
+    h AS (SELECT doc_id, lang_pred,
+                 substr(md5(CAST(doc_id AS VARCHAR) || '#sample-v1'), 1, 4) AS hh
+          FROM l)
+    SELECT doc_id, lang_pred FROM h
+    WHERE (lang_pred = 'en')
+       OR (lang_pred = 'und' AND hh < '4000')
+       OR (lang_pred NOT IN ('en', 'und') AND hh < '8000')
+    """
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotrellis_server_spark.operators import similarity
 
@@ -965,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "text_chunk_windows": _q_chunk_documents,
         "text_split_assign": _q_split_assign,
+        "text_stratified_sample": _q_stratified_sample,
         "sim_cosine_topk20": _q_cosine_topk,
         "sim_ivf_full_probe": _q_ivf_full_probe,
         "sim_lsh_ann_bucket": _q_lsh_ann_bucket,
@@ -1153,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
                          substr(md5(CAST(doc_id AS VARCHAR) || '#split-v1'), 1, 4) AS h
                   FROM documents)
         """,
+        "text_stratified_sample": _stratified_sample_oracle(),
         "sim_ivf_full_probe": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
             s AS (SELECT vec_id,

@@ -159,3 +159,32 @@ def split_assign(
         expr = F.when(h < thr, name) if expr is None else expr.when(h < thr, name)
     expr = items[-1][0] if expr is None else expr.otherwise(items[-1][0])
     return docs.select(F.col(id_col), F.lit(expr).alias("split") if isinstance(expr, str) else expr.alias("split"))
+
+
+def stratified_sample(
+    docs: DataFrame, rates: dict[str, float], stratum_col: str,
+    id_col: str = "doc_id", salt: str = "sample-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — keep a row iff the md5 hash of
+    (id, salt) falls under the stratum's rate threshold. The standard
+    corpus-balancing step (e.g. downsample boilerplate-heavy strata,
+    upweight rare languages by keeping 100%): a pure function of
+    (id, salt, stratum), so re-runs, retries, and different partitionings
+    keep EXACTLY the same rows, and the oracle reproduces the sample
+    row-for-row. Row-local: no shuffle, composes with any scan.
+
+    ``rates``: stratum value → keep fraction in [0, 1], quantized to
+    1/65536 (4 md5 hex digits compared as strings — portable)."""
+    h = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))), 1, 4)
+
+    def thr(rate: float) -> str:
+        return format(int(round(min(max(rate, 0.0), 1.0) * 65536)), "04x")
+
+    expr = None
+    for stratum, rate in rates.items():
+        cond = F.col(stratum_col) == stratum
+        branch = h < thr(rate) if rate < 1.0 else F.lit(True)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    expr = expr.otherwise(h < thr(default_rate) if default_rate < 1.0 else F.lit(True))
+    return docs.filter(expr)

@@ -225,3 +225,26 @@ def test_split_assign_deterministic_and_weighted(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         text.split_assign(df, {"train": 0.5, "test": 0.4})
+
+
+def test_stratified_sample_deterministic(spark):
+    import pyspark.sql.functions as F
+
+    from geotrellis_server_spark.operators import text
+
+    df = spark.range(10000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS g")
+    out = text.stratified_sample(df, {"a": 1.0, "b": 0.25}, "g", default_rate=0.0)
+    counts = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts["a"] == df.filter("g = 'a'").count()  # rate 1.0 keeps all
+    assert abs(counts["b"] / df.filter("g = 'b'").count() - 0.25) < 0.03
+    assert "c" not in counts  # default_rate 0 drops the rest
+    # partition-invariant: identical kept set under different layouts
+    k1 = {r.doc_id for r in text.stratified_sample(
+        df.repartition(16), {"a": 1.0, "b": 0.25}, "g").collect()}
+    k2 = {r.doc_id for r in text.stratified_sample(
+        df.coalesce(1), {"a": 1.0, "b": 0.25}, "g").collect()}
+    assert k1 == k2
+    # no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
