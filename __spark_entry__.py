@@ -405,6 +405,73 @@ def _stratified_sample_oracle() -> str:
     """
 
 
+def _q_pretrain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data curation pipeline — the composition a
+    100-TB corpus actually runs: exact-dedup survivors → quality filter
+    (text_stats score ≥ 0.3) → language ID → deterministic split
+    assignment → per-(split, lang) doc counts + token budget. Every stage
+    is one of the engine's own operators; the oracle re-derives the whole
+    pipeline in SQL."""
+    from geotrellis_server_spark.operators import dedup, text
+
+    d = _read_documents(spark, sf_dir)
+    stats = text.text_stats(d).select("doc_id", "quality_score", "n_tokens")
+    lang = text.lang_id(d).select("doc_id", "lang_pred")
+    surv = dedup.exact_dedup(d).select(F.col("survivor_id").alias("doc_id"))
+    splits = text.split_assign(d)
+    kept = (
+        d.select("doc_id")
+        .join(surv, "doc_id")
+        .join(stats, "doc_id")
+        .filter("quality_score >= 0.3")
+        .join(lang, "doc_id")
+        .join(splits, "doc_id")
+    )
+    return kept.groupBy("split", "lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def _pretrain_curation_oracle() -> str:
+    from geotrellis_server_spark.operators.text import STOPWORDS
+
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    # mirrors text_stats' expression tree exactly (same IEEE operation
+    # order) so threshold comparisons agree bit-for-bit
+    q = f"""
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           CASE WHEN len(string_split(text, ' ')) < 3 THEN 0.0 ELSE
+             least(1.0, len(string_split(text, ' ')) / 64.0) * 0.5
+             + least(1.0, (CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ({stop_arr}))) AS DOUBLE)
+                 / len(string_split(text, ' '))) * 4.0) * 0.3
+             + (1.0 - least(1.0, (CAST(length(text)
+                 - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                 / length(text)) * 10.0)) * 0.2
+           END AS quality_score
+    FROM documents
+    """
+    return f"""
+    WITH q AS ({q}),
+    l AS ({_lang_id_oracle()}),
+    surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    sp AS (SELECT doc_id,
+                  CASE WHEN h < 'cccd' THEN 'train'
+                       WHEN h < 'e666' THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                        substr(md5(CAST(doc_id AS VARCHAR) || '#split-v1'), 1, 4) AS h
+                 FROM documents))
+    SELECT sp.split, l.lang_pred, count(*) AS n_docs,
+           CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens
+    FROM surv
+    JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN sp USING (doc_id)
+    WHERE q.quality_score >= 0.3
+    GROUP BY 1, 2
+    """
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotrellis_server_spark.operators import similarity
 
@@ -994,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_windows": _q_chunk_documents,
         "text_split_assign": _q_split_assign,
         "text_stratified_sample": _q_stratified_sample,
+        "pipeline_pretrain_curation": _q_pretrain_curation,
         "sim_cosine_topk20": _q_cosine_topk,
         "sim_ivf_full_probe": _q_ivf_full_probe,
         "sim_lsh_ann_bucket": _q_lsh_ann_bucket,
@@ -1183,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
         """,
         "text_stratified_sample": _stratified_sample_oracle(),
+        "pipeline_pretrain_curation": _pretrain_curation_oracle(),
         "sim_ivf_full_probe": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
             s AS (SELECT vec_id,

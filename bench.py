@@ -159,6 +159,28 @@ def run_bench(cores: int) -> dict:
         "q8_text_stats",
         lambda: text.text_stats(documents).write.mode("overwrite").format("noop").save(),
     )
+    timed(
+        "q12_chunk_windows",
+        lambda: text.chunk_documents(documents, size=50, overlap=10)
+        .write.mode("overwrite").format("noop").save(),
+    )
+
+    def _pretrain_curation():
+        from pyspark.sql import functions as FF
+
+        from geotrellis_server_spark.operators import dedup as dd
+
+        stats = text.text_stats(documents).select("doc_id", "quality_score", "n_tokens")
+        lang = text.lang_id(documents).select("doc_id", "lang_pred")
+        surv = dd.exact_dedup(documents).select(FF.col("survivor_id").alias("doc_id"))
+        splits = text.split_assign(documents)
+        (documents.select("doc_id").join(surv, "doc_id").join(stats, "doc_id")
+         .filter("quality_score >= 0.3").join(lang, "doc_id").join(splits, "doc_id")
+         .groupBy("split", "lang_pred")
+         .agg(FF.count("*").alias("n_docs"), FF.sum("n_tokens").alias("total_tokens"))
+         .write.mode("overwrite").format("noop").save())
+
+    timed("q13_pretrain_curation", _pretrain_curation)
 
     # q9 — focal map algebra over a rasterized pyramid level: halo join +
     # fused numpy kernel (the reference's FocalMean neighborhood read)
