@@ -261,3 +261,55 @@ def test_describe_exposes_matrix_set(spark):
         "zoom": 2, "cols": 4, "rows": 40,
         "scale_denominator": s.scale_denominator(2),
     }]
+
+
+def test_rasterize_count_layout_utm_golden(spark):
+    # density rasterization over the UTM matrix set: per-pixel counts
+    # must match a numpy brute-force rasterization of the SAME projected
+    # points (projection via the independent Snyder series)
+    import numpy as np
+
+    from geotrellis_server_spark.grids.layout import CrsLayoutScheme, Extent
+    from geotrellis_server_spark.operators import tiling
+    from geotrellis_server_spark.sources.utm_goldens import (
+        BASE_EXTENT, EPSG, GOLDEN_UTM33)
+    from scripts.gen_utm_goldens import snyder_tm_forward
+
+    s = CrsLayoutScheme(EPSG, Extent(*BASE_EXTENT), 16)
+    zoom = 3
+    lay = s.layout(zoom)
+    df = spark.createDataFrame(
+        [(pid, lon, lat) for pid, lon, lat, _, _ in GOLDEN_UTM33],
+        "pid BIGINT, lon DOUBLE, lat DOUBLE",
+    )
+    tiles = tiling.rasterize_count_layout(
+        tiling.project_to_epsg(df, EPSG), s, zoom).collect()
+
+    # brute force with Snyder coordinates (within ~1e-8 of Karney's --
+    # goldens were filtered to sit clear of tile boundaries; pixel
+    # boundaries are 16x finer, so re-filter points near pixel edges)
+    exp = {}
+    ts, gw, gh = 16, lay.layout_cols * 16, lay.layout_rows * 16
+    cw, chh = lay.cell_width, lay.cell_height
+    checked = 0
+    for pid, lon, lat, _, _ in GOLDEN_UTM33:
+        x, y = snyder_tm_forward(lon, lat)
+        fx = (x - lay.extent.xmin) / cw
+        fy = (lay.extent.ymax - y) / chh
+        if min(abs(fx - round(fx)), abs(fy - round(fy))) < 1e-6:
+            continue  # too close to a pixel boundary for cross-series cmp
+        gx = min(max(int(np.floor(fx)), 0), gw - 1)
+        gy = min(max(int(np.floor(fy)), 0), gh - 1)
+        exp[(gx // ts, gy // ts, (gy % ts) * ts + gx % ts)] = (
+            exp.get((gx // ts, gy // ts, (gy % ts) * ts + gx % ts), 0) + 1)
+        checked += 1
+    assert checked > 140
+    got = {}
+    for r in tiles:
+        cells = np.asarray(r.cells)
+        for pix in np.nonzero(cells)[0]:
+            got[(r.tile_x, r.tile_y, int(pix))] = int(cells[pix])
+    for k, v in exp.items():
+        assert got.get(k) == v, k
+    # total mass conserved
+    assert sum(got.values()) == len(GOLDEN_UTM33)
