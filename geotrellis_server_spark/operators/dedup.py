@@ -263,12 +263,28 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` —
-    banded pigeonhole LSH, NOT an all-pairs join: the signature splits
-    into ``n_bands`` (default max_hamming+1) contiguous bands; two
-    signatures within Hamming distance max_hamming must agree EXACTLY on
-    at least one band (pigeonhole), so a per-band bucket self-join finds
-    every true pair, and the exact Hamming verify runs on candidates
-    only. Returns (a, b, hamming) with a < b.
+    see hamming_pairs_from_sigs for the banded pigeonhole LSH."""
+    sigs = simhash_signatures(doc_tokens(docs, text_col, id_col), n_bits, id_col)
+    return hamming_pairs_from_sigs(sigs, n_bits, max_hamming, n_bands,
+                                   id_col, "simhash")
+
+
+def hamming_pairs_from_sigs(
+    sigs: DataFrame,
+    n_bits: int,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Near-dup pairs over ANY bit-string signature column (simhash,
+    image dhash, …) by Hamming distance ≤ ``max_hamming`` — banded
+    pigeonhole LSH, NOT an all-pairs join: the signature splits into
+    ``n_bands`` (default max_hamming+1) contiguous bands; two signatures
+    within Hamming distance max_hamming must agree EXACTLY on at least
+    one band (pigeonhole), so a per-band bucket self-join finds every
+    true pair, and the exact Hamming verify runs on candidates only.
+    Returns (a, b, hamming) with a < b.
 
     All JVM-side (substring bands, sequence/filter Hamming count) —
     whole-stage codegen, no UDF."""
@@ -276,7 +292,8 @@ def simhash_hamming_pairs(
     if n_bits % n_bands:
         raise ValueError(f"n_bits={n_bits} not divisible by n_bands={n_bands}")
     width = n_bits // n_bands
-    sigs = simhash_signatures(doc_tokens(docs, text_col, id_col), n_bits, id_col)
+    if sig_col != "simhash":
+        sigs = sigs.withColumnRenamed(sig_col, "simhash")
 
     banded = sigs.select(
         F.col(id_col),

@@ -170,6 +170,64 @@ def resize_images(media: DataFrame, size: tuple[int, int] = (4, 4)) -> DataFrame
     return media.mapInPandas(run, schema)
 
 
+def image_dhash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual image hash (dHash): grayscale → (hs × hs+1)
+    nearest-neighbor downsample → horizontal-gradient sign bits, returned
+    as an ``hs*hs`` '0'/'1' string. Robust to re-encoding, resizing and
+    small brightness shifts; Hamming distance between dhashes ≈ visual
+    difference. Decode is REAL for PNG payloads. Pure numpy per Arrow
+    batch — no image libs needed.
+
+    Pairs well with dedup.hamming_pairs_from_sigs (banded pigeonhole LSH)
+    for image near-dup detection at corpus scale — bit-string signatures
+    are the shuffle key, never the pixels."""
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("dhash", T.StringType()),
+        ]
+    )
+    hs = int(hash_size)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, kind, payload in zip(pdf["media_ref"], pdf["kind"], pdf["payload"]):
+                if kind != "image":
+                    continue
+                img = _decode_image(bytes(payload))
+                gray = img.astype(np.float64).mean(axis=-1)
+                h, w = gray.shape
+                yi = (np.arange(hs) * h // hs)[:, None]
+                xi = (np.arange(hs + 1) * w // (hs + 1))[None, :]
+                small = gray[yi, xi]
+                bits = (small[:, 1:] > small[:, :-1]).ravel()
+                rows.append((ref, "".join("1" if b else "0" for b in bits)))
+            yield pd.DataFrame(rows, columns=["media_ref", "dhash"])
+
+    return media.mapInPandas(run, schema)
+
+
+def image_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 4, hash_size: int = 8,
+) -> DataFrame:
+    """Image near-duplicate pairs by dHash Hamming distance — the
+    multimodal analog of text simhash dedup, sharing the same banded
+    pigeonhole LSH (no all-pairs join; exact verify on candidates)."""
+    from .dedup import hamming_pairs_from_sigs
+
+    n_bits = hash_size * hash_size
+    # pigeonhole needs n_bands > max_hamming AND n_bands | n_bits:
+    # smallest such divisor keeps candidate volume lowest
+    n_bands = next(
+        b for b in range(max_hamming + 1, n_bits + 1) if n_bits % b == 0
+    )
+    sigs = image_dhash(media, hash_size)
+    return hamming_pairs_from_sigs(
+        sigs, n_bits, max_hamming, n_bands, "media_ref", "dhash"
+    )
+
+
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame sampling for video payloads (north-rule op): pick n_frames
     evenly spaced frames and decode each to pixels + a tiny feature.

@@ -248,3 +248,62 @@ def test_stratified_sample_deterministic(spark):
     # no shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_image_dhash_and_near_dup_pairs(spark):
+    # real PNG path: encode deterministic images, perturb brightness
+    # slightly -> dhash must match within a few bits; a structurally
+    # different image must be far
+    import numpy as np
+
+    from geotrellis_server_spark.operators import multimodal as MM
+    from geotrellis_server_spark.styles.png import encode_png
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 200, (16, 16, 3)).astype(np.uint8)
+    bright = np.clip(base.astype(np.int32) + 3, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    rows = [
+        ("img-a", "image", bytearray(encode_png(base)), {}),
+        ("img-b", "image", bytearray(encode_png(bright)), {}),
+        ("img-c", "image", bytearray(encode_png(other)), {}),
+        ("aud-x", "audio", bytearray(b"\x00" * 32), {}),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    hashes = {r.media_ref: r.dhash for r in MM.image_dhash(media).collect()}
+    assert set(hashes) == {"img-a", "img-b", "img-c"}  # audio skipped
+    assert len(hashes["img-a"]) == 64 and set(hashes["img-a"]) <= {"0", "1"}
+    ham_ab = sum(x != y for x, y in zip(hashes["img-a"], hashes["img-b"]))
+    ham_ac = sum(x != y for x, y in zip(hashes["img-a"], hashes["img-c"]))
+    assert ham_ab <= 4 < ham_ac
+    pairs = {(r.a, r.b): r.hamming
+             for r in MM.image_near_dup_pairs(media, max_hamming=4).collect()}
+    assert ("img-a", "img-b") in pairs and pairs[("img-a", "img-b")] == ham_ab
+    assert all({a, b} != {"img-a", "img-c"} for a, b in pairs)
+
+
+def test_image_near_dup_completeness_vs_bruteforce(spark):
+    # banded LSH must find EVERY pair within the Hamming budget (pigeonhole
+    # completeness) on a corpus of clustered synthetic images
+    import numpy as np
+
+    from geotrellis_server_spark.operators import multimodal as MM
+    from geotrellis_server_spark.styles.png import encode_png
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for c in range(6):
+        proto = rng.integers(0, 220, (12, 12, 3)).astype(np.int32)
+        for j in range(4):
+            img = np.clip(proto + rng.integers(-2, 3, proto.shape), 0, 255).astype(np.uint8)
+            rows.append((f"m{c}-{j}", "image", bytearray(encode_png(img)), {}))
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    hashes = {r.media_ref: r.dhash for r in MM.image_dhash(media).collect()}
+    ids = sorted(hashes)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if sum(x != y for x, y in zip(hashes[a], hashes[b])) <= 6:
+                expected.add((a, b))
+    got = {(r.a, r.b) for r in MM.image_near_dup_pairs(media, max_hamming=6).collect()}
+    assert got == expected and expected
