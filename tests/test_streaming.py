@@ -134,3 +134,30 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     mine = sorted((r.total for r in rows
                    if r.tile_x == int(tx[0]) and r.tile_y == int(ty[0])))
     assert mine == [2, 3]  # batch 1 emitted 2, batch 2 emitted cumulative 3
+
+
+# --- streaming ingest dedup (streaming/dedup_stream.py) ---------------------
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    from geotrellis_server_spark.streaming.dedup_stream import (
+        DOCS_SCHEMA, run_dedup_wave)
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "kept")
+    ck = str(tmp_path / "ck")
+
+    # wave 1: two distinct texts, one duplicated in-batch (min id wins)
+    w1 = [(3, "alpha beta"), (1, "alpha beta"), (2, "gamma")]
+    spark.createDataFrame(w1, DOCS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    run_dedup_wave(spark, src, out, ck).awaitTermination()
+
+    # wave 2: a cross-batch duplicate (must be dropped) + a new text
+    w2 = [(10, "alpha beta"), (11, "delta")]
+    spark.createDataFrame(w2, DOCS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    run_dedup_wave(spark, src, out, ck).awaitTermination()
+
+    kept = {(r.content_hash, r.doc_id) for r in spark.read.parquet(out).collect()}
+    by_id = sorted(d for _, d in kept)
+    assert by_id == [1, 2, 11]  # in-batch min; cross-batch dup dropped
+    assert len({h for h, _ in kept}) == 3
