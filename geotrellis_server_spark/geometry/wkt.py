@@ -1,0 +1,94 @@
+"""Minimal WKT parsing for zone/geometry inputs — the reference accepts
+arbitrary WKT/GeoJSON geometries in queries (QueryF Intersects/Contains
+take geotrellis vector Geometry; ogc/.../wcs params parse them from
+request strings). This engine's join/mask operators take rings as
+``array<array<double>>``; these helpers bridge user-facing WKT to that
+shape without shapely (absent in this container).
+
+Supported: POINT, POLYGON (single outer ring; holes rejected loudly),
+MULTIPOLYGON parsed as a list of outer rings. Parsing happens driver-side
+on zone tables, which are broadcast-small BY CONTRACT (pip_join_poly
+collects them anyway); document streams never pass through here.
+"""
+
+from __future__ import annotations
+
+import re
+
+_NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
+_POINT_RE = re.compile(rf"^\s*POINT\s*\(\s*({_NUM})\s+({_NUM})\s*\)\s*$", re.I)
+
+
+def parse_wkt_point(wkt: str) -> tuple[float, float]:
+    m = _POINT_RE.match(wkt)
+    if not m:
+        raise ValueError(f"not a WKT POINT: {wkt!r}")
+    return float(m.group(1)), float(m.group(2))
+
+
+def _parse_ring(body: str) -> list[tuple[float, float]]:
+    pts = []
+    for pair in body.split(","):
+        xy = pair.split()
+        if len(xy) != 2:
+            raise ValueError(f"bad WKT coordinate pair: {pair!r}")
+        pts.append((float(xy[0]), float(xy[1])))
+    if len(pts) >= 2 and pts[0] == pts[-1]:
+        pts = pts[:-1]  # engine rings are NOT closed (synth.POLY_ZONES convention)
+    if len(pts) < 3:
+        raise ValueError("polygon ring needs >= 3 distinct points")
+    return pts
+
+
+def parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
+    """POLYGON ((x y, ...)) → un-closed outer ring. Interior rings are
+    rejected (the ray-cast kernel treats one ring per zone; model holes
+    as separate negative zones if needed)."""
+    s = wkt.strip()
+    if not s.upper().startswith("POLYGON"):
+        raise ValueError(f"not a WKT POLYGON: {wkt!r}")
+    body = s[len("POLYGON"):].strip()
+    if not (body.startswith("(") and body.endswith(")")):
+        raise ValueError(f"malformed WKT POLYGON: {wkt!r}")
+    rings = re.findall(r"\(([^()]*)\)", body)
+    if not rings:
+        raise ValueError(f"malformed WKT POLYGON: {wkt!r}")
+    if len(rings) > 1:
+        raise ValueError("interior rings (holes) not supported — one ring per zone")
+    return _parse_ring(rings[0])
+
+
+def parse_wkt_multipolygon(wkt: str) -> list[list[tuple[float, float]]]:
+    s = wkt.strip()
+    if not s.upper().startswith("MULTIPOLYGON"):
+        raise ValueError(f"not a WKT MULTIPOLYGON: {wkt!r}")
+    outers = re.findall(r"\(\(([^()]*)\)\)", s)
+    if not outers:
+        raise ValueError(f"malformed WKT MULTIPOLYGON: {wkt!r}")
+    return [_parse_ring(b) for b in outers]
+
+
+def zones_from_wkt(spark, rows: list[tuple[int, str]]):
+    """[(zone_id, wkt_polygon)] → the poly-zone DataFrame shape
+    pip_join_poly consumes (zone_id, ring, xmin..ymax). Driver-side by
+    design: zone tables are the broadcast-small side."""
+    from pyspark.sql import types as T
+
+    out = []
+    for zid, wkt in rows:
+        ring = parse_wkt_polygon(wkt)
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        out.append((int(zid), [list(p) for p in ring],
+                    min(xs), min(ys), max(xs), max(ys)))
+    schema = T.StructType(
+        [
+            T.StructField("zone_id", T.LongType()),
+            T.StructField("ring", T.ArrayType(T.ArrayType(T.DoubleType()))),
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)

@@ -68,3 +68,31 @@ def test_broadcast_join_in_plan(spark):
     plan = spatial_join.pip_join_rect(d, zones)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zones_from_wkt_matches_native_zone_table(spark):
+    # WKT-parsed zones must join identically to the native ring table
+    from geotrellis_server_spark.geometry.wkt import (
+        parse_wkt_point, parse_wkt_polygon, zones_from_wkt)
+    from geotrellis_server_spark.operators import spatial_join
+    from geotrellis_server_spark.sources import synth
+
+    assert parse_wkt_point("POINT(-74.5 40.25)") == (-74.5, 40.25)
+    # closed ring -> unclosed; holes rejected
+    ring = parse_wkt_polygon("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert ring == [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    import pytest as _p
+    with _p.raises(ValueError):
+        parse_wkt_polygon("POLYGON ((0 0, 9 0, 9 9, 0 0), (1 1, 2 1, 2 2, 1 1))")
+
+    wkt_rows = [
+        (int(zid), "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring + [ring[0]]) + "))")
+        for zid, ring in synth.POLY_ZONES
+    ]
+    wkt_zones = zones_from_wkt(spark, wkt_rows)
+    d = synth.extract_geometry(synth.docs(spark, 3000))
+    a = {(r.doc_id, r.zone_id)
+         for r in spatial_join.pip_join_poly(d, wkt_zones).collect()}
+    b = {(r.doc_id, r.zone_id)
+         for r in spatial_join.pip_join_poly(d, synth.poly_zone_df(spark)).collect()}
+    assert a == b and a
