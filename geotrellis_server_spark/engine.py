@@ -184,26 +184,30 @@ class Engine:
         method: str = "bilinear",
     ):
         """GetMap in a non-native CRS: the request extent back-projects to
-        the tiles' EPSG:3857 (densified envelope), the pyramid evaluates
-        there (pruned + cropped as usual), and the stitched window warps
-        onto the requested (out_w × out_h) grid in the request CRS.
-        Returns (numpy array, request extent). The collect is
-        request-bounded (one GetMap window)."""
+        the tiles' native CRS (densified envelope) — EPSG:3857 for the
+        default pyramid, the layer scheme's CRS for custom matrix sets —
+        the pyramid evaluates there (pruned + cropped as usual), and the
+        stitched window warps onto the requested (out_w × out_h) grid in
+        the request CRS. Returns (numpy array, request extent). The
+        collect is request-bounded (one GetMap window)."""
         from .grids.proj import reproject_extent, warp_block
         from .operators.stitch import stitch
 
-        if crs_epsg == 3857:
+        layer = self.layers[layer_name]
+        native = getattr(layer.scheme, "crs_epsg", 3857) if layer.scheme else 3857
+        if crs_epsg == native:
             raise ValueError("native-CRS requests go through get_extent")
-        ext3857 = reproject_extent(tuple(extent), crs_epsg, 3857)
+        ext_native = reproject_extent(tuple(extent), crs_epsg, native)
         cell = max(
-            (ext3857[2] - ext3857[0]) / out_w, (ext3857[3] - ext3857[1]) / out_h
+            (ext_native[2] - ext_native[0]) / out_w,
+            (ext_native[3] - ext_native[1]) / out_h,
         )
-        tiles = self.get_extent(layer_name, ext3857, cell)
+        tiles = self.get_extent(layer_name, ext_native, cell)
         arr, src_ext = stitch(tiles)
         warped = warp_block(
             arr,
             (src_ext.xmin, src_ext.ymin, src_ext.xmax, src_ext.ymax),
-            3857,
+            native,
             tuple(extent),
             crs_epsg,
             out_h,

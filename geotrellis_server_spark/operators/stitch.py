@@ -20,13 +20,17 @@ from ..grids.layout import Extent, ZoomedLayoutScheme
 
 def stitch(tiles: DataFrame, zoom: int | None = None) -> tuple[np.ndarray, Extent]:
     """Collect the (pruned) tile set and mosaic into one array. NaN where
-    no tile covers. Returns (array[h, w], extent in EPSG:3857)."""
+    no tile covers. Returns (array[h, w], extent in the tiles' CRS).
+
+    The mosaic extent comes from the tiles' OWN extent columns (exact
+    stored values from boundary tiles — no scheme assumption, so custom
+    CrsLayoutScheme pyramids stitch correctly); tiles without extent
+    columns fall back to the default WebMercator layout math."""
     rows = tiles.collect()
     if not rows:
         raise ValueError("stitch of empty tile set")
     z = zoom if zoom is not None else rows[0].zoom
     rows = [r for r in rows if r.zoom == z]
-    layout = ZoomedLayoutScheme(rows[0].width).layout(z)
     txs = [r.tile_x for r in rows]
     tys = [r.tile_y for r in rows]
     tx0, tx1, ty0, ty1 = min(txs), max(txs), min(tys), max(tys)
@@ -39,6 +43,14 @@ def stitch(tiles: DataFrame, zoom: int | None = None) -> tuple[np.ndarray, Exten
         y0 = (r.tile_y - ty0) * th
         x0 = (r.tile_x - tx0) * tw
         out[y0 : y0 + th, x0 : x0 + tw] = a
+    fields = set(rows[0].__fields__)
+    if {"xmin", "ymin", "xmax", "ymax"} <= fields and rows[0].xmin is not None:
+        xmin = min(r.xmin for r in rows if r.tile_x == tx0)
+        xmax = max(r.xmax for r in rows if r.tile_x == tx1)
+        ymax = max(r.ymax for r in rows if r.tile_y == ty0)
+        ymin = min(r.ymin for r in rows if r.tile_y == ty1)
+        return out, Extent(xmin, ymin, xmax, ymax)
+    layout = ZoomedLayoutScheme(tw).layout(z)
     nw = layout.extent_for(tx0, ty0)
     se = layout.extent_for(tx1, ty1)
     return out, Extent(nw.xmin, se.ymin, se.xmax, nw.ymax)

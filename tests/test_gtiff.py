@@ -50,10 +50,13 @@ def test_render_geotiff_stitched_window(spark):
     from geotrellis_server_spark.operators.stitch import render_geotiff
     from geotrellis_server_spark.sources import synth
 
+    lay0 = ZoomedLayoutScheme(4).layout(2)
     rows = []
     for tx in (2, 3):
-        rows.append(("d", 2, tx, 1, 0, 4, 4, 0.0, 0.0, 1.0, 1.0, "float64",
-                     float("nan"), [float(tx * 100 + i) for i in range(16)]))
+        e = lay0.extent_for(tx, 1)
+        rows.append(("d", 2, tx, 1, 0, 4, 4, e.xmin, e.ymin, e.xmax, e.ymax,
+                     "float64", float("nan"),
+                     [float(tx * 100 + i) for i in range(16)]))
     tiles = spark.createDataFrame(rows, synth.TILE_SCHEMA)
     data = render_geotiff(tiles)
     arr, ext, epsg = decode_geotiff(data)

@@ -313,3 +313,48 @@ def test_rasterize_count_layout_utm_golden(spark):
         assert got.get(k) == v, k
     # total mass conserved
     assert sum(got.values()) == len(GOLDEN_UTM33)
+
+
+def test_utm_native_layer_served_in_webmercator(spark):
+    # a UTM-33N-stored pyramid answers a 3857 GetMap: request extent
+    # back-projects to UTM, pyramid evaluates there, warp returns the
+    # WebMercator grid. Cell values = easting of the pixel center, so the
+    # warped output is checkable per-pixel against the inverse transform.
+    import numpy as np
+
+    from geotrellis_server_spark.engine import Engine, Layer
+    from geotrellis_server_spark.grids import proj
+    from geotrellis_server_spark.grids.layout import CrsLayoutScheme, Extent
+    from geotrellis_server_spark.sources import synth
+
+    s = CrsLayoutScheme(32633, Extent(0.0, 0.0, 1000000.0, 10000000.0), 32)
+    z = 3
+    lay = s.layout(z)
+    rows = []
+    for tx in range(2, 6):
+        for ty in range(40, 44):  # mid-latitudes band
+            e = lay.extent_for(tx, ty)
+            cells = []
+            for r in range(32):
+                for c in range(32):
+                    ex = e.xmin + (c + 0.5) * (e.xmax - e.xmin) / 32
+                    cells.append(float(ex))
+            rows.append(("utm", z, tx, ty, 0, 32, 32, e.xmin, e.ymin, e.xmax,
+                         e.ymax, "float64", float("nan"), cells))
+    tiles = spark.createDataFrame(rows, synth.TILE_SCHEMA)
+    eng = Engine(spark, {"utm": Layer("utm", tiles, scheme=s)})
+
+    # WebMercator window inside the patch (UTM northing 4.5-5.0M ~ lat
+    # 40.6-45.1N; lon ~13-16.6E)
+    merc_ext = (1450000.0, 5050000.0, 1850000.0, 5400000.0)
+    arr, ext = eng.get_extent_reprojected("utm", merc_ext, 3857, 48, 48)
+    assert arr.shape == (48, 48)
+    cx = ext[0] + (np.arange(48) + 0.5) * (ext[2] - ext[0]) / 48
+    cy = ext[3] - (np.arange(48) + 0.5) * (ext[3] - ext[1]) / 48
+    CX, CY = np.meshgrid(cx, cy)
+    exp_x, _ = proj.transform(CX.ravel(), CY.ravel(), 3857, 32633)
+    exp = exp_x.reshape(48, 48)
+    ok = ~np.isnan(arr)
+    assert ok.mean() > 0.6
+    # easting varies ~quadratically over a tile; bilinear tolerance in m
+    assert np.abs(arr[ok] - exp[ok]).max() < 2000.0

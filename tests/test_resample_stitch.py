@@ -63,12 +63,15 @@ def test_interpret_as_int_with_nodata(spark):
 def test_stitch_two_tiles(spark):
     import pyspark.sql.functions as F
 
-    a = synth.raster8(spark).withColumn("zoom", F.lit(1))
+    # no extent columns -> stitch falls back to WebMercator layout math
+    keep = ["zoom", "tile_x", "tile_y", "width", "height", "cells"]
+    a = synth.raster8(spark).withColumn("zoom", F.lit(1)).select(keep)
     b = (
         synth.raster8(spark)
         .withColumn("zoom", F.lit(1))
         .withColumn("tile_x", F.lit(1))
         .withColumn("cells", F.expr("transform(cells, v -> v + 100.0)"))
+        .select(keep)
     )
     arr, ext = ST.stitch(a.union(b))
     assert arr.shape == (8, 16)
