@@ -472,6 +472,52 @@ def _pretrain_curation_oracle() -> str:
     """
 
 
+_PII_INJECT_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com or ', "
+    "CAST(100 + doc_id % 900 AS STRING), '-', CAST(10 + doc_id % 90 AS STRING), "
+    "'-', CAST(1000 + doc_id % 9000 AS STRING), ' at ', "
+    "CAST(doc_id % 256 AS STRING), '.0.', CAST(doc_id % 100 AS STRING), '.1')"
+)
+
+
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with deterministically INJECTED PII
+    (the raw synthetic corpus contains none — the injection makes the
+    redaction paths actually fire; the oracle injects identically)."""
+    from geotrellis_server_spark.operators import text
+
+    d = _read_documents(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_INJECT_SPARK).alias("text")
+    )
+    return text.redact_pii(d)
+
+
+def _redact_pii_oracle() -> str:
+    from geotrellis_server_spark.operators.text import PII_PATTERNS
+
+    inject = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or ' "
+        "|| CAST(100 + doc_id % 900 AS VARCHAR) || '-' || CAST(10 + doc_id % 90 AS VARCHAR) "
+        "|| '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' at ' "
+        "|| CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || '.1'"
+    )
+    red = "t"
+    counts = []
+    for k, pat in PII_PATTERNS.items():
+        counts.append(f"len(regexp_extract_all(t, '{pat}')) AS n_{k}")
+        red = f"regexp_replace({red}, '{pat}', '<{k.upper()}>', 'g')"
+    return f"""
+    WITH inj AS (SELECT doc_id, {inject} AS t FROM documents)
+    SELECT doc_id, {red} AS redacted, {', '.join(counts)} FROM inj
+    """
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotrellis_server_spark.operators import text
+
+    return text.repetition_stats(_read_documents(spark, sf_dir))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotrellis_server_spark.operators import similarity
 
@@ -1061,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_windows": _q_chunk_documents,
         "text_split_assign": _q_split_assign,
         "text_stratified_sample": _q_stratified_sample,
+        "text_redact_pii": _q_redact_pii,
+        "text_repetition_stats": _q_repetition_stats,
         "pipeline_pretrain_curation": _q_pretrain_curation,
         "sim_cosine_topk20": _q_cosine_topk,
         "sim_ivf_full_probe": _q_ivf_full_probe,
@@ -1252,6 +1300,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stratified_sample": _stratified_sample_oracle(),
         "pipeline_pretrain_curation": _pretrain_curation_oracle(),
+        "text_redact_pii": _redact_pii_oracle(),
+        "text_repetition_stats": """
+            SELECT doc_id,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS unique_token_ratio,
+                   CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0 ELSE
+                     CAST(len(list_filter(range(2, len(string_split(text, ' ')) + 1),
+                          i -> string_split(text, ' ')[i] = string_split(text, ' ')[i - 1]))
+                          AS DOUBLE)
+                     / (len(string_split(text, ' ')) - 1) END AS adjacent_repeat_frac
+            FROM documents
+        """,
         "sim_ivf_full_probe": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
             s AS (SELECT vec_id,

@@ -188,3 +188,57 @@ def stratified_sample(
         expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
     expr = expr.otherwise(h < thr(default_rate) if default_rate < 1.0 else F.lit(True))
     return docs.filter(expr)
+
+
+# patterns chosen to behave identically under Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded quantifiers, \\b — no lookaround
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", kinds: list[str] | None = None) -> DataFrame:
+    """PII scrubbing — replace emails/SSNs/phones/IPs with <KIND> markers
+    and count the redactions per kind (the standard pre-training privacy
+    pass). Chained built-in regexp_replace: whole-stage codegen, zero
+    shuffle, row-local — composes with any scan at any scale. Returns
+    (id, redacted, n_<kind>...)."""
+    kinds = kinds or list(PII_PATTERNS)
+    red = F.col(text_col)
+    counts = []
+    for k in kinds:
+        pat = PII_PATTERNS[k]
+        # Spark SQL string literals process escapes ('\b' = backspace!) —
+        # double the backslashes for the expr-embedded copy; the Python
+        # regexp_replace API takes the raw pattern directly
+        pat_sql = pat.replace("\\", "\\\\")
+        counts.append(
+            F.size(F.expr(f"regexp_extract_all({text_col}, '{pat_sql}', 0)")).alias(f"n_{k}")
+        )
+        red = F.regexp_replace(red, pat, f"<{k.upper()}>")
+    return docs.select(F.col(id_col), red.alias("redacted"), *counts)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals, pure row-local SQL:
+    - unique_token_ratio: |distinct tokens| / |tokens| (boilerplate and
+      keyword-stuffed docs score low),
+    - adjacent_repeat_frac: fraction of consecutive token pairs that are
+      identical ("very very very ..." degeneracy).
+    Both portable to the DuckDB oracle verbatim."""
+    toks = f"split({text_col}, ' ')"
+    uniq = F.expr(
+        f"CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks})"
+    ).alias("unique_token_ratio")
+    adj = F.expr(
+        f"CASE WHEN size({toks}) < 2 THEN 0.0 ELSE "
+        f"CAST(size(filter(sequence(2, size({toks})), "
+        f"i -> element_at({toks}, i) = element_at({toks}, i - 1))) AS DOUBLE) "
+        f"/ (size({toks}) - 1) END"
+    ).alias("adjacent_repeat_frac")
+    return docs.select(F.col(id_col), uniq, adj)

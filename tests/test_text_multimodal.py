@@ -307,3 +307,35 @@ def test_image_near_dup_completeness_vs_bruteforce(spark):
                 expected.add((a, b))
     got = {(r.a, r.b) for r in MM.image_near_dup_pairs(media, max_hamming=6).collect()}
     assert got == expected and expected
+
+
+def test_redact_pii(spark):
+    from geotrellis_server_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(0, "mail bob@corp.io and 555-123-4567 ssn 123-45-6789 ip 10.0.0.1 end"),
+         (1, "clean text only")],
+        "doc_id LONG, text STRING",
+    )
+    r = {x.doc_id: x for x in text.redact_pii(df).collect()}
+    assert r[0].n_email == 1 and r[0].n_phone == 1
+    assert r[0].n_ssn == 1 and r[0].n_ipv4 == 1
+    assert r[0].redacted == "mail <EMAIL> and <PHONE> ssn <SSN> ip <IPV4> end"
+    assert r[1].redacted == "clean text only"
+    assert r[1].n_email == r[1].n_ssn == 0
+    # no shuffle, no python
+    plan = text.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_repetition_stats(spark):
+    from geotrellis_server_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a b c d"), (2, "x")],
+        "doc_id LONG, text STRING",
+    )
+    r = {x.doc_id: x for x in text.repetition_stats(df).collect()}
+    assert r[0].unique_token_ratio == 0.25 and r[0].adjacent_repeat_frac == 1.0
+    assert r[1].unique_token_ratio == 1.0 and r[1].adjacent_repeat_frac == 0.0
+    assert r[2].unique_token_ratio == 1.0 and r[2].adjacent_repeat_frac == 0.0
