@@ -90,8 +90,8 @@ def run_bench(cores: int) -> dict:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")  # e.g. "q1" for scaling
 
     def timed(name, fn):
-        # exact qN match ("q1" must not also select q10..q13)
-        if only and name.split("_")[0] != only:
+        # exact qN token or full-name match ("q1" must not select q10..q13)
+        if only and only != name and name.split("_")[0] != only:
             return
         best = float("inf")
         for _ in range(n_runs):  # JIT warmup + external-load noise → min

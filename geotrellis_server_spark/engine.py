@@ -11,6 +11,7 @@ style/render.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -29,6 +30,9 @@ from .styles.png import encode_png
 SCHEME = ZoomedLayoutScheme()
 
 
+_LAYER_GEN = itertools.count()
+
+
 @dataclass
 class Layer:
     """SimpleOgcLayer / MapAlgebraOgcLayer analog (ogc/.../OgcSource.scala)."""
@@ -42,6 +46,10 @@ class Layer:
     # the layer a custom (CRS, extent, tile size) matrix set — request
     # validation + layout math follow it (GeotrellisTileMatrix parity)
     scheme: object | None = None
+    # monotone generation stamp: unique per Layer instance FOREVER (unlike
+    # id(), which CPython reuses after GC) — cache keys hang off this;
+    # init=False so even dataclasses.replace() mints a fresh one
+    generation: int = field(init=False, default_factory=lambda: next(_LAYER_GEN))
     _meta: dict = field(default_factory=dict, repr=False)  # lazy metadata cache
 
     def meta(self) -> tuple[int, list[int]]:
@@ -74,12 +82,13 @@ class Engine:
         Returns the PNG bytes of the (z, x, y) tile, or None if the layer
         has no tile there. The collect is a single request-sized tile.
 
-        The key carries the Layer OBJECT's identity, so replacing a layer
-        (``set_layer`` or a direct ``engine.layers[name] = ...``) can
-        never serve tiles rendered from the old tables/style; stale
-        entries age out of the 32-entry LRU."""
+        The key carries the Layer's generation stamp (unique per instance,
+        never reused — unlike id()), so replacing a layer (``set_layer``
+        or a direct ``engine.layers[name] = ...``) can never serve tiles
+        rendered from the old tables/style; stale entries age out of the
+        32-entry LRU."""
         layer = self.layers[layer_name]
-        key = ("tile_png", layer_name, id(layer), z, x, y)
+        key = ("tile_png", layer_name, layer.generation, z, x, y)
 
         def compute() -> bytes | None:
             styled = self.render_png(self.get_tile(layer_name, z, x, y), layer.style)
@@ -203,7 +212,7 @@ class Engine:
             (ext_native[3] - ext_native[1]) / out_h,
         )
         tiles = self.get_extent(layer_name, ext_native, cell)
-        arr, src_ext = stitch(tiles)
+        arr, src_ext = stitch(tiles, scheme=layer.scheme)
         warped = warp_block(
             arr,
             (src_ext.xmin, src_ext.ymin, src_ext.xmax, src_ext.ymax),
@@ -265,9 +274,10 @@ class Engine:
                     F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")
                 ).collect()[0]
             else:
-                # derive from tile keys at the finest zoom (mapTransform)
+                # derive from tile keys at the finest zoom (mapTransform) —
+                # over the LAYER's scheme for custom matrix sets
                 z = max(zooms) if zooms else 0
-                layout = SCHEME.layout(z)
+                layout = (layer.scheme or SCHEME).layout(z)
                 k = layer.tiles.filter(F.col("zoom") == z).agg(
                     F.min("tile_x"), F.min("tile_y"), F.max("tile_x"), F.max("tile_y")
                 ).collect()[0]

@@ -59,13 +59,38 @@ def parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
 
 
 def parse_wkt_multipolygon(wkt: str) -> list[list[tuple[float, float]]]:
+    """Every component polygon is parsed (and validated) — a component
+    with interior rings raises like parse_wkt_polygon does, instead of
+    being silently dropped."""
     s = wkt.strip()
     if not s.upper().startswith("MULTIPOLYGON"):
         raise ValueError(f"not a WKT MULTIPOLYGON: {wkt!r}")
-    outers = re.findall(r"\(\(([^()]*)\)\)", s)
-    if not outers:
+    body = s[len("MULTIPOLYGON"):].strip()
+    if not (body.startswith("(") and body.endswith(")")):
         raise ValueError(f"malformed WKT MULTIPOLYGON: {wkt!r}")
-    return [_parse_ring(b) for b in outers]
+    # split depth-1 groups (the component polygons) by paren scanning
+    inner = body[1:-1]
+    comps, depth, start = [], 0, None
+    for i, ch in enumerate(inner):
+        if ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                comps.append(inner[start : i + 1])
+    if depth != 0 or not comps:
+        raise ValueError(f"malformed WKT MULTIPOLYGON: {wkt!r}")
+    out = []
+    for comp in comps:
+        rings = re.findall(r"\(([^()]*)\)", comp)
+        if not rings:
+            raise ValueError(f"malformed WKT MULTIPOLYGON component: {comp!r}")
+        if len(rings) > 1:
+            raise ValueError("interior rings (holes) not supported — one ring per zone")
+        out.append(_parse_ring(rings[0]))
+    return out
 
 
 def zones_from_wkt(spark, rows: list[tuple[int, str]]):

@@ -18,14 +18,18 @@ from pyspark.sql import functions as F
 from ..grids.layout import Extent, ZoomedLayoutScheme
 
 
-def stitch(tiles: DataFrame, zoom: int | None = None) -> tuple[np.ndarray, Extent]:
+def stitch(tiles: DataFrame, zoom: int | None = None,
+           scheme=None) -> tuple[np.ndarray, Extent]:
     """Collect the (pruned) tile set and mosaic into one array. NaN where
     no tile covers. Returns (array[h, w], extent in the tiles' CRS).
 
     The mosaic extent comes from the tiles' OWN extent columns (exact
     stored values from boundary tiles — no scheme assumption, so custom
     CrsLayoutScheme pyramids stitch correctly); tiles without extent
-    columns fall back to the default WebMercator layout math."""
+    columns (e.g. MAML-evaluated layers, which project them away) use
+    ``scheme`` when given, else the default WebMercator layout math —
+    pass the layer's scheme for custom-CRS layers or the extent is
+    meaningless."""
     rows = tiles.collect()
     if not rows:
         raise ValueError("stitch of empty tile set")
@@ -50,7 +54,7 @@ def stitch(tiles: DataFrame, zoom: int | None = None) -> tuple[np.ndarray, Exten
         ymax = max(r.ymax for r in rows if r.tile_y == ty0)
         ymin = min(r.ymin for r in rows if r.tile_y == ty1)
         return out, Extent(xmin, ymin, xmax, ymax)
-    layout = ZoomedLayoutScheme(tw).layout(z)
+    layout = (scheme or ZoomedLayoutScheme(tw)).layout(z)
     nw = layout.extent_for(tx0, ty0)
     se = layout.extent_for(tx1, ty1)
     return out, Extent(nw.xmin, se.ymin, se.xmax, nw.ymax)

@@ -155,10 +155,18 @@ def split_assign(
     cum, expr = 0.0, None
     for name, w in items[:-1]:
         cum += w
-        thr = format(int(round(cum * 65536)), "04x")
-        expr = F.when(h < thr, name) if expr is None else expr.when(h < thr, name)
+        expr = F.when(h < _hex_thr(cum), name) if expr is None else expr.when(h < _hex_thr(cum), name)
     expr = items[-1][0] if expr is None else expr.otherwise(items[-1][0])
     return docs.select(F.col(id_col), F.lit(expr).alias("split") if isinstance(expr, str) else expr.alias("split"))
+
+
+def _hex_thr(rate: float) -> str:
+    """4-hex-digit string threshold for ``h < thr`` keep tests. Rates that
+    round to 65536 must compare ABOVE every 4-hex string — format() would
+    yield the 5-char '10000', which sorts BELOW almost all of them
+    lexicographically ('e6..' > '10000'); 'g' sorts above 'ffff'."""
+    v = int(round(min(max(rate, 0.0), 1.0) * 65536))
+    return "g" if v >= 65536 else format(v, "04x")
 
 
 def stratified_sample(
@@ -178,15 +186,12 @@ def stratified_sample(
     1/65536 (4 md5 hex digits compared as strings — portable)."""
     h = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))), 1, 4)
 
-    def thr(rate: float) -> str:
-        return format(int(round(min(max(rate, 0.0), 1.0) * 65536)), "04x")
-
     expr = None
     for stratum, rate in rates.items():
         cond = F.col(stratum_col) == stratum
-        branch = h < thr(rate) if rate < 1.0 else F.lit(True)
+        branch = h < _hex_thr(rate)  # 'g' sentinel keeps rate≈1.0 total
         expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
-    expr = expr.otherwise(h < thr(default_rate) if default_rate < 1.0 else F.lit(True))
+    expr = expr.otherwise(h < _hex_thr(default_rate))
     return docs.filter(expr)
 
 

@@ -96,3 +96,18 @@ def test_zones_from_wkt_matches_native_zone_table(spark):
     b = {(r.doc_id, r.zone_id)
          for r in spatial_join.pip_join_poly(d, synth.poly_zone_df(spark)).collect()}
     assert a == b and a
+
+
+def test_multipolygon_components_validated(spark):
+    import pytest as _p
+
+    from geotrellis_server_spark.geometry.wkt import parse_wkt_multipolygon
+
+    rings = parse_wkt_multipolygon(
+        "MULTIPOLYGON(((0 0, 1 0, 1 1)), ((2 2, 3 2, 3 3, 2 2)))")
+    assert len(rings) == 2 and rings[1] == [(2.0, 2.0), (3.0, 2.0), (3.0, 3.0)]
+    # a holed component must raise, not vanish
+    with _p.raises(ValueError):
+        parse_wkt_multipolygon(
+            "MULTIPOLYGON(((0 0, 1 0, 1 1)), "
+            "((2 2, 3 2, 3 3), (2.2 2.2, 2.4 2.2, 2.4 2.4)))")

@@ -339,3 +339,16 @@ def test_repetition_stats(spark):
     assert r[0].unique_token_ratio == 0.25 and r[0].adjacent_repeat_frac == 1.0
     assert r[1].unique_token_ratio == 1.0 and r[1].adjacent_repeat_frac == 0.0
     assert r[2].unique_token_ratio == 1.0 and r[2].adjacent_repeat_frac == 0.0
+
+
+def test_near_unity_rates_keep_everything(spark):
+    # regression: rates rounding to 65536 once formatted as the 5-char
+    # '10000', which sorts BELOW most 4-hex hashes -> ~6% kept
+    from geotrellis_server_spark.operators import text
+
+    df = spark.range(2000).selectExpr("id AS doc_id", "'a' AS g")
+    kept = text.stratified_sample(df, {"a": 0.9999999}, "g").count()
+    assert kept == 2000
+    splits = text.split_assign(df, {"train": 1.0, "val": 0.0})
+    counts = {r.split: r["count"] for r in splits.groupBy("split").count().collect()}
+    assert counts == {"train": 2000}
