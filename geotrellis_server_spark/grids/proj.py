@@ -20,7 +20,10 @@ formulas:
   method 9829 variant B — Snyder §21 ellipsoidal),
 - EPSG:2154 / 3347 (Lambert conformal conic 2SP — Snyder §15, EPSG
   method 9802; the conic family behind Lambert-93 and most US state
-  plane zones — new zones are one registry entry).
+  plane zones — new zones are one registry entry),
+- EPSG:27700 / 25832 (generic transverse Mercator — any ellipsoid, k0,
+  origin; method 9807: British National Grid, Gauss-Krüger and TM state
+  plane zones are parameter dicts over the same Karney series).
 
 All transforms route src → lonlat → dst, vectorized over numpy arrays.
 """
@@ -36,32 +39,41 @@ E2 = F_WGS84 * (2.0 - F_WGS84)
 E = np.sqrt(E2)
 N3 = F_WGS84 / (2.0 - F_WGS84)  # third flattening n
 
-# rectifying radius A (Krüger)
-_A_RECT = A_WGS84 / (1.0 + N3) * (1.0 + N3**2 / 4.0 + N3**4 / 64.0 + N3**6 / 256.0)
 
-# Krüger series coefficients to n^6 (Karney 2011, eqs. 35-36)
-_ALPHA = [
-    N3 / 2 - 2 * N3**2 / 3 + 5 * N3**3 / 16 + 41 * N3**4 / 180
-    - 127 * N3**5 / 288 + 7891 * N3**6 / 37800,
-    13 * N3**2 / 48 - 3 * N3**3 / 5 + 557 * N3**4 / 1440 + 281 * N3**5 / 630
-    - 1983433 * N3**6 / 1935360,
-    61 * N3**3 / 240 - 103 * N3**4 / 140 + 15061 * N3**5 / 26880
-    + 167603 * N3**6 / 181440,
-    49561 * N3**4 / 161280 - 179 * N3**5 / 168 + 6601661 * N3**6 / 7257600,
-    34729 * N3**5 / 80640 - 3418889 * N3**6 / 1995840,
-    212378941 * N3**6 / 319334400,
-]
-_BETA = [
-    N3 / 2 - 2 * N3**2 / 3 + 37 * N3**3 / 96 - N3**4 / 360
-    - 81 * N3**5 / 512 + 96199 * N3**6 / 604800,
-    N3**2 / 48 + N3**3 / 15 - 437 * N3**4 / 1440 + 46 * N3**5 / 105
-    - 1118711 * N3**6 / 3870720,
-    17 * N3**3 / 480 - 37 * N3**4 / 840 - 209 * N3**5 / 4480
-    + 5569 * N3**6 / 90720,
-    4397 * N3**4 / 161280 - 11 * N3**5 / 504 - 830251 * N3**6 / 7257600,
-    4583 * N3**5 / 161280 - 108847 * N3**6 / 3991680,
-    20648693 * N3**6 / 638668800,
-]
+def _krueger_coeffs(n: float) -> tuple[list[float], list[float], float]:
+    """Krüger series coefficients to n^6 (Karney 2011, eqs. 35-36) and
+    the rectifying-radius factor A/a, for ANY ellipsoid's third
+    flattening n — the UTM constants below are the WGS84 instance."""
+    alpha = [
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+        - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440 + 281 * n**5 / 630
+        - 1983433 * n**6 / 1935360,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880
+        + 167603 * n**6 / 181440,
+        49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+        34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+        212378941 * n**6 / 319334400,
+    ]
+    beta = [
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360
+        - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105
+        - 1118711 * n**6 / 3870720,
+        17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480
+        + 5569 * n**6 / 90720,
+        4397 * n**4 / 161280 - 11 * n**5 / 504 - 830251 * n**6 / 7257600,
+        4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+        20648693 * n**6 / 638668800,
+    ]
+    a_factor = (1.0 + n**2 / 4.0 + n**4 / 64.0 + n**6 / 256.0) / (1.0 + n)
+    return alpha, beta, a_factor
+
+
+_ALPHA, _BETA, _AF_WGS84 = _krueger_coeffs(N3)
+
+# rectifying radius A (Krüger)
+_A_RECT = A_WGS84 * _AF_WGS84
 
 K0_UTM = 0.9996
 FE_UTM = 500000.0
@@ -84,49 +96,95 @@ def _utm_params(epsg: int) -> tuple[float, float]:
     raise ValueError(f"not a UTM EPSG code: {epsg}")
 
 
-def tm_forward(lon, lat, lon0_deg: float, fn: float = 0.0):
-    """Karney–Krüger forward: lon/lat degrees → (easting, northing) m."""
+def _tm_core_fwd(lon, lat, lon0_deg: float, e: float, alpha: list[float]):
+    """Krüger forward core → (xi, eta) in rectifying-radius units."""
     lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0_deg)
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     sphi = np.sin(phi)
     # conformal latitude tangent (±90° → ±inf → atan2 handles the pole)
     with np.errstate(divide="ignore", invalid="ignore"):
-        t = np.sinh(np.arctanh(sphi) - E * np.arctanh(E * sphi))
+        t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
     xi_p = np.arctan2(t, np.cos(lam))
     eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
     xi = xi_p.copy()
     eta = eta_p.copy()
-    for j, a in enumerate(_ALPHA, start=1):
+    for j, a in enumerate(alpha, start=1):
         xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
         eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
-    easting = FE_UTM + K0_UTM * _A_RECT * eta
-    northing = fn + K0_UTM * _A_RECT * xi
-    return easting, northing
+    return xi, eta
 
 
-def tm_inverse(easting, northing, lon0_deg: float, fn: float = 0.0):
-    """Karney–Krüger inverse: (easting, northing) m → lon/lat degrees."""
-    xi = (np.asarray(northing, dtype=np.float64) - fn) / (K0_UTM * _A_RECT)
-    eta = (np.asarray(easting, dtype=np.float64) - FE_UTM) / (K0_UTM * _A_RECT)
+def _tm_core_inv(xi, eta, lon0_deg: float, e: float, beta: list[float]):
+    """Krüger inverse core: (xi, eta) → lon/lat degrees."""
+    e2 = e * e
     xi_p = xi.copy()
     eta_p = eta.copy()
-    for j, b in enumerate(_BETA, start=1):
+    for j, b in enumerate(beta, start=1):
         xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
         eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
     t_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
     lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
     # Newton-solve tau from tau' (conformal → geographic), Karney eq. 19-21
-    tau = t_p / np.sqrt(1.0 - E2)  # first guess
+    tau = t_p / np.sqrt(1.0 - e2)  # first guess
     for _ in range(5):
-        sig = np.sinh(E * np.arctanh(E * tau / np.sqrt(1.0 + tau * tau)))
+        sig = np.sinh(e * np.arctanh(e * tau / np.sqrt(1.0 + tau * tau)))
         f_tau = tau * np.sqrt(1.0 + sig * sig) - sig * np.sqrt(1.0 + tau * tau) - t_p
         d_tau = (np.sqrt((1.0 + sig * sig) * (1.0 + tau * tau)) - sig * tau) * (
-            1.0 - E2
-        ) * np.sqrt(1.0 + tau * tau) / (1.0 + (1.0 - E2) * tau * tau)
+            1.0 - e2
+        ) * np.sqrt(1.0 + tau * tau) / (1.0 + (1.0 - e2) * tau * tau)
         tau = tau - f_tau / d_tau
-    lat = np.degrees(np.arctan(tau))
-    lon = lon0_deg + np.degrees(lam)
-    return lon, lat
+    return lon0_deg + np.degrees(lam), np.degrees(np.arctan(tau))
+
+
+def tm_forward(lon, lat, lon0_deg: float, fn: float = 0.0):
+    """Karney–Krüger forward (UTM/WGS84 constants): lon/lat degrees →
+    (easting, northing) m."""
+    xi, eta = _tm_core_fwd(lon, lat, lon0_deg, E, _ALPHA)
+    return FE_UTM + K0_UTM * _A_RECT * eta, fn + K0_UTM * _A_RECT * xi
+
+
+def tm_inverse(easting, northing, lon0_deg: float, fn: float = 0.0):
+    """Karney–Krüger inverse (UTM/WGS84 constants)."""
+    xi = (np.asarray(northing, dtype=np.float64) - fn) / (K0_UTM * _A_RECT)
+    eta = (np.asarray(easting, dtype=np.float64) - FE_UTM) / (K0_UTM * _A_RECT)
+    return _tm_core_inv(xi, eta, lon0_deg, E, _BETA)
+
+
+_TM_CACHE: dict[tuple, tuple] = {}
+
+
+def _tm_consts(p: dict) -> tuple[float, float, float, list[float], list[float]]:
+    """(e, A_rect, M0, alpha, beta) for a generic-TM parameter dict
+    {a, f, k0, lat0, lon0, fe, fn} — any ellipsoid, any origin."""
+    key = (p["a"], p["f"], p.get("lat0", 0.0))
+    if key not in _TM_CACHE:
+        n = p["f"] / (2.0 - p["f"])
+        alpha, beta, af = _krueger_coeffs(n)
+        e = float(np.sqrt(p["f"] * (2.0 - p["f"])))
+        a_rect = p["a"] * af
+        # meridian arc of the latitude of origin (xi at lam = 0)
+        xi0, _ = _tm_core_fwd(p.get("lat0", 0.0) * 0.0, p.get("lat0", 0.0),
+                              0.0, e, alpha)
+        _TM_CACHE[key] = (e, a_rect, a_rect * float(xi0), alpha, beta)
+    return _TM_CACHE[key]
+
+
+def tm_forward_generic(lon, lat, p: dict):
+    """Transverse Mercator with arbitrary (ellipsoid, k0, origin) —
+    EPSG method 9807 (British National Grid, Gauss-Krüger zones, state
+    plane TM zones are all parameter dicts)."""
+    e, a_rect, m0, alpha, _ = _tm_consts(p)
+    xi, eta = _tm_core_fwd(lon, lat, p["lon0"], e, alpha)
+    x = p["fe"] + p["k0"] * a_rect * eta
+    y = p["fn"] + p["k0"] * (a_rect * xi - m0)
+    return x, y
+
+
+def tm_inverse_generic(x, y, p: dict):
+    e, a_rect, m0, _, beta = _tm_consts(p)
+    xi = ((np.asarray(y, dtype=np.float64) - p["fn"]) / p["k0"] + m0) / a_rect
+    eta = (np.asarray(x, dtype=np.float64) - p["fe"]) / (p["k0"] * a_rect)
+    return _tm_core_inv(xi, eta, p["lon0"], e, beta)
 
 
 def meridian_arc(lat_deg) -> np.ndarray:
@@ -358,10 +416,20 @@ CRS_REGISTRY: dict[int, tuple[str, dict]] = {
     3347: ("lcc", {"a": A_GRS80, "e2": E2_GRS80, "lat1": 49.0, "lat2": 77.0,
                    "lat_f": 63.390675, "lon0": -91.866667,
                    "fe": 6200000.0, "fn": 3000000.0}),
+    # OSGB36 / British National Grid (Airy 1830 — generic TM, method 9807)
+    27700: ("tm", {"a": 6377563.396, "f": 1.0 / 299.3249646,
+                   "k0": 0.9996012717, "lat0": 49.0, "lon0": -2.0,
+                   "fe": 400000.0, "fn": -100000.0}),
+    # ETRS89 / Gauss-Krüger zone 4 style (DHDN-free modern variant):
+    # EPSG:25832 = ETRS89 / UTM 32N on GRS80 (generic-TM path, k0 0.9996)
+    25832: ("tm", {"a": A_GRS80, "f": F_GRS80, "k0": 0.9996, "lat0": 0.0,
+                   "lon0": 9.0, "fe": 500000.0, "fn": 0.0}),
 }
 
-_KIND_FWD = {"laea": laea_forward, "ps": ps_forward, "lcc": lcc_forward}
-_KIND_INV = {"laea": laea_inverse, "ps": ps_inverse, "lcc": lcc_inverse}
+_KIND_FWD = {"laea": laea_forward, "ps": ps_forward, "lcc": lcc_forward,
+             "tm": tm_forward_generic}
+_KIND_INV = {"laea": laea_inverse, "ps": ps_inverse, "lcc": lcc_inverse,
+             "tm": tm_inverse_generic}
 
 
 # --- CRS registry / generic transform --------------------------------------

@@ -312,3 +312,33 @@ def test_lambert93_roundtrip_and_conformal_scale():
         true_len = nu * np.cos(phi) * np.radians(d)
         got_len = float(np.hypot(x2 - x1, y2 - y1))
         assert abs(got_len - true_len) / true_len < 1e-7
+
+
+def test_generic_tm_british_national_grid():
+    # EPSG Guidance 7-2, method 9807 (OSGB36 / British National Grid,
+    # Airy 1830): 50d30'N 00d30'E -> E 577274.99, N 69740.50. The guide's
+    # own Snyder-series values carry ~mm truncation; the Karney n^6 series
+    # lands within 8 mm of them.
+    x, y = proj.transform(0.5, 50.5, 4326, 27700)
+    assert abs(float(x) - 577274.99) < 0.015
+    assert abs(float(y) - 69740.50) < 0.015
+    lon, lat = proj.transform(x, y, 27700, 4326)
+    assert abs(float(lon) - 0.5) < 1e-9 and abs(float(lat) - 50.5) < 1e-9
+    # roundtrip sweep over Great Britain
+    rng = np.random.default_rng(7)
+    lons = rng.uniform(-7.5, 2.0, 300)
+    lats = rng.uniform(50.0, 60.8, 300)
+    xx, yy = proj.transform(lons, lats, 4326, 27700)
+    lo, la = proj.transform(xx, yy, 27700, 4326)
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+
+
+def test_generic_tm_agrees_with_utm_path():
+    # EPSG:25832 (generic-TM registry entry, GRS80) vs EPSG:32632 (the
+    # UTM-constant Karney path, WGS84): same projection definition,
+    # ellipsoids differ at the 0.1 mm level
+    x1, y1 = proj.transform(10.0, 52.0, 4326, 25832)
+    x2, y2 = proj.transform(10.0, 52.0, 4326, 32632)
+    assert abs(float(x1 - x2)) < 1e-3
+    assert abs(float(y1 - y2)) < 1e-3
