@@ -1,0 +1,233 @@
+"""Windowed COG reading over a RangeReader (SURVEY.md S1/S2/R5).
+
+The reference's ``GeoTiffRasterSource`` never reads a whole COG: it
+fetches the header chunk once, walks the IFD chain out of cache, picks
+the overview whose resolution best matches the request, and range-reads
+only the segments that intersect the requested window
+(core/.../vlm/geotiff/util/CogUtils.scala:41-70 — ``fromUri`` reads the
+first 256 KiB, ``cropGeoTiff`` crops by extent; overview pick at :55-65).
+
+``CogReader`` is that access path for the stdlib GeoTIFF container this
+engine writes (sources/gtiff.py): IFD metadata parsed through the
+(cached) reader, strip-level windowed reads, and Auto(n)-style overview
+selection. Strips are the block unit (the encoder writes row strips;
+``rows_per_strip`` at encode time controls read granularity), so a
+window read fetches ``ceil(rows/rps)`` strips instead of the page.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from .gtiff import _ASCII, _TYPE_FMT, _TYPE_SIZE
+from .rangereader import CachingRangeReader, RangeReader, open_range_reader
+
+
+@dataclass(frozen=True)
+class CogPage:
+    """Metadata for one IFD page — everything needed to plan a windowed
+    read without touching pixel bytes."""
+
+    width: int
+    height: int
+    bands: int
+    dtype: str  # numpy dtype string, endian-qualified
+    rows_per_strip: int
+    strip_offsets: tuple[int, ...]
+    strip_counts: tuple[int, ...]
+    extent: tuple[float, float, float, float] | None
+    epsg: int | None
+    is_overview: bool
+
+    @property
+    def cell_width(self) -> float | None:
+        if self.extent is None:
+            return None
+        return (self.extent[2] - self.extent[0]) / self.width
+
+
+def _read_ifd_ranged(reader: RangeReader, e: str, ifd_off: int):
+    """One IFD via ranged reads → (tags dict, next IFD offset).
+
+    The entry table is one read; each out-of-line value is one more read
+    — all served from the header chunk by CachingRangeReader for files
+    with head-packed metadata, and range-fetched otherwise (the
+    CacheRangeReader fallback behavior)."""
+    (n,) = struct.unpack_from(e + "H", reader.read(ifd_off, 2), 0)
+    table = reader.read(ifd_off + 2, n * 12 + 4)
+    tags: dict[int, list] = {}
+    for i in range(n):
+        off = i * 12
+        tag, typ, count = struct.unpack_from(e + "HHI", table, off)
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        total = size * count
+        if total <= 4:
+            raw = table[off + 8 : off + 8 + total]
+        else:
+            (voff,) = struct.unpack_from(e + "I", table, off + 8)
+            raw = reader.read(voff, total)
+        if typ == _ASCII:
+            tags[tag] = [raw]
+        else:
+            tags[tag] = list(struct.unpack_from(e + _TYPE_FMT[typ] * count, raw))
+    (nxt,) = struct.unpack_from(e + "I", table, n * 12)
+    return tags, nxt
+
+
+def _page_meta(tags: dict[int, list], e: str) -> CogPage:
+    w, h = int(tags[256][0]), int(tags[257][0])
+    compression = int(tags.get(259, [1])[0])
+    if compression != 1:
+        raise ValueError(
+            "stdlib COG reader handles uncompressed strips only; "
+            f"compression={compression}"
+        )
+    bands = int(tags.get(277, [1])[0])
+    bits = int(tags.get(258, [8])[0])
+    sample_format = int(tags.get(339, [1])[0])
+    dtype = {
+        (3, 64): e + "f8", (3, 32): e + "f4",
+        (1, 8): e + "u1", (1, 16): e + "u2", (1, 32): e + "u4",
+        (2, 8): e + "i1", (2, 16): e + "i2", (2, 32): e + "i4",
+    }[(sample_format, bits)]
+    extent = None
+    if 33550 in tags and 33922 in tags:
+        xres, yres = tags[33550][0], tags[33550][1]
+        xmin, ymax = tags[33922][3], tags[33922][4]
+        extent = (xmin, ymax - yres * h, xmin + xres * w, ymax)
+    epsg = None
+    if 34735 in tags:
+        gd = tags[34735]
+        for i in range(4, len(gd), 4):
+            key, _, _, val = gd[i : i + 4]
+            if key in (2048, 3072):
+                epsg = int(val)
+    return CogPage(
+        width=w,
+        height=h,
+        bands=bands,
+        dtype=dtype,
+        rows_per_strip=int(tags.get(278, [h])[0]),
+        strip_offsets=tuple(int(v) for v in tags[273]),
+        strip_counts=tuple(int(v) for v in tags[279]),
+        extent=extent,
+        epsg=epsg,
+        is_overview=bool(tags.get(254, [0])[0] & 1),
+    )
+
+
+class CogReader:
+    """Parse IFD metadata through a RangeReader; read pixel windows by
+    strip. ``CogReader(uri_or_reader)`` — a string is opened via
+    ``open_range_reader`` (cached)."""
+
+    def __init__(self, source: RangeReader | str):
+        self.reader: RangeReader = (
+            open_range_reader(source) if isinstance(source, str) else source
+        )
+        head = self.reader.read(0, 8)
+        bo, magic, ifd_off = struct.unpack_from("<2sHI", head, 0)
+        if bo == b"II":
+            self._e = "<"
+        elif bo == b"MM":
+            self._e = ">"
+            _, magic, ifd_off = struct.unpack_from(">2sHI", head, 0)
+        else:
+            raise ValueError("not a TIFF")
+        if magic != 42:
+            raise ValueError("not a TIFF (bad magic)")
+        self.pages: list[CogPage] = []
+        while ifd_off:
+            tags, ifd_off = _read_ifd_ranged(self.reader, self._e, ifd_off)
+            self.pages.append(_page_meta(tags, self._e))
+
+    def select_page(self, target_cell_width: float) -> int:
+        """Auto(0)/AutoHigherResolution overview pick (CogUtils.scala:55-65):
+        the COARSEST page whose cell width is <= the requested resolution;
+        page 0 if every overview is finer than needed (never upsample past
+        full resolution)."""
+        best, best_cw = 0, None
+        for i, p in enumerate(self.pages):
+            cw = p.cell_width
+            if cw is None:
+                continue
+            if cw <= target_cell_width and (best_cw is None or cw > best_cw):
+                best, best_cw = i, cw
+        return best
+
+    def read_rows(self, page_idx: int, row0: int, row1: int) -> np.ndarray:
+        """Rows [row0, row1) of one page, fetching ONLY intersecting
+        strips. Returns (rows, width) or (rows, width, bands)."""
+        p = self.pages[page_idx]
+        row0 = max(0, row0)
+        row1 = min(p.height, row1)
+        if row1 <= row0:
+            shape = (0, p.width) if p.bands == 1 else (0, p.width, p.bands)
+            return np.empty(shape, dtype=p.dtype)
+        rps = p.rows_per_strip
+        s0, s1 = row0 // rps, (row1 - 1) // rps
+        raw = b"".join(
+            self.reader.read(p.strip_offsets[s], p.strip_counts[s])
+            for s in range(s0, s1 + 1)
+        )
+        first_row = s0 * rps
+        n_rows = min((s1 + 1) * rps, p.height) - first_row
+        shape = (n_rows, p.width) if p.bands == 1 else (n_rows, p.width, p.bands)
+        block = np.frombuffer(raw, dtype=p.dtype).reshape(shape)
+        return block[row0 - first_row : row1 - first_row].copy()
+
+    def read_window(
+        self, page_idx: int, row0: int, row1: int, col0: int, col1: int
+    ) -> np.ndarray:
+        """Pixel window [row0:row1, col0:col1) — strip fetch + column
+        slice (strips span full width, so columns cost nothing extra)."""
+        p = self.pages[page_idx]
+        rows = self.read_rows(page_idx, row0, row1)
+        return rows[:, max(0, col0) : min(p.width, col1)].copy()
+
+    def read_extent(
+        self,
+        extent: tuple[float, float, float, float],
+        target_cell_width: float | None = None,
+    ) -> tuple[np.ndarray, tuple[float, float, float, float], int | None]:
+        """cropGeoTiff analog: pick the overview for the requested
+        resolution (default: page-0 resolution), convert the extent to a
+        pixel window on that page, read only those strips. Returns
+        (array, snapped extent of returned pixels, epsg)."""
+        p0 = self.pages[0]
+        if p0.extent is None:
+            raise ValueError("page has no geo transform")
+        idx = (
+            self.select_page(target_cell_width)
+            if target_cell_width is not None
+            else 0
+        )
+        p = self.pages[idx]
+        xmin, ymin, xmax, ymax = p.extent
+        cw = (xmax - xmin) / p.width
+        ch = (ymax - ymin) / p.height
+        c0 = max(0, int(np.floor((extent[0] - xmin) / cw)))
+        c1 = min(p.width, int(np.ceil((extent[2] - xmin) / cw)))
+        r0 = max(0, int(np.floor((ymax - extent[3]) / ch)))
+        r1 = min(p.height, int(np.ceil((ymax - extent[1]) / ch)))
+        arr = self.read_window(idx, r0, r1, c0, c1)
+        snapped = (
+            xmin + c0 * cw, ymax - r1 * ch, xmin + c1 * cw, ymax - r0 * ch,
+        )
+        return arr, snapped, p.epsg
+
+    def stats(self) -> dict:
+        """Fetch accounting when the reader is caching (test hook)."""
+        r = self.reader
+        if isinstance(r, CachingRangeReader):
+            return {
+                "fetch_calls": r.fetch_calls,
+                "bytes_fetched": r.bytes_fetched,
+                "total_size": r.total_size(),
+            }
+        return {}

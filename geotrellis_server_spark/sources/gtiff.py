@@ -46,10 +46,17 @@ def _page_block(
     nodata: float | None,
     base_offset: int,
     overview: bool,
+    rows_per_strip: int | None = None,
 ) -> tuple[bytes, int]:
     """One IFD + out-of-line values + strip data, with all offsets
     absolute from ``base_offset``. Returns (block bytes, offset of the
-    next-IFD pointer within the block) so the caller can chain pages."""
+    next-IFD pointer within the block) so the caller can chain pages.
+
+    ``rows_per_strip`` splits pixel data into that many rows per strip
+    (default: one strip = the whole page). Multi-strip pages are what
+    make windowed range reads useful: a reader can fetch only the strips
+    a requested row window intersects (CogUtils.scala:41-70 reads COG
+    tiles the same way — here strips are the block unit)."""
     if a.ndim == 2:
         h, w, bands = a.shape[0], a.shape[1], 1
     else:
@@ -62,6 +69,13 @@ def _page_block(
         a = a.astype("<f8")
         bits, sample_format = 64, 3  # IEEE float
         pixel_bytes = a.tobytes()
+
+    rps = h if rows_per_strip is None else max(1, min(int(rows_per_strip), h))
+    row_bytes = w * bands * (bits // 8)
+    strip_counts = [
+        min(rps, h - r0) * row_bytes for r0 in range(0, h, rps)
+    ]
+    n_strips = len(strip_counts)
 
     xmin, ymin, xmax, ymax = (float(v) for v in extent)
     xres = (xmax - xmin) / w
@@ -83,10 +97,10 @@ def _page_block(
         (258, _SHORT, [bits] * bands),
         (259, _SHORT, [1]),  # no compression
         (262, _SHORT, [2 if bands == 3 else 1]),  # RGB / BlackIsZero
-        (273, _LONG, [0]),  # StripOffsets — patched below
+        (273, _LONG, [0] * n_strips),  # StripOffsets — patched in pass 2
         (277, _SHORT, [bands]),
-        (278, _LONG, [h]),  # one strip
-        (279, _LONG, [len(pixel_bytes)]),
+        (278, _LONG, [rps]),
+        (279, _LONG, strip_counts),
         (284, _SHORT, [1]),  # chunky
         (339, _SHORT, [sample_format] * bands),
         (33550, _DOUBLE, [xres, yres, 0.0]),  # ModelPixelScale
@@ -104,10 +118,28 @@ def _page_block(
     ifd_size = 2 + n * 12 + 4
     data_area_off = base_offset + ifd_size
 
-    # lay out out-of-line values
+    def _raw_len(typ: int, vals: list) -> int:
+        return len(vals[0]) if typ == _ASCII else _TYPE_SIZE[typ] * len(vals)
+
+    # pass 1: layout — overflow size is value-independent, so strip
+    # offsets can be computed before any value bytes are emitted
+    overflow_len = 0
+    for _, typ, vals in entries:
+        rl = _raw_len(typ, vals)
+        if rl > 4:
+            overflow_len += rl + (rl % 2)  # word-align
+    strip_base = data_area_off + overflow_len
+    strip_offsets, pos = [], strip_base
+    for c in strip_counts:
+        strip_offsets.append(pos)
+        pos += c
+
+    # pass 2: emit with real strip offsets
     overflow = bytearray()
     packed_entries = []
     for tag, typ, vals in entries:
+        if tag == 273:
+            vals = strip_offsets
         if typ == _ASCII:
             raw = vals[0]
             count = len(raw)
@@ -124,12 +156,9 @@ def _page_block(
             value_field = struct.pack("<I", off)
         packed_entries.append((tag, typ, count, value_field))
 
-    strip_offset = data_area_off + len(overflow)
     out = bytearray()
     out.extend(struct.pack("<H", n))
     for tag, typ, count, value_field in packed_entries:
-        if tag == 273:  # patch StripOffsets now that it is known
-            value_field = struct.pack("<I", strip_offset)
         out.extend(struct.pack("<HHI", tag, typ, count) + value_field)
     next_ptr_at = len(out)
     out.extend(struct.pack("<I", 0))  # next IFD (caller may patch)
@@ -152,6 +181,7 @@ def encode_geotiff_pyramid(
     extent: tuple[float, float, float, float],
     epsg: int = 3857,
     nodata: float | None = None,
+    rows_per_strip: int | None = None,
 ) -> bytes:
     """COG-style multi-page GeoTIFF: page 0 = full resolution, following
     pages = overviews (NewSubfileType = reduced-resolution) chained
@@ -168,7 +198,10 @@ def encode_geotiff_pyramid(
     ptrs: list[int] = []
     offset = len(header)
     for i, a in enumerate(pages):
-        block, ptr_at = _page_block(a, extent, epsg, nodata, offset, overview=i > 0)
+        block, ptr_at = _page_block(
+            a, extent, epsg, nodata, offset, overview=i > 0,
+            rows_per_strip=rows_per_strip,
+        )
         blocks.append(block)
         ptrs.append(offset + ptr_at)
         offset += len(block)
@@ -338,4 +371,42 @@ def load_geotiff(spark, path: str, layer: str = "gtiff"):
             str(plane.dtype), nan,
             [float(v) for v in plane.astype(np.float64).ravel()],
         ))
+    return spark.createDataFrame(rows, TILE_SCHEMA)
+
+
+def load_geotiff_window(
+    spark,
+    path: str,
+    extent: tuple[float, float, float, float],
+    target_cell_width: float | None = None,
+    layer: str = "gtiff",
+):
+    """S1/S2 windowed COG source: open the file through the cached
+    RangeReader stack, pick the overview matching the requested
+    resolution, and read ONLY the strips the extent intersects — the
+    GeoTiffRasterSource read path (CogUtils.scala:41-70) instead of the
+    whole-file load. Returns a TILE_SCHEMA DataFrame holding the snapped
+    window. At scale: one such call per (executor, file, request), with
+    the 256 KiB header fetch amortized across requests by
+    CachingRangeReader."""
+    from .cog import CogReader
+    from .synth import TILE_SCHEMA
+
+    cog = CogReader(path)
+    arr, snapped, epsg = cog.read_extent(extent, target_cell_width)
+    xmin, ymin, xmax, ymax = snapped
+    nan = float("nan")
+    if arr.ndim == 2:
+        planes = [(0, arr)]
+    else:
+        planes = [(b, arr[:, :, b]) for b in range(arr.shape[2])]
+    rows = [
+        (
+            layer, 0, 0, 0, band, plane.shape[1], plane.shape[0],
+            float(xmin), float(ymin), float(xmax), float(ymax),
+            str(plane.dtype), nan,
+            [float(v) for v in plane.astype(np.float64).ravel()],
+        )
+        for band, plane in planes
+    ]
     return spark.createDataFrame(rows, TILE_SCHEMA)

@@ -1,0 +1,185 @@
+"""Windowed range readers with a cached header chunk (SURVEY.md S2).
+
+The reference reads COGs through a ``RangeReader`` stack: the first
+256 KiB (header + IFD chain) is fetched once and memoized, and every
+later read is served from cache when possible, otherwise range-fetched
+(core/.../vlm/geotiff/util/CogUtils.scala:41-70,
+core/.../util/CacheRangeReader.scala). This module re-creates that
+stack for the PySpark engine:
+
+- ``RangeReader``       — protocol: ``total_size()`` + ``read(off, n)``.
+- ``FileRangeReader``   — local file via seek/read.
+- ``BytesRangeReader``  — in-memory (tests, already-fetched payloads).
+- ``HttpRangeReader``   — HTTP ``Range:`` requests via urllib (no
+  network in this container; constructed lazily, exercised only in a
+  full deployment).
+- ``CachingRangeReader`` — the CacheRangeReader analog: eagerly fetches
+  a header chunk (default 256 KiB) on first use, serves subsequent
+  reads from an LRU of aligned chunks, and counts fetch calls/bytes so
+  tests can assert that a window read touches a small fraction of the
+  file.
+
+On a cluster each executor holds its own CachingRangeReader per open
+file — the header chunk is fetched once per (executor, file), not once
+per tile request, which is exactly the reference's per-JVM behavior.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from typing import Protocol, runtime_checkable
+
+HEADER_BYTES = 256 * 1024  # reference default initial chunk (CogUtils.scala:44)
+
+
+@runtime_checkable
+class RangeReader(Protocol):
+    def total_size(self) -> int: ...
+
+    def read(self, offset: int, length: int) -> bytes: ...
+
+
+class BytesRangeReader:
+    """Range reader over an in-memory payload."""
+
+    def __init__(self, data: bytes):
+        self._data = data
+
+    def total_size(self) -> int:
+        return len(self._data)
+
+    def read(self, offset: int, length: int) -> bytes:
+        return self._data[offset : offset + length]
+
+
+class FileRangeReader:
+    """Range reader over a local file (seek + read)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._size = os.path.getsize(path)
+
+    def total_size(self) -> int:
+        return self._size
+
+    def read(self, offset: int, length: int) -> bytes:
+        with open(self.path, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+
+class HttpRangeReader:
+    """Range reader over HTTP(S) using ``Range:`` headers.
+
+    Public-protocol implementation (RFC 7233 byte ranges via urllib).
+    This container has no network access, so the class is construct-only
+    here; gate tests exercise it if a deployment provides connectivity.
+    """
+
+    def __init__(self, url: str, timeout: float = 30.0):
+        self.url = url
+        self.timeout = timeout
+        self._size: int | None = None
+
+    def total_size(self) -> int:
+        if self._size is None:
+            import urllib.request
+
+            req = urllib.request.Request(self.url, method="HEAD")
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                self._size = int(resp.headers["Content-Length"])
+        return self._size
+
+    def read(self, offset: int, length: int) -> bytes:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url,
+            headers={"Range": f"bytes={offset}-{offset + length - 1}"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return resp.read()
+
+
+class CachingRangeReader:
+    """CacheRangeReader analog: header-chunk prefetch + chunk-aligned LRU.
+
+    The first read triggers a single fetch of ``header_bytes`` from
+    offset 0 (the TIFF header + IFD chain for any reasonably laid-out
+    COG). Reads beyond the header are served through chunk-aligned
+    fetches of ``chunk_bytes``, memoized in an LRU capped at
+    ``max_chunks`` entries. ``fetch_calls`` / ``bytes_fetched`` expose
+    how much of the underlying source was actually touched.
+    """
+
+    def __init__(
+        self,
+        inner: RangeReader,
+        header_bytes: int = HEADER_BYTES,
+        chunk_bytes: int = 64 * 1024,
+        max_chunks: int = 256,
+    ):
+        self.inner = inner
+        self.header_bytes = header_bytes
+        self.chunk_bytes = chunk_bytes
+        self.max_chunks = max_chunks
+        self._header: bytes | None = None
+        self._chunks: OrderedDict[int, bytes] = OrderedDict()
+        self.fetch_calls = 0
+        self.bytes_fetched = 0
+
+    def total_size(self) -> int:
+        return self.inner.total_size()
+
+    def _ensure_header(self) -> bytes:
+        if self._header is None:
+            n = min(self.header_bytes, self.total_size())
+            self._header = self.inner.read(0, n)
+            self.fetch_calls += 1
+            self.bytes_fetched += len(self._header)
+        return self._header
+
+    def _chunk(self, idx: int) -> bytes:
+        c = self._chunks.get(idx)
+        if c is not None:
+            self._chunks.move_to_end(idx)
+            return c
+        off = idx * self.chunk_bytes
+        c = self.inner.read(off, min(self.chunk_bytes, self.total_size() - off))
+        self.fetch_calls += 1
+        self.bytes_fetched += len(c)
+        self._chunks[idx] = c
+        while len(self._chunks) > self.max_chunks:
+            self._chunks.popitem(last=False)
+        return c
+
+    def read(self, offset: int, length: int) -> bytes:
+        header = self._ensure_header()
+        end = min(offset + length, self.total_size())
+        if end <= len(header):
+            return header[offset:end]
+        parts = []
+        pos = offset
+        if pos < len(header):
+            parts.append(header[pos:])
+            pos = len(header)
+        while pos < end:
+            idx = pos // self.chunk_bytes
+            chunk = self._chunk(idx)
+            start_in_chunk = pos - idx * self.chunk_bytes
+            take = min(end - pos, len(chunk) - start_in_chunk)
+            parts.append(chunk[start_in_chunk : start_in_chunk + take])
+            pos += take
+        return b"".join(parts)
+
+
+def open_range_reader(uri: str, cached: bool = True) -> RangeReader:
+    """URI → reader: ``http(s)://`` → HttpRangeReader, else local file.
+    ``cached`` wraps the reader in CachingRangeReader (the default, as in
+    the reference's CacheRangeReader-wrapped sources)."""
+    if uri.startswith(("http://", "https://")):
+        inner: RangeReader = HttpRangeReader(uri)
+    else:
+        inner = FileRangeReader(uri.removeprefix("file://"))
+    return CachingRangeReader(inner) if cached else inner
