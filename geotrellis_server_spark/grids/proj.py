@@ -23,7 +23,11 @@ formulas:
   plane zones — new zones are one registry entry),
 - EPSG:27700 / 25832 (generic transverse Mercator — any ellipsoid, k0,
   origin; method 9807: British National Grid, Gauss-Krüger and TM state
-  plane zones are parameter dicts over the same Karney series).
+  plane zones are parameter dicts over the same Karney series),
+- EPSG:5070 / 3577 (Albers equal-area conic — Snyder §14, EPSG method
+  9822; the standard US/Australian continental analysis CRS),
+- EPSG:4087 (equidistant cylindrical, EPSG method 1028 — ellipsoidal
+  Plate Carrée via the Krüger rectifying series).
 
 All transforms route src → lonlat → dst, vectorized over numpy arrays.
 """
@@ -394,6 +398,93 @@ def lcc_inverse(x, y, p: dict):
     return p["lon0"] + np.degrees(theta / n), np.degrees(phi)
 
 
+# --- Albers equal-area conic (Snyder §14 / EPSG method 9822) ----------------
+
+
+def _aea_consts(p: dict) -> tuple[float, float, float, float]:
+    """(n, C, rho0, e) for an Albers parameter dict (lat1/lat2 standard
+    parallels, lat0/lon0 origin). Reuses the LAEA authalic-q function
+    (Snyder eq. 3-12)."""
+    e2 = p["e2"]
+    e = float(np.sqrt(e2))
+    s1, s2 = np.sin(np.radians(p["lat1"])), np.sin(np.radians(p["lat2"]))
+    m1 = float(np.cos(np.radians(p["lat1"])) / np.sqrt(1.0 - e2 * s1 * s1))
+    m2 = float(np.cos(np.radians(p["lat2"])) / np.sqrt(1.0 - e2 * s2 * s2))
+    q1, q2 = float(_q_auth(s1, e, e2)), float(_q_auth(s2, e, e2))
+    q0 = float(_q_auth(np.sin(np.radians(p["lat0"])), e, e2))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho0 = p["a"] * np.sqrt(c - n * q0) / n
+    return n, c, float(rho0), e
+
+
+def aea_forward(lon, lat, p: dict):
+    n, c, rho0, e = _aea_consts(p)
+    e2 = p["e2"]
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    theta = n * np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    q = _q_auth(np.sin(phi), e, e2)
+    rho = p["a"] * np.sqrt(np.maximum(c - n * q, 0.0)) / n
+    x = p["fe"] + rho * np.sin(theta)
+    y = p["fn"] + rho0 - rho * np.cos(theta)
+    return x, y
+
+
+def aea_inverse(x, y, p: dict):
+    n, c, rho0, e = _aea_consts(p)
+    e2 = p["e2"]
+    a = p["a"]
+    xp = np.asarray(x, dtype=np.float64) - p["fe"]
+    yp = rho0 - (np.asarray(y, dtype=np.float64) - p["fn"])
+    rho = np.sign(n) * np.hypot(xp, yp)
+    theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+    q = (c - rho * rho * n * n / (a * a)) / n
+    # latitude from authalic q — same Snyder eq. 3-16 iteration as LAEA
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(6):
+        s = np.sin(phi)
+        phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e2)
+            - s / (1.0 - e2 * s * s)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+    return p["lon0"] + np.degrees(theta / n), np.degrees(phi)
+
+
+# --- Equidistant cylindrical (EPSG method 1028 / Snyder §12) ----------------
+
+
+def eqc_forward(lon, lat, p: dict):
+    """x = fe + nu1·cos(lat1)·lam, y = fn + M(lat) — the ellipsoidal
+    Plate Carrée family. M comes from the same Krüger rectifying series
+    as the TM code (meridian arc = A_rect · xi at lam = 0)."""
+    e2 = p["e2"]
+    f = 1.0 - np.sqrt(1.0 - e2)  # flattening from e² (exact inverse)
+    n3 = f / (2.0 - f)
+    alpha, _, af = _krueger_coeffs(n3)
+    e = float(np.sqrt(e2))
+    s1 = np.sin(np.radians(p["lat1"]))
+    nu1_cos = p["a"] / np.sqrt(1.0 - e2 * s1 * s1) * np.cos(np.radians(p["lat1"]))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    lat_arr = np.asarray(lat, dtype=np.float64)
+    xi, _ = _tm_core_fwd(np.zeros_like(lat_arr), lat_arr, 0.0, e, alpha)
+    return p["fe"] + nu1_cos * lam, p["fn"] + p["a"] * af * xi
+
+
+def eqc_inverse(x, y, p: dict):
+    e2 = p["e2"]
+    f = 1.0 - np.sqrt(1.0 - e2)
+    n3 = f / (2.0 - f)
+    _, beta, af = _krueger_coeffs(n3)
+    e = float(np.sqrt(e2))
+    s1 = np.sin(np.radians(p["lat1"]))
+    nu1_cos = p["a"] / np.sqrt(1.0 - e2 * s1 * s1) * np.cos(np.radians(p["lat1"]))
+    lam = (np.asarray(x, dtype=np.float64) - p["fe"]) / nu1_cos
+    xi = (np.asarray(y, dtype=np.float64) - p["fn"]) / (p["a"] * af)
+    _, lat = _tm_core_inv(xi, np.zeros_like(xi), 0.0, e, beta)
+    return p["lon0"] + np.degrees(lam), lat
+
+
 # EPSG registry for the closed-form projections above. UTM zones resolve
 # arithmetically in _utm_params; everything else is a parameter dict here.
 CRS_REGISTRY: dict[int, tuple[str, dict]] = {
@@ -424,12 +515,21 @@ CRS_REGISTRY: dict[int, tuple[str, dict]] = {
     # EPSG:25832 = ETRS89 / UTM 32N on GRS80 (generic-TM path, k0 0.9996)
     25832: ("tm", {"a": A_GRS80, "f": F_GRS80, "k0": 0.9996, "lat0": 0.0,
                    "lon0": 9.0, "fe": 500000.0, "fn": 0.0}),
+    # NAD83 / Conus Albers (the standard US continental analysis CRS)
+    5070: ("aea", {"a": A_GRS80, "e2": E2_GRS80, "lat1": 29.5, "lat2": 45.5,
+                   "lat0": 23.0, "lon0": -96.0, "fe": 0.0, "fn": 0.0}),
+    # GDA94 / Australian Albers
+    3577: ("aea", {"a": A_GRS80, "e2": E2_GRS80, "lat1": -18.0, "lat2": -36.0,
+                   "lat0": 0.0, "lon0": 132.0, "fe": 0.0, "fn": 0.0}),
+    # WGS 84 / World Equidistant Cylindrical (EPSG method 1028, lat1 = 0)
+    4087: ("eqc", {"a": A_WGS84, "e2": E2, "lat1": 0.0, "lon0": 0.0,
+                   "fe": 0.0, "fn": 0.0}),
 }
 
 _KIND_FWD = {"laea": laea_forward, "ps": ps_forward, "lcc": lcc_forward,
-             "tm": tm_forward_generic}
+             "tm": tm_forward_generic, "aea": aea_forward, "eqc": eqc_forward}
 _KIND_INV = {"laea": laea_inverse, "ps": ps_inverse, "lcc": lcc_inverse,
-             "tm": tm_inverse_generic}
+             "tm": tm_inverse_generic, "aea": aea_inverse, "eqc": eqc_inverse}
 
 
 # --- CRS registry / generic transform --------------------------------------

@@ -342,3 +342,81 @@ def test_generic_tm_agrees_with_utm_path():
     x2, y2 = proj.transform(10.0, 52.0, 4326, 32632)
     assert abs(float(x1 - x2)) < 1e-3
     assert abs(float(y1 - y2)) < 1e-3
+
+
+# --- Albers equal-area conic (5070/3577) + equidistant cylindrical (4087) ---
+
+
+def test_aea_snyder_worked_example():
+    # Snyder 1987 §14 numerical example (Clarke 1866, NAD27 Albers):
+    # lat1 29.5N lat2 45.5N lat0 23N lon0 96W; 35N 75W ->
+    # x = 1,885,472.7 m, y = 1,535,925.0 m (Snyder p. 292)
+    p = {"a": 6378206.4, "e2": 0.00676866, "lat1": 29.5, "lat2": 45.5,
+         "lat0": 23.0, "lon0": -96.0, "fe": 0.0, "fn": 0.0}
+    x, y = proj.aea_forward(-75.0, 35.0, p)
+    assert abs(float(x) - 1885472.7) < 0.05
+    assert abs(float(y) - 1535925.0) < 0.05
+    lon, lat = proj.aea_inverse(x, y, p)
+    assert abs(float(lon) + 75.0) < 1e-9 and abs(float(lat) - 35.0) < 1e-9
+
+
+def test_aea_conus_origin_and_area_scale():
+    p = proj.CRS_REGISTRY[5070][1]
+    x, y = proj.aea_forward(-96.0, 23.0, p)
+    assert abs(float(x)) < 1e-6 and abs(float(y)) < 1e-6
+    # equal-area property at a CONUS point (same audit as the LAEA test)
+    lon, lat, d = -100.0, 40.0, 0.01
+    corners = [(lon, lat), (lon + d, lat), (lon + d, lat + d), (lon, lat + d)]
+    xy = [proj.aea_forward(lo, la, p) for lo, la in corners]
+    area = 0.0
+    for i in range(4):
+        x1, y1 = xy[i]; x2, y2 = xy[(i + 1) % 4]
+        area += float(x1 * y2 - x2 * y1)
+    area = abs(area) / 2.0
+    e, e2 = float(np.sqrt(p["e2"])), p["e2"]
+    import math
+    def q(s): return (1-e2)*(s/(1-e2*s*s) - (1/(2*e))*math.log((1-e*s)/(1+e*s)))
+    qp = q(1.0)
+    rq2 = p["a"]**2 * qp / 2.0
+    s1, s2 = math.sin(math.radians(lat)), math.sin(math.radians(lat + d))
+    exact = rq2 * (q(s2) - q(s1)) / qp * math.radians(d)
+    assert abs(area - exact) / exact < 1e-6
+
+
+def test_aea_unit_scale_on_standard_parallels():
+    # k along a standard parallel = n*rho/(a*m) = 1 by construction
+    p = proj.CRS_REGISTRY[5070][1]
+    for lat in (29.5, 45.5):
+        d = 1e-5
+        (x1, y1), (x2, y2) = (proj.aea_forward(-96.0, lat, p),
+                              proj.aea_forward(-96.0 + d, lat, p))
+        ground = np.hypot(float(x2 - x1), float(y2 - y1))
+        e2 = p["e2"]
+        s = np.sin(np.radians(lat))
+        nu_cos = p["a"] / np.sqrt(1 - e2 * s * s) * np.cos(np.radians(lat))
+        assert abs(ground / (nu_cos * np.radians(d)) - 1.0) < 1e-6
+
+
+def test_eqc_matches_meridian_arc():
+    # EPSG:4087 (lat1 = 0): x = a*lam exactly; y = ellipsoidal meridian
+    # arc — must agree with the independently-anchored Krüger series
+    lats = np.array([-80.0, -45.0, 0.0, 30.0, 45.0, 89.0])
+    x, y = proj.transform(np.full_like(lats, 90.0), lats, 4326, 4087)
+    np.testing.assert_allclose(x, proj.A_WGS84 * np.radians(90.0), rtol=1e-12)
+    np.testing.assert_allclose(y, proj.meridian_arc(lats), atol=1e-6)
+
+
+@pytest.mark.parametrize("epsg,lon_rng,lat_rng", [
+    (5070, (-125.0, -66.0), (24.0, 49.0)),
+    (3577, (112.0, 154.0), (-44.0, -10.0)),
+    (4087, (-179.0, 179.0), (-85.0, 85.0)),
+])
+def test_new_registry_crs_roundtrip(epsg, lon_rng, lat_rng):
+    rng = np.random.default_rng(12)
+    lons = rng.uniform(*lon_rng, 500)
+    lats = rng.uniform(*lat_rng, 500)
+    x, y = proj.transform(lons, lats, 4326, epsg)
+    lo, la = proj.transform(x, y, epsg, 4326)
+    dl = (lo - lons + 180.0) % 360.0 - 180.0
+    assert np.abs(dl).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
