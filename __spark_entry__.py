@@ -1063,6 +1063,175 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+def _q_fslope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal fslope (Horn, kernels.py:_fslope) over the z2 doc-count
+    pyramid. Slope degrees are transcendental, so the contract value is
+    the exact integer 64·(dzdx²+dzdy²) recovered from the slope via
+    tan(radians(°))² — a wrong gradient, arctan, or unit convention all
+    break the integer. NaN cells (any 3×3 neighbor outside the existing
+    tile domain) are dropped; the oracle mirrors that with an all-9-
+    neighbors-present condition."""
+    from geotrellis_server_spark.maml import ast as M
+    from geotrellis_server_spark.maml.eval import eval_expr
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 2, tile_size=8)
+    out = eval_expr(M.focal("fslope", M.var("d"), radius=1), {"d": tiles})
+    return (
+        out.selectExpr("tile_x", "tile_y", "posexplode(cells) AS (idx, value)")
+        .where("value IS NOT NULL AND NOT isnan(value)")
+        .selectExpr(
+            "tile_x", "tile_y", "idx",
+            "CAST(round(tan(radians(value)) * tan(radians(value)) * 64.0) AS BIGINT) AS grad2",
+        )
+    )
+
+
+def _fslope_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 2, 8)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    # Horn 8·dz/dx = Σ dgx·(2-|dgy|)·v ; 8·dz/dy = Σ dgy·(2-|dgx|)·v —
+    # independent conditional-sum formulation (no shared kernel code)
+    return f"""
+    WITH pix AS (
+      SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px, count(*) AS cnt
+      FROM ({pts}) GROUP BY 1, 2, 3, 4),
+    tiles AS (SELECT DISTINCT tx, ty FROM pix),
+    dom AS (
+      SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py, CAST(j.j AS BIGINT) AS px
+      FROM tiles t CROSS JOIN range(8) i(i) CROSS JOIN range(8) j(j)),
+    gval AS (
+      SELECT d.tx, d.ty, d.py, d.px,
+             d.ty * 8 + d.py AS gy, d.tx * 8 + d.px AS gx,
+             COALESCE(p.cnt, 0) AS v
+      FROM dom d LEFT JOIN pix p
+        ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px),
+    horn AS (
+      SELECT c.tx, c.ty, c.py, c.px, count(*) AS n_nbrs,
+             sum((n.gx - c.gx) * (2 - abs(n.gy - c.gy)) * n.v) AS dx8,
+             sum((n.gy - c.gy) * (2 - abs(n.gx - c.gx)) * n.v) AS dy8
+      FROM gval c
+      JOIN gval n ON n.gx BETWEEN c.gx - 1 AND c.gx + 1
+                 AND n.gy BETWEEN c.gy - 1 AND c.gy + 1
+      GROUP BY 1, 2, 3, 4)
+    SELECT tx AS tile_x, ty AS tile_y, CAST(py * 8 + px AS INT) AS idx,
+           CAST(dx8 * dx8 + dy8 * dy8 AS BIGINT) AS grad2
+    FROM horn WHERE n_nbrs = 9
+    """
+
+
+def _q_extent_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 extent folds as a contract query: per-group doc envelopes →
+    the union and intersection monoid folds (operators/histogram.py
+    extent_union/extent_intersection), tagged and unioned to two rows."""
+    from geotrellis_server_spark.operators import histogram as H
+
+    d = _docs(spark, sf_dir)
+    env = d.groupBy((F.expr("CAST(substring(doc_id, 5) AS BIGINT) % 7")).alias("g")).agg(
+        F.min("lon").alias("xmin"), F.min("lat").alias("ymin"),
+        F.max("lon").alias("xmax"), F.max("lat").alias("ymax"),
+    )
+    u = H.extent_union(env).select(F.lit("union").alias("kind"), "*")
+    i = H.extent_intersection(env).select(F.lit("intersection").alias("kind"), "*")
+    return u.unionByName(i)
+
+
+def _extent_folds_oracle() -> str:
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    return f"""
+    WITH env AS (
+      SELECT id % 7 AS g, min(lon) AS xmin, min(lat) AS ymin,
+             max(lon) AS xmax, max(lat) AS ymax
+      FROM ({pts}) GROUP BY 1)
+    SELECT 'union' AS kind, min(xmin) AS xmin, min(ymin) AS ymin,
+           max(xmax) AS xmax, max(ymax) AS ymax FROM env
+    UNION ALL
+    SELECT 'intersection' AS kind,
+           CASE WHEN max(xmin) <= min(xmax) AND max(ymin) <= min(ymax)
+                THEN max(xmin) END AS xmin,
+           CASE WHEN max(xmin) <= min(xmax) AND max(ymin) <= min(ymax)
+                THEN max(ymin) END AS ymin,
+           CASE WHEN max(xmin) <= min(xmax) AND max(ymin) <= min(ymax)
+                THEN min(xmax) END AS xmax,
+           CASE WHEN max(xmin) <= min(xmax) AND max(ymin) <= min(ymax)
+                THEN min(ymax) END AS ymax
+    FROM env
+    """
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup (dedup.incremental_new_docs):
+    base = even doc_ids, new = odd doc_ids; survivors of the new snapshot
+    whose content hash never appeared in the base."""
+    from geotrellis_server_spark.operators import dedup
+
+    docs = _read_documents(spark, sf_dir)
+    base = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+    return dedup.incremental_new_docs(base, new)
+
+
+def _incremental_dedup_oracle() -> str:
+    return """
+    WITH nh AS (SELECT md5(text) AS content_hash, doc_id
+                FROM documents WHERE doc_id % 2 = 1),
+         bh AS (SELECT DISTINCT md5(text) AS content_hash
+                FROM documents WHERE doc_id % 2 = 0)
+    SELECT content_hash, MIN(doc_id) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM nh WHERE content_hash NOT IN (SELECT content_hash FROM bh)
+    GROUP BY content_hash
+    """
+
+
+# C1 ramp-classification poles: break b_i ← color c_i (first break >= v),
+# above the last break / NaN → transparent (ColorMap LessThanOrEqualTo)
+CLASSIFY_BREAKS = [200.0, 400.0, 800.0, 1600.0]
+CLASSIFY_COLORS = [(0, 0, 255, 255), (0, 255, 0, 255),
+                   (255, 255, 0, 255), (255, 0, 0, 192)]
+
+
+def _q_classify_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 color-ramp classification as a distributed op: the REAL
+    styles.colormap.classify_breaks kernel applied per Arrow batch via
+    mapInPandas over documents.n_chars."""
+    import numpy as np
+    import pandas as pd
+
+    from geotrellis_server_spark.styles import colormap as cmap
+
+    breaks = np.array(CLASSIFY_BREAKS)
+    colors = np.array(CLASSIFY_COLORS, dtype=np.uint8)
+
+    def mapper(batches):
+        for pdf in batches:
+            rgba = cmap.classify_breaks(
+                pdf["n_chars"].to_numpy(dtype=np.float64), breaks, colors
+            )
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "r": rgba[:, 0].astype("int32"), "g": rgba[:, 1].astype("int32"),
+                "b": rgba[:, 2].astype("int32"), "a": rgba[:, 3].astype("int32"),
+            })
+
+    return (
+        _read_documents(spark, sf_dir)
+        .select("doc_id", "n_chars")
+        .mapInPandas(mapper, "doc_id BIGINT, r INT, g INT, b INT, a INT")
+    )
+
+
+def _classify_breaks_oracle() -> str:
+    chans = []
+    for ch, name in enumerate("rgba"):
+        branches = "".join(
+            f" WHEN n_chars <= {int(b)} THEN {CLASSIFY_COLORS[i][ch]}"
+            for i, b in enumerate(CLASSIFY_BREAKS)
+        )
+        chans.append(f"CAST(CASE{branches} ELSE 0 END AS INT) AS {name}")
+    return f"SELECT doc_id, {', '.join(chans)} FROM documents"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -1113,6 +1282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk20": _q_cosine_topk,
         "sim_ivf_full_probe": _q_ivf_full_probe,
         "sim_lsh_ann_bucket": _q_lsh_ann_bucket,
+        "maml_fslope_grad2_z2": _q_fslope,
+        "agg_extent_folds": _q_extent_folds,
+        "dedup_incremental_new": _q_incremental_dedup,
+        "style_classify_breaks": _q_classify_breaks,
     }
 
 
@@ -1325,6 +1498,10 @@ def oracle_sql() -> dict[str, str]:
               FROM s) WHERE rank <= 15
         """,
         "sim_lsh_ann_bucket": _lsh_bucket_oracle(),
+        "maml_fslope_grad2_z2": _fslope_oracle(),
+        "agg_extent_folds": _extent_folds_oracle(),
+        "dedup_incremental_new": _incremental_dedup_oracle(),
+        "style_classify_breaks": _classify_breaks_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

@@ -410,3 +410,34 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+
+def incremental_new_docs(
+    base: DataFrame, new: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-snapshot incremental dedup: rows of ``new`` whose content
+    hash never appeared in ``base``, deduplicated within the new snapshot
+    (min-id survivor per hash). Returns (content_hash, survivor_id,
+    n_new). The batch counterpart of streaming/incremental.py's
+    first-seen-per-hash stateful dedup — the same semantics for a
+    snapshot-vs-snapshot ingest instead of a micro-batch stream.
+
+    Scale: the base side collapses to a distinct-hash projection BEFORE
+    the join (narrow 32-byte column, map-side partial agg), the new side
+    collapses to one survivor row per hash, and the left_anti equi-join
+    shuffles both sides on content_hash only — no doc text ever moves.
+    At 100 TB the base projection is still large, so this stays a
+    shuffle (sort-merge) join; AQE converts it to broadcast when the
+    base snapshot's distinct-hash side is small enough."""
+    base_hashes = base.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+    survivors = (
+        new.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("survivor_id"), F.count("*").alias("n_new"))
+    )
+    return survivors.join(base_hashes, "content_hash", "left_anti")

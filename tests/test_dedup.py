@@ -141,3 +141,28 @@ def test_connected_components_chain_diameter(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(30)], "a BIGINT, b BIGINT")
     got = {r.id: r.cluster_id for r in connected_components(df).collect()}
     assert set(got.values()) == {0} and len(got) == 31
+
+
+def test_incremental_new_docs(spark):
+    from geotrellis_server_spark.operators.dedup import incremental_new_docs
+
+    base = spark.createDataFrame(
+        [(0, "aaa"), (2, "bbb"), (4, "ccc")], "doc_id BIGINT, text STRING"
+    )
+    new = spark.createDataFrame(
+        [(1, "bbb"),   # seen in base -> dropped
+         (3, "ddd"), (5, "ddd"),  # new dup pair -> one survivor (min id)
+         (7, "eee")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.survivor_id: r.n_new for r in incremental_new_docs(base, new).collect()}
+    assert got == {3: 2, 7: 1}
+
+
+def test_incremental_new_docs_empty_base(spark):
+    from geotrellis_server_spark.operators.dedup import incremental_new_docs
+
+    base = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    new = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id BIGINT, text STRING")
+    rows = incremental_new_docs(base, new).collect()
+    assert len(rows) == 1 and rows[0].survivor_id == 1 and rows[0].n_new == 2
