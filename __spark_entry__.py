@@ -1063,6 +1063,38 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+def _q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ compression path end-to-end: train product-quantizer
+    codebooks (content-hash sample, partition-invariant), encode the
+    corpus to m uint8-range codes, ADC-score via a pure-JVM lookup-table
+    expression, then exact-rerank the top candidate pool. The driver embeddings are isotropic noise — PQ's worst case — so the
+    gate uses a generous pool (400 of 500); the deterministic result then
+    equals the exact top-15 —
+    the oracle is brute-force cosine in DuckDB."""
+    from geotrellis_server_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    books = S.pq_train(emb, n_subspaces=8, n_codes=16, seed=11)
+    enc = S.pq_encode(emb, books)
+    return S.pq_topk(enc, books, qvec, 15, rerank=400)
+
+
+def _pq_rerank_oracle() -> str:
+    return """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        s AS (SELECT vec_id,
+                     list_dot_product(embedding::DOUBLE[], qv)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv, qv))) AS cosine
+              FROM embeddings, q)
+        SELECT vec_id, rank FROM (
+          SELECT vec_id,
+                 CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+          FROM s) WHERE rank <= 15
+    """
+
+
 def _q_fslope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal fslope (Horn, kernels.py:_fslope) over the z2 doc-count
     pyramid. Slope degrees are transcendental, so the contract value is
@@ -1286,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_extent_folds": _q_extent_folds,
         "dedup_incremental_new": _q_incremental_dedup,
         "style_classify_breaks": _q_classify_breaks,
+        "sim_pq_rerank_topk15": _q_pq_rerank,
     }
 
 
@@ -1502,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_extent_folds": _extent_folds_oracle(),
         "dedup_incremental_new": _incremental_dedup_oracle(),
         "style_classify_breaks": _classify_breaks_oracle(),
+        "sim_pq_rerank_topk15": _pq_rerank_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

@@ -279,3 +279,123 @@ def ivf_ann_topk(
         df = ivf_assign(df, centroids, vec_col, cell_col)
     scanned = df.filter(F.col(cell_col).isin([int(c) for c in probes]))
     return cosine_topk(scanned.drop(cell_col), query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ compression path)
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame, n_subspaces: int = 8, n_codes: int = 16, n_iters: int = 10,
+    sample_limit: int = 10000, seed: int = 11, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantizer codebooks (n_subspaces, n_codes, sub_dim):
+    split L2-normalized vectors into contiguous subvectors and run an
+    independent deterministic Lloyd k-means per subspace on the same
+    content-hash-ordered sample as ``ivf_train`` (partition-invariant).
+
+    At 100 TB this is the compression layer of IVF-PQ: 64 float32 dims
+    (256 B) become n_subspaces uint8 codes (8 B) — a 32× smaller scan
+    per probed cell, with the full-precision vectors only touched by the
+    optional exact re-rank of the final candidates."""
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)).asc(), F.col(vec_col).asc())
+        .limit(int(sample_limit))
+        .collect()
+    )
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    rng = np.random.default_rng(seed)
+    books = np.empty((n_subspaces, n_codes, sub), dtype=np.float64)
+    for s in range(n_subspaces):
+        xs = x[:, s * sub : (s + 1) * sub]
+        k = min(n_codes, len(xs))
+        cent = xs[rng.choice(len(xs), size=k, replace=False)]
+        for _ in range(n_iters):
+            # L2 assignment: argmin ||x - c||² = argmax (x·c - ||c||²/2)
+            score = xs @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+            assign = np.argmax(score, axis=1)
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        if k < n_codes:  # degenerate tiny sample: repeat rows to shape
+            cent = np.vstack([cent, np.tile(cent[-1:], (n_codes - k, 1))])
+        books[s] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame, codebooks, vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Add ``code_col: array<int>`` — per-subspace nearest-code ids
+    (Arrow-batched: one matmul per subspace per batch, no per-row
+    Python). The encoded table needs only (id, cell, codes) downstream —
+    the wide float column is never shuffled."""
+    from pyspark.sql import types as T
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _, sub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            xs = x[:, s * sub : (s + 1) * sub]
+            score = xs @ books[s].T - 0.5 * (books[s] * books[s]).sum(axis=1)
+            codes[:, s] = np.argmax(score, axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(code_col, encode(F.col(vec_col)))
+
+
+def pq_topk(
+    df: DataFrame, codebooks, query_vec: list[float], k: int,
+    id_col: str = "vec_id", code_col: str = "pq_code",
+    rerank: int | None = None, vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes: the
+    query builds a tiny (n_subspaces × n_codes) lookup table of
+    q_s · c_s dot products; each row's score is a pure JVM expression —
+    ``transform(codes, (c, s) -> LUT[s][c])`` summed — so the scan stays
+    in whole-stage codegen with NO Python, and ``orderBy().limit(k)``
+    compiles to TakeOrderedAndProject (no global sort; same plan shape
+    as cosine_topk).
+
+    ``rerank``: re-score the top ``rerank`` ADC candidates with the
+    exact cosine from the full vectors (the standard two-stage IVF-PQ
+    recipe); requires ``vec_col`` present. Returns (id, rank)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    m, _, sub = books.shape
+    lut = np.stack([books[s] @ q[s * sub : (s + 1) * sub] for s in range(m)])
+    lut_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in row) + ")"
+        for row in lut
+    ) + ")"
+    score = F.expr(
+        f"aggregate(zip_with({code_col}, sequence(0, {m - 1}),"
+        f" (c, s) -> element_at(element_at({lut_sql}, s + 1), c + 1)),"
+        f" 0D, (s, v) -> s + v)"
+    )
+    scored = df.withColumn("adc_score", score)
+    n_cand = int(rerank) if rerank else int(k)
+    cand = scored.orderBy(F.desc("adc_score"), F.asc(id_col)).limit(n_cand)
+    if rerank:
+        cand = with_cosine(cand, query_vec, vec_col)
+        cand = cand.orderBy(F.desc("cosine"), F.asc(id_col)).limit(int(k))
+        order, tie = "cosine", id_col
+    else:
+        order, tie = "adc_score", id_col
+    w = Window.orderBy(F.desc(order), F.asc(tie))  # ≤k rows — bounded
+    return cand.select(id_col, F.row_number().over(w).alias("rank"))

@@ -218,3 +218,74 @@ def test_ivf_partitioned_layout_prunes_partitions(spark, tmp_path):
     mem = S.ivf_ann_topk(S.ivf_assign(emb, cent, cell_col="_ivf_cell"),
                          cent, qvec, 10, nprobe=3, cell_col="_ivf_cell")
     assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
+
+
+# --- product quantization -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    df = spark.range(800).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 15), j -> CAST("
+        " sin(CAST(id % 16 AS DOUBLE) * 2.7 + CAST(j AS DOUBLE))"
+        " + 0.05 * sin(CAST(id AS DOUBLE) * 0.913 + CAST(j AS DOUBLE) * 1.71)"
+        " AS FLOAT)) AS embedding",
+    ).cache()
+    df.count()
+    return df
+
+
+def test_pq_encode_shape_and_determinism(clustered):
+    books = S.pq_train(clustered, n_subspaces=4, n_codes=16, seed=11)
+    assert books.shape == (4, 16, 4)
+    enc = S.pq_encode(clustered, books)
+    rows = enc.select("vec_id", "pq_code").collect()
+    assert all(len(r.pq_code) == 4 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.pq_code)
+    # deterministic across re-evaluation
+    rows2 = enc.select("vec_id", "pq_code").collect()
+    assert sorted(map(tuple, ((r.vec_id, tuple(r.pq_code)) for r in rows))) == \
+           sorted(map(tuple, ((r.vec_id, tuple(r.pq_code)) for r in rows2)))
+
+
+def test_pq_train_invariant_under_repartitioning(clustered):
+    b1 = S.pq_train(clustered.repartition(16), n_subspaces=4, n_codes=8, seed=11)
+    b2 = S.pq_train(clustered.coalesce(1), n_subspaces=4, n_codes=8, seed=11)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_pq_adc_quality_and_rerank(clustered):
+    # PQ resolves structure at codebook granularity, not within-cluster
+    # jitter — so the honest guarantees are (a) ADC's top-k is as GOOD
+    # as the exact top-k in cosine terms, and (b) exact re-rank of an
+    # ADC candidate pool recovers the exact top-k (the IVF-PQ recipe).
+    rows = clustered.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    qvec = [float(v) for v in vecs[37]]
+    qn = np.asarray(qvec) / np.linalg.norm(qvec)
+    def mean_cos(ids):
+        return float(np.mean([
+            vecs[i] @ qn / np.linalg.norm(vecs[i]) for i in ids]))
+    exact = [r.vec_id for r in S.cosine_topk(clustered, qvec, 10).collect()]
+    books = S.pq_train(clustered, n_subspaces=4, n_codes=32, seed=11)
+    enc = S.pq_encode(clustered, books).cache()
+    adc = [r.vec_id for r in S.pq_topk(enc, books, qvec, 10).collect()]
+    assert mean_cos(adc) >= 0.98 * mean_cos(exact), (mean_cos(adc), mean_cos(exact))
+    # exact re-rank of a 10x candidate pool recovers the exact top-k
+    rr = [r.vec_id for r in S.pq_topk(enc, books, qvec, 10, rerank=100).collect()]
+    assert len(set(rr) & set(exact)) / 10.0 >= 0.9, (rr, exact)
+
+
+def test_pq_topk_plan_is_take_ordered_no_python(spark, clustered):
+    books = S.pq_train(clustered, n_subspaces=4, n_codes=8, seed=11)
+    # a materialized code table (the ivf_write_partitioned analog): the
+    # ADC query itself must be pure JVM — no Python stage, no global sort
+    rows = S.pq_encode(clustered, books).select("vec_id", "pq_code").collect()
+    pdf = spark.createDataFrame(rows, "vec_id BIGINT, pq_code ARRAY<INT>")
+    plan = S.pq_topk(pdf, books, [0.1] * 16, 5, code_col="pq_code") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
