@@ -161,3 +161,75 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     by_id = sorted(d for _, d in kept)
     assert by_id == [1, 2, 11]  # in-batch min; cross-batch dup dropped
     assert len({h for h, _ in kept}) == 3
+
+
+def test_streaming_lsh_ingest_equals_batch(spark, tmp_path):
+    """Drain a 3-file source one file per micro-batch; accumulated
+    near-dup pairs must equal the one-shot batch minhash_dedup_pairs
+    over the full corpus (incremental maintenance changes WHEN pairs
+    are found, never WHICH)."""
+    from geotrellis_server_spark.operators.dedup import minhash_dedup_pairs
+    from geotrellis_server_spark.streaming.lsh_ingest import (
+        read_pairs,
+        start_lsh_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    # 60 docs in 3 waves; texts collide across waves (i % 20) so
+    # near-dup pairs span micro-batch boundaries
+    def wave(lo, hi, path):
+        spark.range(lo, hi).selectExpr(
+            "id AS doc_id",
+            "concat_ws(' ', transform(sequence(0, 11 + CAST(id % 3 AS INT)),"
+            " j -> concat('w', CAST((id % 20) * 7 + j AS STRING)))) AS text",
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):
+        wave(lo, hi, src)
+
+    q = start_lsh_ingest(
+        spark, src, str(tmp_path / "idx"), str(tmp_path / "pairs"),
+        str(tmp_path / "ck"), threshold=0.5, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    got = {(r.a, r.b) for r in read_pairs(spark, str(tmp_path / "pairs")).collect()}
+    docs = spark.read.parquet(src)
+    want = {(r.a, r.b) for r in minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_streaming_lsh_ingest_restart_no_duplicates(spark, tmp_path):
+    """A second AvailableNow run over an already-drained source must be a
+    no-op (checkpoint replay), and late files found by the restart are
+    matched against the persisted index."""
+    from geotrellis_server_spark.streaming.lsh_ingest import (
+        read_pairs,
+        start_lsh_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(0, 10).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 11),"
+        " j -> concat('w', CAST((id % 5) * 7 + j AS STRING)))) AS text",
+    ).coalesce(1).write.mode("append").parquet(src)
+    args = (spark, src, str(tmp_path / "idx"), str(tmp_path / "pairs"),
+            str(tmp_path / "ck"))
+    start_lsh_ingest(*args).awaitTermination()
+    n1 = read_pairs(spark, str(tmp_path / "pairs")).count()
+    # restart with no new files: nothing new
+    start_lsh_ingest(*args).awaitTermination()
+    assert read_pairs(spark, str(tmp_path / "pairs")).count() == n1
+    # a late file with a text colliding with the corpus -> new cross pairs
+    spark.createDataFrame(
+        [(100, None)], "doc_id BIGINT, _x STRING"
+    ).selectExpr(
+        "doc_id",
+        "concat_ws(' ', transform(sequence(0, 11),"
+        " j -> concat('w', CAST(0 * 7 + j AS STRING)))) AS text",
+    ).coalesce(1).write.mode("append").parquet(src)
+    start_lsh_ingest(*args).awaitTermination()
+    pairs = {(r.a, r.b) for r in read_pairs(spark, str(tmp_path / "pairs")).collect()}
+    # doc 100 duplicates the text of docs 0 and 5 (id % 5 == 0)
+    assert (0, 100) in pairs and (5, 100) in pairs
