@@ -1063,6 +1063,45 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+PACK_CAPACITY, PACK_N = 256, 8
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/text.py pack_sequences): docs →
+    per-packer FFD-ordered next-fit bins. The oracle replays the
+    sequential pass with a recursive CTE over the same order."""
+    from geotrellis_server_spark.operators import text as T_
+
+    return T_.pack_sequences(
+        _read_documents(spark, sf_dir), capacity=PACK_CAPACITY, n_packers=PACK_N
+    )
+
+
+def _pack_sequences_oracle() -> str:
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, doc_id % {PACK_N} AS packer,
+             CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+             row_number() OVER (PARTITION BY doc_id % {PACK_N}
+                                ORDER BY len(string_split(text, ' ')) DESC,
+                                         doc_id) AS rn
+      FROM documents),
+    r AS (
+      SELECT packer, rn, doc_id, ws_tokens, ws_tokens AS cum, 0 AS bin
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.packer, t.rn, t.doc_id, t.ws_tokens,
+             CASE WHEN r.cum + t.ws_tokens > {PACK_CAPACITY}
+                  THEN t.ws_tokens ELSE r.cum + t.ws_tokens END,
+             CASE WHEN r.cum + t.ws_tokens > {PACK_CAPACITY}
+                  THEN r.bin + 1 ELSE r.bin END
+      FROM r JOIN t ON t.packer = r.packer AND t.rn = r.rn + 1)
+    SELECT doc_id, packer, ws_tokens, CAST(bin AS INT) AS bin_id,
+           CAST(cum - ws_tokens AS INT) AS bin_offset
+    FROM r
+    """
+
+
 def _q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ compression path end-to-end: train product-quantizer
     codebooks (content-hash sample, partition-invariant), encode the
@@ -1319,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_new": _q_incremental_dedup,
         "style_classify_breaks": _q_classify_breaks,
         "sim_pq_rerank_topk15": _q_pq_rerank,
+        "text_pack_bins": _q_pack_sequences,
     }
 
 
@@ -1536,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_new": _incremental_dedup_oracle(),
         "style_classify_breaks": _classify_breaks_oracle(),
         "sim_pq_rerank_topk15": _pq_rerank_oracle(),
+        "text_pack_bins": _pack_sequences_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

