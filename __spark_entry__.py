@@ -1063,6 +1063,116 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+TIME_SLICE_AT = "2024-01-15 12:00:00"
+
+
+def _q_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 timeSlice default-time rules (operators/mosaic.py time_slice /
+    source_for_time): catalog = one item per (event_type layer, ts);
+    'newest'/'oldest' keep the rank-1 item per layer, 'at' keeps the
+    latest item <= the fixed time (OgcSource.sourceForTime,
+    OgcSource.scala:177-196)."""
+    from geotrellis_server_spark.operators import mosaic
+
+    cat = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.col("event_type").alias("layer"), F.col("ts").alias("time"))
+        .agg(F.min("event_id").alias("item_id"))
+    )
+    newest = mosaic.time_slice(cat, default="newest").select(
+        F.lit("newest").alias("kind"), "layer", "time", "item_id"
+    )
+    oldest = mosaic.time_slice(cat, default="oldest").select(
+        F.lit("oldest").alias("kind"), "layer", "time", "item_id"
+    )
+    at = mosaic.source_for_time(cat, TIME_SLICE_AT).select(
+        F.lit("at").alias("kind"), "layer", "time", "item_id"
+    )
+    return newest.unionByName(oldest).unionByName(at)
+
+
+def _time_slice_oracle() -> str:
+    return f"""
+    WITH cat AS (
+      SELECT event_type AS layer, ts AS time, min(event_id) AS item_id
+      FROM events GROUP BY 1, 2),
+    newest AS (
+      SELECT 'newest' AS kind, layer, time, item_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY layer ORDER BY time DESC) AS rk
+        FROM cat) WHERE rk = 1),
+    oldest AS (
+      SELECT 'oldest' AS kind, layer, time, item_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY layer ORDER BY time ASC) AS rk
+        FROM cat) WHERE rk = 1),
+    at_t AS (
+      SELECT 'at' AS kind, layer, time, item_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY layer ORDER BY time DESC) AS rk
+        FROM cat WHERE time <= TIMESTAMP '{TIME_SLICE_AT}') WHERE rk = 1),
+    at_fb AS (  -- sourceForTime fallback: no item <= t -> earliest item
+      SELECT 'at' AS kind, layer, time, item_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY layer ORDER BY time ASC) AS rk
+        FROM cat) WHERE rk = 1
+        AND layer NOT IN (SELECT layer FROM at_t))
+    SELECT * FROM newest UNION ALL SELECT * FROM oldest
+    UNION ALL SELECT * FROM at_t UNION ALL SELECT * FROM at_fb
+    """
+
+
+# crop window in EPSG:3857 meters — edges are ~100 km from every pixel
+# center at z3/16px (313 km spacing), so threshold compares are fp-safe
+CROP_WINDOW = (-15000000.0, -10000000.0, 5000000.0, 12000000.0)
+
+
+def _q_crop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 crop: rasterize the doc-count pyramid at z3 and crop to a
+    mercator window (maml/eval.py crop_to_extent — pixel centers outside
+    the window become NoData, LayerExtentTest semantics). The oracle
+    recomputes centers with direct tile arithmetic."""
+    from geotrellis_server_spark.grids.layout import ZoomedLayoutScheme
+    from geotrellis_server_spark.maml.eval import crop_to_extent
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 3, tile_size=16)
+    layout = ZoomedLayoutScheme(16).layout(3)
+    out = crop_to_extent(
+        tiles, CROP_WINDOW, lambda z, tx, ty: layout.extent_for(tx, ty)
+    )
+    return out.selectExpr(
+        "tile_x", "tile_y", "posexplode(cells) AS (idx, value)"
+    ).selectExpr(
+        "tile_x", "tile_y", "idx",
+        "CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DOUBLE) AS value",
+    )
+
+
+def _crop_window_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 3, 16)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    bound = 20037508.342789244  # WebMercator world half-width, meters
+    cw = f"({2 * bound!r} / 128.0)"  # z3 * 16 px = 128 global pixels/axis
+    cx = f"(({-bound!r}) + (CAST(d.tx * 16 + d.px AS DOUBLE) + 0.5) * {cw})"
+    cy = f"(({bound!r}) - (CAST(d.ty * 16 + d.py AS DOUBLE) + 0.5) * {cw})"
+    xmin, ymin, xmax, ymax = CROP_WINDOW
+    inside = (
+        f"{cx} >= {xmin!r} AND {cx} <= {xmax!r} AND "
+        f"{cy} >= {ymin!r} AND {cy} <= {ymax!r}"
+    )
+    return f"""
+    WITH pix AS (
+      SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px, count(*) AS cnt
+      FROM ({pts}) GROUP BY 1, 2, 3, 4),
+    tiles AS (SELECT DISTINCT tx, ty FROM pix),
+    dom AS (
+      SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py, CAST(j.j AS BIGINT) AS px
+      FROM tiles t CROSS JOIN range(16) i(i) CROSS JOIN range(16) j(j))
+    SELECT d.tx AS tile_x, d.ty AS tile_y, CAST(d.py * 16 + d.px AS INT) AS idx,
+           CASE WHEN {inside}
+                THEN CAST(COALESCE(p.cnt, 0) AS DOUBLE) END AS value
+    FROM dom d LEFT JOIN pix p
+      ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px
+    """
+
+
 PACK_CAPACITY, PACK_N = 256, 8
 
 
@@ -1359,6 +1469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "style_classify_breaks": _q_classify_breaks,
         "sim_pq_rerank_topk15": _q_pq_rerank,
         "text_pack_bins": _q_pack_sequences,
+        "raster_crop_window_z3": _q_crop_window,
+        "time_slice_default": _q_time_slice,
     }
 
 
@@ -1577,6 +1689,8 @@ def oracle_sql() -> dict[str, str]:
         "style_classify_breaks": _classify_breaks_oracle(),
         "sim_pq_rerank_topk15": _pq_rerank_oracle(),
         "text_pack_bins": _pack_sequences_oracle(),
+        "raster_crop_window_z3": _crop_window_oracle(),
+        "time_slice_default": _time_slice_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,
