@@ -1063,6 +1063,38 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+def _q_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pyramid rollup (tiling.pyramid_up, the Pyramid.up analog):
+    rasterize z3 then roll up to z2 with 2×2 sums. For a count raster
+    the rollup must EQUAL rasterizing z2 directly — the oracle is the
+    independent dense z2 grid in SQL."""
+    from geotrellis_server_spark.operators.tiling import pyramid_up
+
+    d = _docs(spark, sf_dir)
+    up = pyramid_up(tiling.rasterize_count(d, 3, tile_size=16), agg="sum")
+    return up.selectExpr(
+        "tile_x", "tile_y", "posexplode(cells) AS (idx, value)"
+    ).selectExpr("tile_x", "tile_y", "idx", "CAST(value AS DOUBLE) AS value")
+
+
+def _pyramid_rollup_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 2, 16)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    return f"""
+    WITH pix AS (
+      SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px, count(*) AS cnt
+      FROM ({pts}) GROUP BY 1, 2, 3, 4),
+    tiles AS (SELECT DISTINCT tx, ty FROM pix),
+    dom AS (
+      SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py, CAST(j.j AS BIGINT) AS px
+      FROM tiles t CROSS JOIN range(16) i(i) CROSS JOIN range(16) j(j))
+    SELECT d.tx AS tile_x, d.ty AS tile_y, CAST(d.py * 16 + d.px AS INT) AS idx,
+           CAST(COALESCE(p.cnt, 0) AS DOUBLE) AS value
+    FROM dom d LEFT JOIN pix p
+      ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px
+    """
+
+
 TIME_SLICE_AT = "2024-01-15 12:00:00"
 
 
@@ -1471,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_bins": _q_pack_sequences,
         "raster_crop_window_z3": _q_crop_window,
         "time_slice_default": _q_time_slice,
+        "geo_pyramid_rollup_z3to2": _q_pyramid_rollup,
     }
 
 
@@ -1691,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pack_bins": _pack_sequences_oracle(),
         "raster_crop_window_z3": _crop_window_oracle(),
         "time_slice_default": _time_slice_oracle(),
+        "geo_pyramid_rollup_z3to2": _pyramid_rollup_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

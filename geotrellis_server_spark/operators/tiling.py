@@ -170,3 +170,93 @@ def rasterize_count_layout(
     )
     per_pixel = pix.groupBy("tile_x", "tile_y", "pixel").agg(F.count("*").alias("cnt"))
     return _densify_tiles(per_pixel, zoom, ts)
+
+
+def pyramid_up(
+    tiles: DataFrame, agg: str = "sum", fill: float = 0.0
+) -> DataFrame:
+    """Pyramid rollup: build zoom z-1 tiles from zoom z by 2×2 pixel
+    aggregation — GeoTrellis ``Pyramid.up`` (spark/.../pyramid/
+    Pyramid.scala) re-expressed as two pure-SQL steps, no Python:
+
+    1. each child tile downsamples to a quarter-size quadrant
+       (``transform(sequence)`` + O(1) array indexing — JVM-side), with
+       ``agg`` = 'sum' (counts: parent pixel = sum of its 4 children,
+       so rolling up a density raster EQUALS rasterizing at z-1
+       directly — the oracle contract) | 'mean' (continuous data — the
+       GDAL-average overview recipe) | 'max',
+    2. the 4 quadrants group to the parent key and assemble via the
+       same any_value(when())-pivot + slice/concat idiom as the focal
+       halo assembly (operators/focal.py) — one shuffle on the parent
+       key, the natural partitioning for writing the next level.
+
+    Missing children fill with ``fill`` (0 for count layers; NaN keeps
+    NoData for continuous layers). Input tiles must share one (zoom,
+    width, height); output halves the zoom's tile count, same tile size.
+    Iterating z..1 materializes the whole pyramid in log2 rounds, each
+    a narrow shuffle of quarter-size quadrants (¼ the naive volume of
+    re-keying raw points per level)."""
+    ops = {
+        "sum": lambda a, b, c, d: f"{a} + {b} + {c} + {d}",
+        "mean": lambda a, b, c, d: f"({a} + {b} + {c} + {d}) / 4.0",
+        "max": lambda a, b, c, d: f"greatest({a}, {b}, {c}, {d})",
+    }
+    if agg not in ops:
+        raise ValueError(f"agg must be one of {sorted(ops)}")
+
+    # step 1: child tile -> (parent key, quadrant position, q*q cells)
+    # quadrant pixel (r, c) aggregates child pixels (2r, 2c)..(2r+1, 2c+1)
+    def child(dr: int, dc: int) -> str:
+        return (
+            f"element_at(cells, CAST((i DIV (width DIV 2)) * 2 * width"
+            f" + ({dr}) * width"
+            f" + (i % (width DIV 2)) * 2 + ({dc}) + 1 AS INT))"
+        )
+
+    quad = (
+        f"transform(sequence(0, (width DIV 2) * (height DIV 2) - 1), "
+        f"i -> {ops[agg](child(0, 0), child(0, 1), child(1, 0), child(1, 1))})"
+    )
+    quads = tiles.selectExpr(
+        "zoom - 1 AS zoom",
+        "tile_x DIV 2 AS tile_x",
+        "tile_y DIV 2 AS tile_y",
+        "CAST(tile_x % 2 AS INT) AS qx",
+        "CAST(tile_y % 2 AS INT) AS qy",
+        "width",
+        "height",
+        f"{quad} AS qcells",
+    )
+
+    # step 2: pivot quadrants to columns, assemble rows west++east
+    def pick(qx: int, qy: int) -> F.Column:
+        return F.any_value(
+            F.when((F.col("qx") == qx) & (F.col("qy") == qy), F.col("qcells")),
+            True,
+        ).alias(f"q_{qx}{qy}")
+
+    per_parent = quads.groupBy("zoom", "tile_x", "tile_y").agg(
+        pick(0, 0), pick(1, 0), pick(0, 1), pick(1, 1),
+        F.any_value(F.col("width"), True).alias("width"),
+        F.any_value(F.col("height"), True).alias("height"),
+    )
+    nd = f"CAST({fill!r} AS DOUBLE)" if fill == fill else "CAST('NaN' AS DOUBLE)"
+    g = {
+        k: f"coalesce(q_{k}, array_repeat({nd}, CAST((width DIV 2) * (height DIV 2) AS INT)))"
+        for k in ("00", "10", "01", "11")
+    }
+    half = "CAST(width DIV 2 AS INT)"
+    rows = (
+        f"flatten(transform(sequence(0, height DIV 2 - 1), r -> concat("
+        f"slice({g['00']}, CAST(r AS INT) * {half} + 1, {half}), "
+        f"slice({g['10']}, CAST(r AS INT) * {half} + 1, {half}))))"
+    )
+    rows_s = (
+        f"flatten(transform(sequence(0, height DIV 2 - 1), r -> concat("
+        f"slice({g['01']}, CAST(r AS INT) * {half} + 1, {half}), "
+        f"slice({g['11']}, CAST(r AS INT) * {half} + 1, {half}))))"
+    )
+    return per_parent.selectExpr(
+        "zoom", "tile_x", "tile_y", "width", "height",
+        f"concat({rows}, {rows_s}) AS cells",
+    )

@@ -65,3 +65,66 @@ def test_rasterize_plan_shape(spark):
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
     assert "HashAggregate" in plan  # partial+final pixel agg, skew-safe
+
+
+def test_pyramid_up_sum_manual(spark):
+    from geotrellis_server_spark.operators.tiling import pyramid_up
+
+    # two children of parent (0,0): NW (0,0) and SE (1,1); 4x4 px
+    def tile(tx, ty, base):
+        return (3, tx, ty, 4, 4, [float(base + i) for i in range(16)])
+
+    df = spark.createDataFrame(
+        [tile(0, 0, 0), tile(1, 1, 100)],
+        "zoom INT, tile_x BIGINT, tile_y BIGINT, width INT, height INT, cells ARRAY<DOUBLE>",
+    )
+    rows = pyramid_up(df, agg="sum").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.zoom, r.tile_x, r.tile_y, r.width, r.height) == (2, 0, 0, 4, 4)
+    a = np.array(r.cells).reshape(4, 4)
+    # NW quadrant: 2x2 sums of the base tile
+    assert a[0, 0] == 0 + 1 + 4 + 5
+    assert a[1, 1] == 10 + 11 + 14 + 15
+    # NE and SW children missing -> fill 0
+    assert a[0, 2] == 0.0 and a[2, 0] == 0.0
+    # SE quadrant from the (1,1) child
+    assert a[2, 2] == 100 + 101 + 104 + 105
+
+
+def test_pyramid_up_mean_and_nan_fill(spark):
+    from geotrellis_server_spark.operators.tiling import pyramid_up
+
+    df = spark.createDataFrame(
+        [(3, 0, 0, 2, 2, [1.0, 2.0, 3.0, 4.0])],
+        "zoom INT, tile_x BIGINT, tile_y BIGINT, width INT, height INT, cells ARRAY<DOUBLE>",
+    )
+    r = pyramid_up(df, agg="mean", fill=float("nan")).collect()[0]
+    a = np.array(r.cells, dtype=np.float64).reshape(2, 2)
+    assert a[0, 0] == 2.5  # mean of 1..4
+    assert np.isnan(a[0, 1]) and np.isnan(a[1, 0]) and np.isnan(a[1, 1])
+
+
+def test_pyramid_up_equals_direct_rasterize(spark):
+    """Rolling up the z4 count raster must equal rasterizing at z3
+    directly — Pyramid.up's invariant for density layers."""
+    from geotrellis_server_spark.operators.tiling import pyramid_up, rasterize_count
+    from geotrellis_server_spark.sources import synth
+
+    d = synth.extract_geometry(synth.docs(spark, 3000))
+    up = pyramid_up(rasterize_count(d, 4, tile_size=8), agg="sum")
+    direct = rasterize_count(d, 3, tile_size=8)
+    a = {(r.tile_x, r.tile_y): tuple(r.cells) for r in up.collect()}
+    b = {(r.tile_x, r.tile_y): tuple(r.cells) for r in direct.collect()}
+    assert a == b
+
+
+def test_pyramid_up_plan_no_python(spark):
+    from geotrellis_server_spark.operators.tiling import pyramid_up
+
+    df = spark.createDataFrame(
+        [(3, 0, 0, 4, 4, [0.0] * 16)],
+        "zoom INT, tile_x BIGINT, tile_y BIGINT, width INT, height INT, cells ARRAY<DOUBLE>",
+    )
+    plan = pyramid_up(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
