@@ -161,6 +161,18 @@ def run_bench(cores: int) -> dict:
             embeddings, [float(v) for v in embeddings.filter("vec_id = 0").first().embedding], 100
         ).write.mode("overwrite").format("noop").save(),
     )
+    # q15 — PQ ADC top-k over a pre-encoded corpus (the IVF-PQ read path:
+    # codes scanned, lookup-table scoring in codegen, TakeOrderedAndProject)
+    pq_books = similarity.pq_train(embeddings, n_subspaces=8, n_codes=16, seed=11)
+    pq_enc = similarity.pq_encode(embeddings, pq_books).select("vec_id", "pq_code").cache()
+    pq_enc.count()
+    pq_q = [float(v) for v in embeddings.filter("vec_id = 0").first().embedding]
+    timed(
+        "q15_pq_adc_topk100",
+        lambda: similarity.pq_topk(pq_enc, pq_books, pq_q, 100)
+        .write.mode("overwrite").format("noop").save(),
+    )
+    pq_enc.unpersist()
     timed(
         "q8_text_stats",
         lambda: text.text_stats(documents).write.mode("overwrite").format("noop").save(),
@@ -206,6 +218,13 @@ def run_bench(cores: int) -> dict:
     timed(
         "q11_mask_polygon_z6",
         lambda: eval_expr(M.mask(M.var("d"), M.geom(mask_ring)), {"d": tiles_z6})
+        .write.mode("overwrite").format("noop").save(),
+    )
+    # q14 — pyramid rollup z6→z5 (Pyramid.up analog, pure SQL: JVM 2×2
+    # downsample + quadrant assembly, one shuffle on the parent key)
+    timed(
+        "q14_pyramid_up_z6to5",
+        lambda: tiling.pyramid_up(tiles_z6, agg="sum")
         .write.mode("overwrite").format("noop").save(),
     )
     tiles_z6.unpersist()
