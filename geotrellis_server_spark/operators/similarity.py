@@ -380,7 +380,8 @@ def pq_topk(
     m, _, sub = books.shape
     lut = np.stack([books[s] @ q[s * sub : (s + 1) * sub] for s in range(m)])
     lut_sql = "array(" + ", ".join(
-        "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in row) + ")"
+        # float(v): np.float64 repr is not SQL under numpy>=2 (NEP 51)
+        "array(" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in row) + ")"
         for row in lut
     ) + ")"
     score = F.expr(

@@ -217,15 +217,23 @@ def pyramid_up(
         f"transform(sequence(0, (width DIV 2) * (height DIV 2) - 1), "
         f"i -> {ops[agg](child(0, 0), child(0, 1), child(1, 0), child(1, 1))})"
     )
+    # floor-division parent keys + pmod quadrant positions so NEGATIVE
+    # tile coordinates (custom-CRS layouts) map correctly — plain DIV/%
+    # truncate toward zero and would route tile -1 to parent 0 with a
+    # quadrant of -1 that matches no pivot column (silent data loss)
+    guard = (
+        "CASE WHEN width % 2 = 0 AND height % 2 = 0 THEN "
+        f"{quad} ELSE raise_error('pyramid_up requires even tile size') END"
+    )
     quads = tiles.selectExpr(
         "zoom - 1 AS zoom",
-        "tile_x DIV 2 AS tile_x",
-        "tile_y DIV 2 AS tile_y",
-        "CAST(tile_x % 2 AS INT) AS qx",
-        "CAST(tile_y % 2 AS INT) AS qy",
+        "(tile_x - pmod(tile_x, 2)) DIV 2 AS tile_x",
+        "(tile_y - pmod(tile_y, 2)) DIV 2 AS tile_y",
+        "CAST(pmod(tile_x, 2) AS INT) AS qx",
+        "CAST(pmod(tile_y, 2) AS INT) AS qy",
         "width",
         "height",
-        f"{quad} AS qcells",
+        f"{guard} AS qcells",
     )
 
     # step 2: pivot quadrants to columns, assemble rows west++east

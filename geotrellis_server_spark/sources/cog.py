@@ -22,7 +22,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .gtiff import _ASCII, _TYPE_FMT, _TYPE_SIZE
+from .gtiff import _ASCII, _TYPE_FMT, _TYPE_SIZE, parse_page_tags
 from .rangereader import CachingRangeReader, RangeReader, open_range_reader
 
 
@@ -80,45 +80,9 @@ def _read_ifd_ranged(reader: RangeReader, e: str, ifd_off: int):
 
 
 def _page_meta(tags: dict[int, list], e: str) -> CogPage:
-    w, h = int(tags[256][0]), int(tags[257][0])
-    compression = int(tags.get(259, [1])[0])
-    if compression != 1:
-        raise ValueError(
-            "stdlib COG reader handles uncompressed strips only; "
-            f"compression={compression}"
-        )
-    bands = int(tags.get(277, [1])[0])
-    bits = int(tags.get(258, [8])[0])
-    sample_format = int(tags.get(339, [1])[0])
-    dtype = {
-        (3, 64): e + "f8", (3, 32): e + "f4",
-        (1, 8): e + "u1", (1, 16): e + "u2", (1, 32): e + "u4",
-        (2, 8): e + "i1", (2, 16): e + "i2", (2, 32): e + "i4",
-    }[(sample_format, bits)]
-    extent = None
-    if 33550 in tags and 33922 in tags:
-        xres, yres = tags[33550][0], tags[33550][1]
-        xmin, ymax = tags[33922][3], tags[33922][4]
-        extent = (xmin, ymax - yres * h, xmin + xres * w, ymax)
-    epsg = None
-    if 34735 in tags:
-        gd = tags[34735]
-        for i in range(4, len(gd), 4):
-            key, _, _, val = gd[i : i + 4]
-            if key in (2048, 3072):
-                epsg = int(val)
-    return CogPage(
-        width=w,
-        height=h,
-        bands=bands,
-        dtype=dtype,
-        rows_per_strip=int(tags.get(278, [h])[0]),
-        strip_offsets=tuple(int(v) for v in tags[273]),
-        strip_counts=tuple(int(v) for v in tags[279]),
-        extent=extent,
-        epsg=epsg,
-        is_overview=bool(tags.get(254, [0])[0] & 1),
-    )
+    # tag parsing (dtype map, compression check, geo keys) is shared with
+    # the whole-file decoder — gtiff.parse_page_tags is the one source
+    return CogPage(**parse_page_tags(tags, e))
 
 
 class CogReader:
@@ -160,12 +124,10 @@ class CogReader:
                 best, best_cw = i, cw
         return best
 
-    def read_rows(self, page_idx: int, row0: int, row1: int) -> np.ndarray:
-        """Rows [row0, row1) of one page, fetching ONLY intersecting
-        strips. Returns (rows, width) or (rows, width, bands)."""
+    def _rows_view(self, page_idx: int, row0: int, row1: int) -> np.ndarray:
+        """Rows [row0, row1) (already clamped by callers) as a VIEW over
+        the fetched strip bytes — callers slice columns then copy once."""
         p = self.pages[page_idx]
-        row0 = max(0, row0)
-        row1 = min(p.height, row1)
         if row1 <= row0:
             shape = (0, p.width) if p.bands == 1 else (0, p.width, p.bands)
             return np.empty(shape, dtype=p.dtype)
@@ -179,16 +141,26 @@ class CogReader:
         n_rows = min((s1 + 1) * rps, p.height) - first_row
         shape = (n_rows, p.width) if p.bands == 1 else (n_rows, p.width, p.bands)
         block = np.frombuffer(raw, dtype=p.dtype).reshape(shape)
-        return block[row0 - first_row : row1 - first_row].copy()
+        return block[row0 - first_row : row1 - first_row]
+
+    def read_rows(self, page_idx: int, row0: int, row1: int) -> np.ndarray:
+        """Rows [row0, row1) of one page, fetching ONLY intersecting
+        strips. Returns (rows, width) or (rows, width, bands)."""
+        p = self.pages[page_idx]
+        return self._rows_view(page_idx, max(0, row0), min(p.height, row1)).copy()
 
     def read_window(
         self, page_idx: int, row0: int, row1: int, col0: int, col1: int
     ) -> np.ndarray:
         """Pixel window [row0:row1, col0:col1) — strip fetch + column
-        slice (strips span full width, so columns cost nothing extra)."""
+        slice (strips span full width, so columns cost nothing extra;
+        one copy of exactly the window bytes)."""
         p = self.pages[page_idx]
-        rows = self.read_rows(page_idx, row0, row1)
-        return rows[:, max(0, col0) : min(p.width, col1)].copy()
+        r0 = max(0, row0)
+        r1 = max(r0, min(p.height, row1))
+        c0 = max(0, col0)
+        c1 = max(c0, min(p.width, col1))
+        return self._rows_view(page_idx, r0, r1)[:, c0:c1].copy()
 
     def read_extent(
         self,
@@ -211,10 +183,12 @@ class CogReader:
         xmin, ymin, xmax, ymax = p.extent
         cw = (xmax - xmin) / p.width
         ch = (ymax - ymin) / p.height
-        c0 = max(0, int(np.floor((extent[0] - xmin) / cw)))
-        c1 = min(p.width, int(np.ceil((extent[2] - xmin) / cw)))
-        r0 = max(0, int(np.floor((ymax - extent[3]) / ch)))
-        r1 = min(p.height, int(np.ceil((ymax - extent[1]) / ch)))
+        # clamp BOTH bounds into the page so a disjoint request yields an
+        # empty (0-sized) window, never a negative slice of wrong pixels
+        c0 = int(np.clip(np.floor((extent[0] - xmin) / cw), 0, p.width))
+        c1 = int(np.clip(np.ceil((extent[2] - xmin) / cw), c0, p.width))
+        r0 = int(np.clip(np.floor((ymax - extent[3]) / ch), 0, p.height))
+        r1 = int(np.clip(np.ceil((ymax - extent[1]) / ch), r0, p.height))
         arr = self.read_window(idx, r0, r1, c0, c1)
         snapped = (
             xmin + c0 * cw, ymax - r1 * ch, xmin + c1 * cw, ymax - r0 * ch,

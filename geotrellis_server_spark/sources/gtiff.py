@@ -292,13 +292,16 @@ def decode_geotiff(data: bytes):
     return arr, extent, epsg
 
 
-def _decode_page(data: bytes, e: str, tags: dict[int, list]):
+def parse_page_tags(tags: dict[int, list], e: str) -> dict:
+    """IFD tags → page metadata dict — the ONE place the dtype map,
+    compression check, geo-transform and GeoKey parsing live (shared by
+    the whole-file decoder below and the ranged CogReader in cog.py)."""
     w, h = int(tags[256][0]), int(tags[257][0])
     compression = int(tags.get(259, [1])[0])
     if compression != 1:
         raise ValueError(
-            "stdlib decoder reads uncompressed TIFF only; install rasterio "
-            f"for compression={compression}"
+            "stdlib TIFF decoder handles uncompressed strips only; "
+            f"install rasterio for compression={compression}"
         )
     bands = int(tags.get(277, [1])[0])
     bits = int(tags.get(258, [8])[0])
@@ -308,13 +311,6 @@ def _decode_page(data: bytes, e: str, tags: dict[int, list]):
         (1, 8): e + "u1", (1, 16): e + "u2", (1, 32): e + "u4",
         (2, 8): e + "i1", (2, 16): e + "i2", (2, 32): e + "i4",
     }[(sample_format, bits)]
-    strip_offsets = [int(v) for v in tags[273]]
-    strip_counts = [int(v) for v in tags[279]]
-    raw = b"".join(data[o : o + c] for o, c in zip(strip_offsets, strip_counts))
-    arr = np.frombuffer(raw, dtype=dtype).reshape(
-        (h, w) if bands == 1 else (h, w, bands)
-    )
-
     extent = None
     if 33550 in tags and 33922 in tags:
         xres, yres = tags[33550][0], tags[33550][1]
@@ -327,8 +323,30 @@ def _decode_page(data: bytes, e: str, tags: dict[int, list]):
             key, _, _, val = gd[i : i + 4]
             if key in (2048, 3072):
                 epsg = int(val)
-    is_overview = bool(tags.get(254, [0])[0] & 1)
-    return arr.copy(), extent, epsg, is_overview
+    return {
+        "width": w,
+        "height": h,
+        "bands": bands,
+        "dtype": dtype,
+        "rows_per_strip": int(tags.get(278, [h])[0]),
+        "strip_offsets": tuple(int(v) for v in tags[273]),
+        "strip_counts": tuple(int(v) for v in tags[279]),
+        "extent": extent,
+        "epsg": epsg,
+        "is_overview": bool(tags.get(254, [0])[0] & 1),
+    }
+
+
+def _decode_page(data: bytes, e: str, tags: dict[int, list]):
+    m = parse_page_tags(tags, e)
+    raw = b"".join(
+        data[o : o + c] for o, c in zip(m["strip_offsets"], m["strip_counts"])
+    )
+    w, h, bands = m["width"], m["height"], m["bands"]
+    arr = np.frombuffer(raw, dtype=m["dtype"]).reshape(
+        (h, w) if bands == 1 else (h, w, bands)
+    )
+    return arr.copy(), m["extent"], m["epsg"], m["is_overview"]
 
 
 def read_geotiff_path(path: str):

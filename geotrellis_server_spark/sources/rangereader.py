@@ -88,7 +88,10 @@ class HttpRangeReader:
 
             req = urllib.request.Request(self.url, method="HEAD")
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                self._size = int(resp.headers["Content-Length"])
+                cl = resp.headers.get("Content-Length")
+                if cl is None:
+                    raise ValueError(f"no Content-Length from {self.url}")
+                self._size = int(cl)
         return self._size
 
     def read(self, offset: int, length: int) -> bytes:
@@ -99,6 +102,12 @@ class HttpRangeReader:
             headers={"Range": f"bytes={offset}-{offset + length - 1}"},
         )
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            if resp.status != 206:  # server ignored the Range header —
+                # returning the full body as "the range" would silently
+                # corrupt every downstream strip read
+                raise ValueError(
+                    f"server did not honor Range request (HTTP {resp.status})"
+                )
             return resp.read()
 
 

@@ -49,13 +49,15 @@ DOCS_SCHEMA = T.StructType(
 
 def band_bucket_rows(
     docs: DataFrame, k: int = 8, bands: int = 4, rows_per_band: int = 2,
-    id_col: str = "doc_id",
+    id_col: str = "doc_id", tok_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, bucket) rows — the long form of the per-band bucket
-    keys lsh_candidate_pairs builds internally (dedup.py:65)."""
-    sigs = dedup.minhash_signatures_arrays(
-        dedup.doc_token_arrays(docs, id_col=id_col), k, id_col
-    )
+    keys lsh_candidate_pairs builds internally (dedup.py:65).
+    ``tok_arrays``: pre-tokenized (id, toks) to avoid re-splitting the
+    text when the caller already has them."""
+    if tok_arrays is None:
+        tok_arrays = dedup.doc_token_arrays(docs, id_col=id_col)
+    sigs = dedup.minhash_signatures_arrays(tok_arrays, k, id_col)
     parts = []
     for b in range(bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -73,10 +75,11 @@ def band_bucket_rows(
 
 
 def _read_if_exists(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    # explicit existence check — a blanket except would silently treat a
+    # CORRUPT index (crashed batch attempt) as empty and drop pairs
+    if not os.path.isdir(path):
         return spark.createDataFrame([], schema)
+    return spark.read.parquet(path)
 
 
 def start_lsh_ingest(
@@ -106,7 +109,7 @@ def start_lsh_ingest(
         batch_df = batch_df.cache()
         new_toks = dedup.doc_token_arrays(batch_df).cache()
         new_buckets = band_bucket_rows(
-            batch_df, k, bands, rows_per_band
+            batch_df, k, bands, rows_per_band, tok_arrays=new_toks
         ).cache()
 
         old_buckets = _read_if_exists(

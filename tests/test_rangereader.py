@@ -182,3 +182,18 @@ def test_cog_read_extent_clamps_to_page():
     arr, snapped, _ = cog.read_extent((-10.0, 50.0, 10.0, 100.0))
     np.testing.assert_array_equal(arr, a[0:14, 0:10])
     assert snapped == (0.0, 50.0, 10.0, 64.0)
+
+
+def test_cog_read_extent_disjoint_returns_empty():
+    a = _grid(64, 64)
+    blob = encode_geotiff_pyramid(
+        [a], (100.0, 0.0, 164.0, 64.0), epsg=4326, rows_per_strip=8
+    )
+    cog = CogReader(CachingRangeReader(BytesRangeReader(blob)))
+    # entirely west of the page: empty window, consistent snapped extent
+    arr, snapped, _ = cog.read_extent((0.0, 10.0, 50.0, 30.0))
+    assert arr.size == 0
+    assert snapped[0] <= snapped[2] and snapped[1] <= snapped[3]
+    # entirely east
+    arr2, _, _ = cog.read_extent((200.0, 10.0, 250.0, 30.0))
+    assert arr2.size == 0

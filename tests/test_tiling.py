@@ -3,6 +3,7 @@ assignments are a correctness gate per BASELINE.json)."""
 
 import duckdb
 import numpy as np
+import pytest
 import pyspark.sql.functions as F
 
 from geotrellis_server_spark import sqlgen
@@ -128,3 +129,30 @@ def test_pyramid_up_plan_no_python(spark):
     )
     plan = pyramid_up(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pyramid_up_negative_tile_coords(spark):
+    # custom-CRS layouts can key tiles at negative coordinates: children
+    # (-2,-2) and (-1,-1) both belong to parent (-1,-1)
+    from geotrellis_server_spark.operators.tiling import pyramid_up
+
+    df = spark.createDataFrame(
+        [(3, -2, -2, 2, 2, [1.0, 1.0, 1.0, 1.0]),
+         (3, -1, -1, 2, 2, [2.0, 2.0, 2.0, 2.0])],
+        "zoom INT, tile_x BIGINT, tile_y BIGINT, width INT, height INT, cells ARRAY<DOUBLE>",
+    )
+    rows = pyramid_up(df, agg="sum").collect()
+    assert len(rows) == 1 and (rows[0].tile_x, rows[0].tile_y) == (-1, -1)
+    a = np.array(rows[0].cells).reshape(2, 2)
+    assert a[0, 0] == 4.0 and a[1, 1] == 8.0  # NW from (-2,-2), SE from (-1,-1)
+
+
+def test_pyramid_up_rejects_odd_tile_size(spark):
+    from geotrellis_server_spark.operators.tiling import pyramid_up
+
+    df = spark.createDataFrame(
+        [(3, 0, 0, 3, 3, [0.0] * 9)],
+        "zoom INT, tile_x BIGINT, tile_y BIGINT, width INT, height INT, cells ARRAY<DOUBLE>",
+    )
+    with pytest.raises(Exception, match="even tile size"):
+        pyramid_up(df).collect()
