@@ -1063,6 +1063,32 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation blocklist filter (text.blocklist_filter): sources whose
+    md5 starts below '4' are blocked (deterministic ~25% of sources);
+    survivors counted per source via a broadcast anti-join."""
+    from geotrellis_server_spark.operators import text as T_
+
+    docs = _read_documents(spark, sf_dir)
+    blocked = docs.select("source").distinct().where(
+        "substring(md5(source), 1, 1) < '4'"
+    )
+    return (
+        T_.blocklist_filter(docs, blocked)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _blocklist_filter_oracle() -> str:
+    return """
+    SELECT source, count(*) AS n_docs
+    FROM documents
+    WHERE substring(md5(source), 1, 1) >= '4'
+    GROUP BY source
+    """
+
+
 def _q_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pyramid rollup (tiling.pyramid_up, the Pyramid.up analog):
     rasterize z3 then roll up to z2 with 2×2 sums. For a count raster
@@ -1504,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_crop_window_z3": _q_crop_window,
         "time_slice_default": _q_time_slice,
         "geo_pyramid_rollup_z3to2": _q_pyramid_rollup,
+        "curation_blocklist_sources": _q_blocklist_filter,
     }
 
 
@@ -1725,6 +1752,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_crop_window_z3": _crop_window_oracle(),
         "time_slice_default": _time_slice_oracle(),
         "geo_pyramid_rollup_z3to2": _pyramid_rollup_oracle(),
+        "curation_blocklist_sources": _blocklist_filter_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

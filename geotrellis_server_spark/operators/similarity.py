@@ -400,3 +400,30 @@ def pq_topk(
         order, tie = "adc_score", id_col
     w = Window.orderBy(F.desc(order), F.asc(tie))  # ≤k rows — bounded
     return cand.select(id_col, F.row_number().over(w).alias("rank"))
+
+
+def ivf_pq_topk(
+    df: DataFrame, centroids, codebooks, query_vec: list[float], k: int,
+    nprobe: int = 4, rerank: int | None = None, id_col: str = "vec_id",
+    vec_col: str = "embedding", cell_col: str = "_ivf_cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """The full IVF-PQ read path: prune to the ``nprobe`` nearest
+    coarse-quantizer cells (partition pruning when ``cell_col`` is the
+    partition column), ADC-score the pruned cells' PQ codes via the
+    pure-JVM lookup table, and optionally exact-rerank the candidate
+    pool from the full vectors. This is the standard 100-TB ANN serving
+    shape: the scan touches nprobe/n_centroids of the corpus and reads
+    8-byte codes instead of 256-byte vectors; full-precision vectors are
+    only consulted for the final ``rerank`` candidates."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in np.argsort(-(cent @ q))[: int(nprobe)]]
+    if cell_col not in df.columns:
+        df = ivf_assign(df, centroids, vec_col, cell_col)
+    if code_col not in df.columns:
+        df = pq_encode(df, codebooks, vec_col, code_col)
+    scanned = df.filter(F.col(cell_col).isin(probes)).drop(cell_col)
+    return pq_topk(scanned, codebooks, query_vec, k, id_col, code_col,
+                   rerank=rerank, vec_col=vec_col)

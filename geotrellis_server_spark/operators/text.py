@@ -305,3 +305,31 @@ def pack_sequences(
         pack,
         f"{id_col} BIGINT, packer BIGINT, ws_tokens INT, bin_id INT, bin_offset INT",
     )
+
+
+def blocklist_filter(
+    docs: DataFrame, blocked: DataFrame, col: str = "source"
+) -> DataFrame:
+    """Curation blocklist filter: drop documents whose ``col`` (source /
+    domain) appears in the blocklist. The blocklist is the broadcast
+    side (a domain blocklist is thousands of rows; the corpus is the
+    10^12 side) — a broadcast left_anti join, so the corpus never
+    shuffles and the filter runs map-side."""
+    keys = blocked.select(col).distinct()
+    return docs.join(F.broadcast(keys), col, "left_anti")
+
+
+def extract_urls(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, url, domain) — one row per http(s) URL found in the text
+    (regexp_extract_all + explode, all JVM-side). ``domain`` strips the
+    scheme and path for blocklist joins."""
+    urls = f"regexp_extract_all({text_col}, 'https?://[^\\\\s]+', 0)"
+    return (
+        docs.select(F.col(id_col), F.explode(F.expr(urls)).alias("url"))
+        .withColumn(
+            "domain",
+            F.expr("regexp_extract(url, 'https?://([^/\\\\s]+)', 1)"),
+        )
+    )

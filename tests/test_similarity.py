@@ -289,3 +289,15 @@ def test_pq_topk_plan_is_take_ordered_no_python(spark, clustered):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+
+
+def test_ivf_pq_topk_recall(clustered):
+    # composite read path: coarse prune + ADC + exact rerank
+    qvec = [float(v) for v in clustered.filter("vec_id = 37").first().embedding]
+    exact = [r.vec_id for r in S.cosine_topk(clustered, qvec, 10).collect()]
+    cent = S.ivf_train(clustered, n_centroids=16, seed=7)
+    books = S.pq_train(clustered, n_subspaces=4, n_codes=32, seed=11)
+    pre = S.pq_encode(S.ivf_assign(clustered, cent), books).cache()
+    got = [r.vec_id for r in
+           S.ivf_pq_topk(pre, cent, books, qvec, 10, nprobe=4, rerank=100).collect()]
+    assert len(set(got) & set(exact)) / 10.0 >= 0.9, (got, exact)

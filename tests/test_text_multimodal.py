@@ -398,3 +398,24 @@ def test_pack_sequences_partition_invariant(spark):
     b = {(r.doc_id, r.packer, r.bin_id, r.bin_offset)
          for r in pack_sequences(docs.coalesce(1), capacity=24).collect()}
     assert a == b
+
+
+def test_extract_urls_and_blocklist(spark):
+    from geotrellis_server_spark.operators.text import blocklist_filter, extract_urls
+
+    docs = spark.createDataFrame(
+        [(1, "see https://a.example.com/x and http://b.org/y?z=1 ok"),
+         (2, "no links here"),
+         (3, "dup https://a.example.com/other")],
+        "doc_id BIGINT, text STRING",
+    )
+    urls = extract_urls(docs).collect()
+    got = {(r.doc_id, r.domain) for r in urls}
+    assert got == {(1, "a.example.com"), (1, "b.org"), (3, "a.example.com")}
+
+    docs2 = spark.createDataFrame(
+        [(1, "src0"), (2, "src1"), (3, "src0")], "doc_id BIGINT, source STRING"
+    )
+    blocked = spark.createDataFrame([("src0",)], "source STRING")
+    kept = {r.doc_id for r in blocklist_filter(docs2, blocked).collect()}
+    assert kept == {2}
