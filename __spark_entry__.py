@@ -1063,6 +1063,71 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+def _q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector analytics (geometry/wkt.polygon_stats): a 'house' pentagon
+    per zone (rect + roof apex at ymax + h/2) built as WKT text in SQL,
+    parsed by the REAL WKT parser and measured with the numpy shoelace —
+    the oracle computes the same shoelace from raw vertex arithmetic
+    (never seeing WKT). %.10f formatting round-trips exactly (all
+    vertices are multiples of 0.5)."""
+    from geotrellis_server_spark.geometry.wkt import polygon_stats
+
+    zones = synth.zone_grid(spark)
+    f = "format_string('%.10f %.10f', {x}, {y})"
+    pts = [
+        f.format(x="xmin", y="ymin"),
+        f.format(x="xmax", y="ymin"),
+        f.format(x="xmax", y="ymax"),
+        f.format(x="(xmin + xmax) / 2", y="ymax + (ymax - ymin) / 2"),
+        f.format(x="xmin", y="ymax"),
+        f.format(x="xmin", y="ymin"),  # closing vertex
+    ]
+    wkt = "concat('POLYGON ((', " + ", ', ', ".join(pts) + ", '))')"
+    return polygon_stats(
+        zones.selectExpr("zone_id", f"{wkt} AS wkt")
+    ).select("zone_id", "n_vertices", "area", "signed_area", "cx", "cy")
+
+
+def _polygon_stats_oracle() -> str:
+    # vertices from zone arithmetic (no WKT): shoelace over the 5-gon
+    zl0, zw = sqlgen.ZONE_LON0, sqlgen.ZONE_LON_W
+    zb0, zh = sqlgen.ZONE_LAT0, sqlgen.ZONE_LAT_H
+    return f"""
+    WITH z AS (
+      SELECT CAST(i AS BIGINT) AS zone_id,
+             {zl0} + (i % {sqlgen.N_ZONE_COLS}) * {zw} AS xmin,
+             {zb0} + (i // {sqlgen.N_ZONE_COLS}) * {zh} AS ymin,
+             {zl0} + (i % {sqlgen.N_ZONE_COLS} + 1) * {zw} AS xmax,
+             {zb0} + (i // {sqlgen.N_ZONE_COLS} + 1) * {zh} AS ymax
+      FROM range({sqlgen.N_ZONE_COLS * sqlgen.N_ZONE_ROWS}) t(i)),
+    v AS (
+      SELECT zone_id,
+             [[xmin, ymin], [xmax, ymin], [xmax, ymax],
+              [(xmin + xmax) / 2, ymax + (ymax - ymin) / 2],
+              [xmin, ymax]] AS ring
+      FROM z),
+    e AS (
+      SELECT zone_id,
+             [ring[i + 1][1] * ring[(i + 1) % 5 + 1][2]
+              - ring[(i + 1) % 5 + 1][1] * ring[i + 1][2]
+              for i in range(0, 5)] AS cr,
+             ring
+      FROM v),
+    s AS (
+      SELECT zone_id,
+             list_sum(cr) AS s2,
+             list_sum([(ring[i + 1][1] + ring[(i + 1) % 5 + 1][1]) * cr[i + 1]
+                       for i in range(0, 5)]) AS sx,
+             list_sum([(ring[i + 1][2] + ring[(i + 1) % 5 + 1][2]) * cr[i + 1]
+                       for i in range(0, 5)]) AS sy
+      FROM e)
+    SELECT zone_id, 5 AS n_vertices, abs(s2 / 2.0) AS area,
+           s2 / 2.0 AS signed_area,
+           sx / (3.0 * s2) AS cx, sy / (3.0 * s2) AS cy
+    FROM s
+    """
+
+
 def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation blocklist filter (text.blocklist_filter): sources whose
     md5 starts below '4' are blocked (deterministic ~25% of sources);
@@ -1531,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_slice_default": _q_time_slice,
         "geo_pyramid_rollup_z3to2": _q_pyramid_rollup,
         "curation_blocklist_sources": _q_blocklist_filter,
+        "geo_polygon_stats": _q_polygon_stats,
     }
 
 
@@ -1753,6 +1819,7 @@ def oracle_sql() -> dict[str, str]:
         "time_slice_default": _time_slice_oracle(),
         "geo_pyramid_rollup_z3to2": _pyramid_rollup_oracle(),
         "curation_blocklist_sources": _blocklist_filter_oracle(),
+        "geo_polygon_stats": _polygon_stats_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

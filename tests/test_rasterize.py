@@ -104,3 +104,22 @@ def test_ring_mask_tiles_dataframe(spark):
     exp = ring_mask_block(U_RING, 2, 1, 1, 4, 4).ravel()
     assert np.allclose([0.0 if v is None else v for v in r.cells], exp)
     assert "band" in mdf.columns  # ref has band → mask aligned band-aware
+
+
+def test_polygon_stats_known_shapes(spark):
+    from geotrellis_server_spark.geometry.wkt import polygon_stats
+
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))"),      # CCW rect
+         (2, "POLYGON ((0 0, 0 2, 4 2, 4 0, 0 0))"),      # CW rect
+         (3, "POLYGON ((0 0, 2 0, 1 3, 0 0))")],          # triangle
+        "zone_id BIGINT, wkt STRING",
+    )
+    rows = {r.zone_id: r for r in polygon_stats(df).collect()}
+    assert rows[1].area == 8.0 and rows[1].signed_area == 8.0
+    assert rows[2].area == 8.0 and rows[2].signed_area == -8.0
+    assert (rows[1].cx, rows[1].cy) == (2.0, 1.0)
+    assert (rows[2].cx, rows[2].cy) == (2.0, 1.0)
+    assert rows[3].area == 3.0
+    assert abs(rows[3].cx - 1.0) < 1e-12 and abs(rows[3].cy - 1.0) < 1e-12
+    assert rows[3].n_vertices == 3
