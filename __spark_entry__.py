@@ -1063,6 +1063,45 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+def _q_hillshade_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fhillshade vs an independently-derived golden: the engine runs the
+    fused Horn+illumination kernel over a fixed synthetic DEM built in
+    SQL; the oracle is a constant table generated by
+    scripts/gen_hillshade_golden.py from the public ESRI formulation
+    (scalar a..i cell letters, zenith form — no shared code). Values
+    rounded to 4 dp on both sides."""
+    from geotrellis_server_spark.maml import ast as M
+    from geotrellis_server_spark.maml.eval import eval_expr
+    from geotrellis_server_spark.sources.hillshade_golden import N
+
+    dem = (
+        f"transform(sequence(0, {N * N - 1}), i -> "
+        "10.0D * sin(CAST(i DIV 10 AS DOUBLE) * 0.7D)"
+        " + 8.0D * cos(CAST(i % 10 AS DOUBLE) * 0.5D)"
+        " + CAST(i DIV 10 AS DOUBLE) * CAST(i % 10 AS DOUBLE) * 0.1D)"
+    )
+    tile = spark.createDataFrame(
+        [(0, 0, 0, N, N)],
+        "zoom INT, tile_x BIGINT, tile_y BIGINT, width INT, height INT",
+    ).selectExpr("*", f"{dem} AS cells")
+    out = eval_expr(M.focal("fhillshade", M.var("d"), radius=1), {"d": tile})
+    return (
+        out.selectExpr("posexplode(cells) AS (idx, value)")
+        .where("value IS NOT NULL AND NOT isnan(value)")
+        .selectExpr("idx", "ROUND(value, 4) AS value")
+    )
+
+
+def _hillshade_golden_oracle() -> str:
+    from geotrellis_server_spark.sources.hillshade_golden import GOLDEN
+
+    vals = ", ".join(f"({i}, {v!r})" for i, v in GOLDEN)
+    return f"""
+    SELECT CAST(idx AS INT) AS idx, CAST(v AS DOUBLE) AS value
+    FROM (VALUES {vals}) t(idx, v)
+    """
+
+
 def _q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector analytics (geometry/wkt.polygon_stats): a 'house' pentagon
     per zone (rect + roof apex at ymax + h/2) built as WKT text in SQL,
@@ -1597,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pyramid_rollup_z3to2": _q_pyramid_rollup,
         "curation_blocklist_sources": _q_blocklist_filter,
         "geo_polygon_stats": _q_polygon_stats,
+        "maml_hillshade_golden": _q_hillshade_golden,
     }
 
 
@@ -1820,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_pyramid_rollup_z3to2": _pyramid_rollup_oracle(),
         "curation_blocklist_sources": _blocklist_filter_oracle(),
         "geo_polygon_stats": _polygon_stats_oracle(),
+        "maml_hillshade_golden": _hillshade_golden_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,
