@@ -1063,6 +1063,57 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+def _q_ndvi_multivar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-var MAML alignment (J4): two rasters from disjoint doc
+    subsets (even/odd ids) at z3, combined as (a-b)/(a+b) — the NDVI
+    AST shape (TmsReificationBench.scala:39-41). The tile-key equi-join
+    + fused local kernel is the engine path; the oracle computes the
+    same ratio from dense per-pixel counts (exact ints → the float
+    division is bit-identical)."""
+    from geotrellis_server_spark.maml import ast as M
+    from geotrellis_server_spark.maml.eval import eval_local
+
+    d = _docs(spark, sf_dir).withColumn(
+        "idnum", F.expr("CAST(substring(doc_id, 5) AS BIGINT)")
+    )
+    a = tiling.rasterize_count(d.where("idnum % 2 = 0"), 3, tile_size=16)
+    b = tiling.rasterize_count(d.where("idnum % 2 = 1"), 3, tile_size=16)
+    e = (M.var("a") - M.var("b")) / (M.var("a") + M.var("b"))
+    out = eval_local(e, {"a": a, "b": b})
+    return out.selectExpr(
+        "tile_x", "tile_y", "posexplode(cells) AS (idx, value)"
+    ).selectExpr(
+        "tile_x", "tile_y", "idx",
+        "CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DOUBLE) AS value",
+    )
+
+
+def _ndvi_multivar_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 3, 16)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    return f"""
+    WITH pix AS (
+      SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px,
+             count(*) FILTER (WHERE id % 2 = 0) AS ca,
+             count(*) FILTER (WHERE id % 2 = 1) AS cb
+      FROM ({pts}) GROUP BY 1, 2, 3, 4),
+    ta AS (SELECT DISTINCT tx, ty FROM pix WHERE ca > 0),
+    tb AS (SELECT DISTINCT tx, ty FROM pix WHERE cb > 0),
+    -- the equi-join keeps keys present in BOTH vars (J4 inner align)
+    tiles AS (SELECT tx, ty FROM ta INTERSECT SELECT tx, ty FROM tb),
+    dom AS (
+      SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py, CAST(j.j AS BIGINT) AS px
+      FROM tiles t CROSS JOIN range(16) i(i) CROSS JOIN range(16) j(j))
+    SELECT d.tx AS tile_x, d.ty AS tile_y, CAST(d.py * 16 + d.px AS INT) AS idx,
+           CASE WHEN COALESCE(p.ca, 0) + COALESCE(p.cb, 0) > 0 THEN
+             (CAST(COALESCE(p.ca, 0) AS DOUBLE) - CAST(COALESCE(p.cb, 0) AS DOUBLE))
+             / (CAST(COALESCE(p.ca, 0) AS DOUBLE) + CAST(COALESCE(p.cb, 0) AS DOUBLE))
+           END AS value
+    FROM dom d LEFT JOIN pix p
+      ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px
+    """
+
+
 def _q_hillshade_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fhillshade vs an independently-derived golden: the engine runs the
     fused Horn+illumination kernel over a fixed synthetic DEM built in
@@ -1637,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_blocklist_sources": _q_blocklist_filter,
         "geo_polygon_stats": _q_polygon_stats,
         "maml_hillshade_golden": _q_hillshade_golden,
+        "maml_ndvi_multivar_z3": _q_ndvi_multivar,
     }
 
 
@@ -1861,6 +1913,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_blocklist_sources": _blocklist_filter_oracle(),
         "geo_polygon_stats": _polygon_stats_oracle(),
         "maml_hillshade_golden": _hillshade_golden_oracle(),
+        "maml_ndvi_multivar_z3": _ndvi_multivar_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,
