@@ -1063,6 +1063,47 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+def _q_interp_colormap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 interpolated colormap: the REAL np.interp-based kernel
+    (styles/colormap.py interpolated_colormap) applied per Arrow batch to
+    probe values covering pole hits, segment interiors, and out-of-range
+    clip-none extension; the oracle is the golden table generated by an
+    independent scalar segment-lerp (scripts/gen_colormap_golden.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from geotrellis_server_spark.sources.colormap_golden import POLES, VALUES
+    from geotrellis_server_spark.styles import colormap as cmap
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(VALUES)], "pid INT, value DOUBLE"
+    )
+
+    def mapper(batches):
+        for pdf in batches:
+            rgba = cmap.interpolated_colormap(
+                pdf["value"].to_numpy(dtype=np.float64), POLES
+            )
+            yield pd.DataFrame({
+                "pid": pdf["pid"],
+                "r": rgba[:, 0].astype("int32"), "g": rgba[:, 1].astype("int32"),
+                "b": rgba[:, 2].astype("int32"), "a": rgba[:, 3].astype("int32"),
+            })
+
+    return df.mapInPandas(mapper, "pid INT, r INT, g INT, b INT, a INT")
+
+
+def _interp_colormap_oracle() -> str:
+    from geotrellis_server_spark.sources.colormap_golden import GOLDEN
+
+    vals = ", ".join(f"({p}, {r}, {g}, {b}, {a})" for p, _, r, g, b, a in GOLDEN)
+    return f"""
+    SELECT CAST(pid AS INT) AS pid, CAST(r AS INT) AS r, CAST(g AS INT) AS g,
+           CAST(b AS INT) AS b, CAST(a AS INT) AS a
+    FROM (VALUES {vals}) t(pid, r, g, b, a)
+    """
+
+
 def _q_ndvi_multivar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-var MAML alignment (J4): two rasters from disjoint doc
     subsets (even/odd ids) at z3, combined as (a-b)/(a+b) — the NDVI
@@ -1689,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polygon_stats": _q_polygon_stats,
         "maml_hillshade_golden": _q_hillshade_golden,
         "maml_ndvi_multivar_z3": _q_ndvi_multivar,
+        "style_interp_colormap": _q_interp_colormap,
     }
 
 
@@ -1914,6 +1956,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_polygon_stats": _polygon_stats_oracle(),
         "maml_hillshade_golden": _hillshade_golden_oracle(),
         "maml_ndvi_multivar_z3": _ndvi_multivar_oracle(),
+        "style_interp_colormap": _interp_colormap_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,
