@@ -1063,6 +1063,62 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+def _q_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 bilinear: 2× upsample of the z2 count raster (16→32 px). All
+    weights are exact quarters (fx, fy ∈ {0, .25, .75}) over integer
+    counts, so every output value is exact in binary and the oracle —
+    an independent 4-corner lerp over the dense grid in SQL — matches
+    hash-exactly whatever the evaluation order."""
+    from geotrellis_server_spark.operators.resample import resample_tiles
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 2, tile_size=16)
+    out = resample_tiles(tiles, 32, 32, "bilinear")
+    return out.selectExpr(
+        "tile_x", "tile_y", "posexplode(cells) AS (idx, value)"
+    ).selectExpr("tile_x", "tile_y", "idx", "CAST(value AS DOUBLE) AS value")
+
+
+def _resample_bilinear_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 2, 16)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    # source position for output pixel o (of 32) over 16 source px:
+    # pos = (o + 0.5) / 2 - 0.5 ; corner indices clipped like the engine
+    def pos(o: str) -> str:
+        return f"(CAST({o} AS DOUBLE) + 0.5) / 2.0 - 0.5"
+
+    return f"""
+    WITH pix AS (
+      SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px, count(*) AS cnt
+      FROM ({pts}) GROUP BY 1, 2, 3, 4),
+    tiles AS (SELECT DISTINCT tx, ty FROM pix),
+    gval AS (
+      SELECT d.tx, d.ty, d.py, d.px, CAST(COALESCE(p.cnt, 0) AS DOUBLE) AS v
+      FROM (SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py, CAST(j.j AS BIGINT) AS px
+            FROM tiles t CROSS JOIN range(16) i(i) CROSS JOIN range(16) j(j)) d
+      LEFT JOIN pix p
+        ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px),
+    dom AS (
+      SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS oy, CAST(j.j AS BIGINT) AS ox,
+             greatest(least(floor({pos('i.i')}), 15), 0) AS y0,
+             greatest(least({pos('i.i')} - greatest(least(floor({pos('i.i')}), 15), 0), 1.0), 0.0) AS fy,
+             greatest(least(floor({pos('j.j')}), 15), 0) AS x0,
+             greatest(least({pos('j.j')} - greatest(least(floor({pos('j.j')}), 15), 0), 1.0), 0.0) AS fx
+      FROM tiles t CROSS JOIN range(32) i(i) CROSS JOIN range(32) j(j))
+    SELECT d.tx AS tile_x, d.ty AS tile_y, CAST(d.oy * 32 + d.ox AS INT) AS idx,
+           (tl.v * (1.0 - d.fx) + tr.v * d.fx) * (1.0 - d.fy)
+           + (bl.v * (1.0 - d.fx) + br.v * d.fx) * d.fy AS value
+    FROM dom d
+    JOIN gval tl ON tl.tx = d.tx AND tl.ty = d.ty AND tl.py = d.y0 AND tl.px = d.x0
+    JOIN gval tr ON tr.tx = d.tx AND tr.ty = d.ty AND tr.py = d.y0
+                AND tr.px = least(d.x0 + 1, 15)
+    JOIN gval bl ON bl.tx = d.tx AND bl.ty = d.ty AND bl.py = least(d.y0 + 1, 15)
+                AND bl.px = d.x0
+    JOIN gval br ON br.tx = d.tx AND br.ty = d.ty AND br.py = least(d.y0 + 1, 15)
+                AND br.px = least(d.x0 + 1, 15)
+    """
+
+
 def _q_interp_colormap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 interpolated colormap: the REAL np.interp-based kernel
     (styles/colormap.py interpolated_colormap) applied per Arrow batch to
@@ -1731,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maml_hillshade_golden": _q_hillshade_golden,
         "maml_ndvi_multivar_z3": _q_ndvi_multivar,
         "style_interp_colormap": _q_interp_colormap,
+        "raster_resample_bilinear2x": _q_resample_bilinear,
     }
 
 
@@ -1957,6 +2014,7 @@ def oracle_sql() -> dict[str, str]:
         "maml_hillshade_golden": _hillshade_golden_oracle(),
         "maml_ndvi_multivar_z3": _ndvi_multivar_oracle(),
         "style_interp_colormap": _interp_colormap_oracle(),
+        "raster_resample_bilinear2x": _resample_bilinear_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,
