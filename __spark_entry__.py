@@ -1063,6 +1063,52 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+def _q_temporal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel temporal mean composite (mosaic.temporal_aggregate):
+    docs split into 4 deterministic 'time' buckets by id%4, each
+    rasterized at z2, stacked, folded element-wise JVM-side. A tile's
+    mean divides by the number of buckets that HAVE the tile (absent
+    bucket = absent observation, not zero) — the oracle mirrors that."""
+    from functools import reduce as _reduce
+
+    from geotrellis_server_spark.operators.mosaic import temporal_aggregate
+
+    d = _docs(spark, sf_dir).withColumn(
+        "idnum", F.expr("CAST(substring(doc_id, 5) AS BIGINT)")
+    )
+    stacks = [
+        tiling.rasterize_count(d.where(f"idnum % 4 = {t}"), 2, tile_size=16)
+        .withColumn("time", F.lit(t))
+        for t in range(4)
+    ]
+    stacked = _reduce(lambda a, b: a.unionByName(b), stacks)
+    out = temporal_aggregate(stacked, "mean")
+    return out.selectExpr(
+        "tile_x", "tile_y", "posexplode(cells) AS (idx, value)"
+    ).selectExpr("tile_x", "tile_y", "idx", "CAST(value AS DOUBLE) AS value")
+
+
+def _temporal_mean_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 2, 16)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    return f"""
+    WITH pix AS (
+      SELECT {tx} AS tx, {ty} AS ty, id % 4 AS bkt,
+             ({py}) AS py, ({px}) AS px, count(*) AS cnt
+      FROM ({pts}) GROUP BY 1, 2, 3, 4, 5),
+    tb AS (SELECT DISTINCT tx, ty, bkt FROM pix),
+    nper AS (SELECT tx, ty, count(*) AS n FROM tb GROUP BY 1, 2),
+    dom AS (
+      SELECT n.tx, n.ty, n.n, CAST(i.i AS BIGINT) AS py, CAST(j.j AS BIGINT) AS px
+      FROM nper n CROSS JOIN range(16) i(i) CROSS JOIN range(16) j(j))
+    SELECT d.tx AS tile_x, d.ty AS tile_y, CAST(d.py * 16 + d.px AS INT) AS idx,
+           CAST(COALESCE(sum(p.cnt), 0) AS DOUBLE) / CAST(d.n AS DOUBLE) AS value
+    FROM dom d LEFT JOIN pix p
+      ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px
+    GROUP BY d.tx, d.ty, d.py, d.px, d.n
+    """
+
+
 def _q_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3 bilinear: 2× upsample of the z2 count raster (16→32 px). All
     weights are exact quarters (fx, fy ∈ {0, .25, .75}) over integer
@@ -1788,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maml_ndvi_multivar_z3": _q_ndvi_multivar,
         "style_interp_colormap": _q_interp_colormap,
         "raster_resample_bilinear2x": _q_resample_bilinear,
+        "raster_temporal_mean_z2": _q_temporal_mean,
     }
 
 
@@ -2015,6 +2062,7 @@ def oracle_sql() -> dict[str, str]:
         "maml_ndvi_multivar_z3": _ndvi_multivar_oracle(),
         "style_interp_colormap": _interp_colormap_oracle(),
         "raster_resample_bilinear2x": _resample_bilinear_oracle(),
+        "raster_temporal_mean_z2": _temporal_mean_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

@@ -91,3 +91,45 @@ def source_for_time(catalog: DataFrame, t, layer_col: str = "layer",
         .filter("_rk = 1").drop("_rk")
     )
     return le.unionByName(earliest)
+
+
+def temporal_aggregate(
+    tiles: DataFrame, agg: str = "mean", time_col: str = "time"
+) -> DataFrame:
+    """Per-pixel temporal composite over a time-stacked tile table — the
+    EO reduction behind "mean/max/min composite over a season" (the
+    reference serves one time slice per request, OgcTime.scala; batch
+    engines fold the whole stack). Input: TILE-keyed rows, several times
+    per key. Output: one row per key, cells aggregated element-wise.
+
+    Pure SQL shape: ``aggregate(collect_list(cells), ...)`` folds the
+    stack JVM-side — per-key work is bounded by (n_times × tile px) and
+    the single shuffle is the groupBy on the tile key, which is the
+    partitioning the pyramid is stored in anyway (map-side partial
+    collect, no skew: every key has the same n_times)."""
+    ops = {
+        "sum": ("zip_with(acc, x, (a, b) -> a + b)", "acc"),
+        "max": ("zip_with(acc, x, (a, b) -> greatest(a, b))", "acc"),
+        "min": ("zip_with(acc, x, (a, b) -> least(a, b))", "acc"),
+        "mean": (
+            "zip_with(acc, x, (a, b) -> a + b)",
+            "transform(acc, a -> a / CAST(n AS DOUBLE))",
+        ),
+    }
+    if agg not in ops:
+        raise ValueError(f"agg must be one of {sorted(ops)}")
+    merge, finish = ops[agg]
+    key = [c for c in KEY if c in tiles.columns]
+    per_key = tiles.groupBy(*key).agg(
+        F.collect_list("cells").alias("_stack"),
+        F.count("*").alias("n"),
+        F.any_value(F.col("width"), True).alias("width"),
+        F.any_value(F.col("height"), True).alias("height"),
+    )
+    folded = (
+        f"aggregate(slice(_stack, 2, size(_stack) - 1), _stack[0], "
+        f"(acc, x) -> {merge}, acc -> {finish})"
+    )
+    return per_key.selectExpr(
+        *key, "width", "height", f"{folded} AS cells"
+    )

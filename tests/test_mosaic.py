@@ -91,3 +91,36 @@ def test_source_for_time(spark):
     # t between b and c → latest <= t is b; layer M has nothing <= t → earliest d
     got = {r.layer: r.item for r in MO.source_for_time(items, "2020-02-15 00:00:00").collect()}
     assert got == {"L": "b", "M": "d"}
+
+
+def test_temporal_aggregate_mean_max(spark):
+    from geotrellis_server_spark.operators.mosaic import temporal_aggregate
+
+    def tile(t, cells):
+        return (2, 1, 1, 2, 2, t, [float(c) for c in cells])
+
+    df = spark.createDataFrame(
+        [tile(0, [1, 2, 3, 4]), tile(1, [3, 2, 1, 0]), tile(2, [5, 5, 5, 5])],
+        "zoom INT, tile_x BIGINT, tile_y BIGINT, width INT, height INT,"
+        " time INT, cells ARRAY<DOUBLE>",
+    )
+    mean = temporal_aggregate(df, "mean").collect()[0]
+    assert mean.cells == [3.0, 3.0, 3.0, 3.0]
+    mx = temporal_aggregate(df, "max").collect()[0]
+    assert mx.cells == [5.0, 5.0, 5.0, 5.0]
+    sm = temporal_aggregate(df, "sum").collect()[0]
+    assert sm.cells == [9.0, 9.0, 9.0, 9.0]
+
+
+def test_temporal_aggregate_single_and_nan(spark):
+    import math
+
+    from geotrellis_server_spark.operators.mosaic import temporal_aggregate
+
+    df = spark.createDataFrame(
+        [(2, 0, 0, 2, 1, 0, [1.0, float("nan")])],
+        "zoom INT, tile_x BIGINT, tile_y BIGINT, width INT, height INT,"
+        " time INT, cells ARRAY<DOUBLE>",
+    )
+    r = temporal_aggregate(df, "mean").collect()[0]
+    assert r.cells[0] == 1.0 and (r.cells[1] is None or math.isnan(r.cells[1]))
