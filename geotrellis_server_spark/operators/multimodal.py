@@ -262,3 +262,31 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_ref", "frame_no", "n_frames_total", "pixels"])
 
     return media.mapInPandas(run, schema)
+
+
+def png_header_meta(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Image metadata WITHOUT decoding — pure Spark SQL over the binary
+    column: PNG signature check + IHDR width/height/bit-depth/color-type
+    parsed with substring/hex/conv (all whole-stage codegen, no Python).
+
+    The 100-TB point: corpus-wide image-dimension stats (filtering
+    tiny/huge images, aspect-ratio curation) should cost a COLUMN SCAN
+    of the first 33 bytes, not a decode. Non-PNG payloads yield NULL
+    dims (is_png = false) instead of erroring, so the op runs safely
+    over mixed media tables."""
+    sig = "hex(substring({p}, 1, 8)) = '89504E470D0A1A0A'".format(p=payload_col)
+    def be32(off: int) -> str:  # big-endian uint32 at 1-based byte offset
+        return f"CAST(conv(hex(substring({payload_col}, {off}, 4)), 16, 10) AS BIGINT)"
+    def u8(off: int) -> str:
+        return f"CAST(conv(hex(substring({payload_col}, {off}, 1)), 16, 10) AS INT)"
+    return media.select(
+        F.col(id_col),
+        F.expr(sig).alias("is_png"),
+        F.expr(f"CASE WHEN {sig} THEN {be32(17)} END").alias("width"),
+        F.expr(f"CASE WHEN {sig} THEN {be32(21)} END").alias("height"),
+        F.expr(f"CASE WHEN {sig} THEN {u8(25)} END").alias("bit_depth"),
+        F.expr(f"CASE WHEN {sig} THEN {u8(26)} END").alias("color_type"),
+        F.length(F.col(payload_col)).alias("n_bytes"),
+    )

@@ -419,3 +419,28 @@ def test_extract_urls_and_blocklist(spark):
     blocked = spark.createDataFrame([("src0",)], "source STRING")
     kept = {r.doc_id for r in blocklist_filter(docs2, blocked).collect()}
     assert kept == {2}
+
+
+def test_png_header_meta_sql_only(spark):
+    import numpy as np
+
+    from geotrellis_server_spark.operators.multimodal import png_header_meta
+    from geotrellis_server_spark.styles.png import encode_png
+
+    grey = (np.arange(20 * 13, dtype=np.uint8) % 251).reshape(20, 13)
+    rgba = np.zeros((5, 7, 4), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(grey))),
+        (2, bytearray(encode_png(rgba))),
+        (3, bytearray(b"not a png at all, just bytes")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    got = {r.doc_id: r for r in png_header_meta(df).collect()}
+    assert got[1].is_png and (got[1].width, got[1].height) == (13, 20)
+    assert got[1].bit_depth == 8
+    assert got[2].is_png and (got[2].width, got[2].height) == (7, 5)
+    assert got[2].color_type == 6  # RGBA
+    assert not got[3].is_png and got[3].width is None
+    # plan stays in codegen — no Python eval
+    plan = png_header_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
