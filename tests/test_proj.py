@@ -420,3 +420,45 @@ def test_new_registry_crs_roundtrip(epsg, lon_rng, lat_rng):
     dl = (lo - lons + 180.0) % 360.0 - 180.0
     assert np.abs(dl).max() < 1e-9
     assert np.abs(la - lats).max() < 1e-9
+
+
+def test_engine_getmap_in_epsg5070(spark):
+    # GetMap in the new Albers CONUS CRS: same end-to-end path as the
+    # EPSG:3035 test (extent back-projection, pyramid eval, warp)
+    from geotrellis_server_spark.engine import Engine, Layer
+    from geotrellis_server_spark.grids.layout import (
+        ZoomedLayoutScheme, mercator_to_lonlat)
+    from geotrellis_server_spark.sources import synth
+
+    z, ts = 4, 32
+    scheme = ZoomedLayoutScheme(ts)
+    lay = scheme.layout(z)
+    rows = []
+    # CONUS z4 patch (tx 2..4, ty 5..6), cell value = lon of pixel center
+    for tx in range(2, 5):
+        for ty in range(5, 7):
+            e = lay.extent_for(tx, ty)
+            cells = []
+            for r in range(ts):
+                my = e.ymax - (r + 0.5) * (e.ymax - e.ymin) / ts
+                for c in range(ts):
+                    mx = e.xmin + (c + 0.5) * (e.xmax - e.xmin) / ts
+                    lon, _ = mercator_to_lonlat(np.array([mx]), np.array([my]))
+                    cells.append(float(lon[0]))
+            rows.append(("lonf", z, tx, ty, 0, ts, ts, e.xmin, e.ymin, e.xmax,
+                         e.ymax, "float64", float("nan"), cells))
+    tiles = spark.createDataFrame(rows, synth.TILE_SCHEMA)
+    eng = Engine(spark, {"lonf": Layer("lonf", tiles)})
+
+    # central-US box in EPSG:5070 meters
+    aea_ext = (-500000.0, 1500000.0, 500000.0, 2500000.0)
+    arr, ext = eng.get_extent_reprojected("lonf", aea_ext, 5070, 48, 48)
+    assert arr.shape == (48, 48)
+    cx = ext[0] + (np.arange(48) + 0.5) * (ext[2] - ext[0]) / 48
+    cy = ext[3] - (np.arange(48) + 0.5) * (ext[3] - ext[1]) / 48
+    CX, CY = np.meshgrid(cx, cy)
+    exp_lon, _ = proj.transform(CX.ravel(), CY.ravel(), 5070, 4326)
+    exp = exp_lon.reshape(48, 48)
+    ok = ~np.isnan(arr)
+    assert ok.mean() > 0.5
+    assert np.abs(arr[ok] - exp[ok]).max() < 0.02
