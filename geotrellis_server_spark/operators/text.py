@@ -276,6 +276,10 @@ def pack_sequences(
     this doc inside its bin."""
     import pandas as pd
 
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if n_packers <= 0:
+        raise ValueError(f"n_packers must be positive, got {n_packers}")
     base = docs.select(
         F.col(id_col),
         (F.col(id_col) % n_packers).alias("packer"),
