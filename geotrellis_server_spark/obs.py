@@ -46,23 +46,51 @@ class MetricsLog:
         self._obs.append((stage, ob, time.time()))
         return out
 
-    def snapshot(self) -> list[dict]:
+    def snapshot(self, timeout: float | None = 30.0) -> list[dict]:
         """One dict per observed stage: {stage, ts, **metric_values}.
-        ``Observation.get`` blocks until the owning action finished."""
+        ``Observation.get`` blocks until the owning action finished — a
+        stage whose action never ran (error path skipped it) would hang
+        forever, so each get runs under ``timeout`` seconds and
+        unfinished stages are reported as {"_pending": True} instead of
+        stalling the stages that DID materialize. ``timeout=None``
+        blocks indefinitely (only safe when all actions are known to
+        have run)."""
+        import queue
+        import threading
+
         rows = []
         for stage, ob, ts in self._obs:
-            rows.append({"stage": stage, "ts": ts, **ob.get})
+            if timeout is None:
+                rows.append({"stage": stage, "ts": ts, **ob.get})
+                continue
+            # daemon thread, NOT a ThreadPoolExecutor: the pool's context
+            # exit joins its worker, which would re-block on the stuck get
+            q: queue.Queue = queue.Queue(1)
+            t = threading.Thread(target=lambda o=ob: q.put(o.get), daemon=True)
+            t.start()
+            try:
+                rows.append({"stage": stage, "ts": ts, **q.get(timeout=timeout)})
+            except queue.Empty:
+                rows.append({"stage": stage, "ts": ts, "_pending": True})
         return rows
 
-    def metrics_df(self) -> DataFrame:
-        """Long-form metrics table (stage, metric, value: double) — the
-        shape that appends cleanly to a per-run metrics parquet/Iceberg
-        table next to lineage.py's per-bucket rows."""
+    def metrics_df(self, timeout: float | None = 30.0) -> DataFrame:
+        """Long-form metrics table (stage, metric, value, value_str) —
+        the shape that appends cleanly to a per-run metrics
+        parquet/Iceberg table next to lineage.py's per-bucket rows.
+        Non-numeric observed metrics (strings, timestamps) land in
+        ``value_str`` with a NULL ``value`` instead of aborting the
+        table."""
         long_rows = []
-        for r in self.snapshot():
+        for r in self.snapshot(timeout):
             stage, ts = r.pop("stage"), r.pop("ts")
             for k, v in r.items():
-                long_rows.append((stage, k, float(v if v is not None else 0.0), ts))
+                try:
+                    num, txt = (float(v) if v is not None else 0.0), None
+                except (TypeError, ValueError):
+                    num, txt = None, str(v)
+                long_rows.append((stage, k, num, txt, ts))
         return self.spark.createDataFrame(
-            long_rows, "stage STRING, metric STRING, value DOUBLE, ts DOUBLE"
+            long_rows,
+            "stage STRING, metric STRING, value DOUBLE, value_str STRING, ts DOUBLE",
         )

@@ -120,8 +120,20 @@ def temporal_aggregate(
         raise ValueError(f"agg must be one of {sorted(ops)}")
     merge, finish = ops[agg]
     key = [c for c in KEY if c in tiles.columns]
+    # fold in TIME order, not collect_list's partition-dependent order:
+    # float addition is non-associative, so an unordered fold would make
+    # mean/sum bit-unstable across runs (the repo's determinism rule)
+    if time_col in tiles.columns:
+        stack = F.expr(
+            f"transform(array_sort(collect_list(struct({time_col} AS t, "
+            "cells AS c))), s -> s.c)"
+        ).alias("_stack")
+    else:
+        stack = F.expr(
+            "array_sort(collect_list(cells))"  # no time column: content order
+        ).alias("_stack")
     per_key = tiles.groupBy(*key).agg(
-        F.collect_list("cells").alias("_stack"),
+        stack,
         F.count("*").alias("n"),
         F.any_value(F.col("width"), True).alias("width"),
         F.any_value(F.col("height"), True).alias("height"),

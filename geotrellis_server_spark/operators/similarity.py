@@ -231,6 +231,16 @@ def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding",
     return df.withColumn(cell_col, cell_of(F.col(vec_col)))
 
 
+def _probe_cells(centroids, query_vec: list[float], nprobe: int):
+    """Normalized query + the nprobe nearest coarse-quantizer cell ids —
+    the ONE place probe ranking lives (ivf_read_probe / ivf_ann_topk /
+    ivf_pq_topk all route through it)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    return q, [int(c) for c in np.argsort(-(cent @ q))[: int(nprobe)]]
+
+
 def ivf_write_partitioned(
     df: DataFrame, centroids, path: str, vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
@@ -252,10 +262,7 @@ def ivf_read_probe(
     """Probe an ivf_write_partitioned layout: filter on the partition
     column (pruned at planning time), then exact top-k within the probed
     cells."""
-    cent = np.asarray(centroids, dtype=np.float64)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q = q / max(np.linalg.norm(q), 1e-12)
-    probes = [int(c) for c in np.argsort(-(cent @ q))[: int(nprobe)]]
+    _, probes = _probe_cells(centroids, query_vec, nprobe)
     scanned = spark.read.parquet(path).filter(F.col(cell_col).isin(probes))
     return cosine_topk(scanned.drop(cell_col), query_vec, k, id_col, vec_col)
 
@@ -271,13 +278,10 @@ def ivf_ann_topk(
     cells are assigned on the fly."""
 
 
-    cent = np.asarray(centroids, dtype=np.float64)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q = q / max(np.linalg.norm(q), 1e-12)
-    probes = np.argsort(-(cent @ q))[: int(nprobe)]
+    _, probes = _probe_cells(centroids, query_vec, nprobe)
     if cell_col not in df.columns:
         df = ivf_assign(df, centroids, vec_col, cell_col)
-    scanned = df.filter(F.col(cell_col).isin([int(c) for c in probes]))
+    scanned = df.filter(F.col(cell_col).isin(probes))
     return cosine_topk(scanned.drop(cell_col), query_vec, k, id_col, vec_col)
 
 
@@ -416,10 +420,7 @@ def ivf_pq_topk(
     shape: the scan touches nprobe/n_centroids of the corpus and reads
     8-byte codes instead of 256-byte vectors; full-precision vectors are
     only consulted for the final ``rerank`` candidates."""
-    cent = np.asarray(centroids, dtype=np.float64)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q = q / max(np.linalg.norm(q), 1e-12)
-    probes = [int(c) for c in np.argsort(-(cent @ q))[: int(nprobe)]]
+    _, probes = _probe_cells(centroids, query_vec, nprobe)
     if cell_col not in df.columns:
         df = ivf_assign(df, centroids, vec_col, cell_col)
     if code_col not in df.columns:

@@ -332,6 +332,9 @@ def extract_urls(
     urls = f"regexp_extract_all({text_col}, 'https?://[^\\\\s]+', 0)"
     return (
         docs.select(F.col(id_col), F.explode(F.expr(urls)).alias("url"))
+        # prose punctuation glued to the URL ('...com, then') would break
+        # blocklist equi-joins on domain — strip it from the tail
+        .withColumn("url", F.regexp_replace("url", r"""[.,;:!?)\]'"]+$""", ""))
         .withColumn(
             "domain",
             F.expr("regexp_extract(url, 'https?://([^/\\\\s]+)', 1)"),

@@ -168,48 +168,3 @@ def test_caching_range_reader_equals_plain_reads(data, header, chunk, reads):
                            chunk_bytes=chunk, max_chunks=3)
     for off, ln in reads:
         assert r.read(off, ln) == data[off:off + ln]
-
-
-@settings(max_examples=60, deadline=None)
-@given(st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=60),
-       st.integers(min_value=8, max_value=64))
-def test_next_fit_packing_invariants(tokens, capacity):
-    # mirror of the per-packer sequential pass in text.pack_sequences —
-    # the invariant the distributed op must satisfy for ANY group
-    order = sorted(range(len(tokens)), key=lambda i: (-tokens[i], i))
-    bins, cum, b = {}, 0, 0
-    first = True
-    for i in order:
-        t = tokens[i]
-        if not first and cum + t <= capacity:
-            cum += t
-        else:
-            if not first:
-                b += 1
-            cum = t
-            first = False
-        bins.setdefault(b, []).append(t)
-    for members in bins.values():
-        assert sum(members) <= capacity or len(members) == 1
-    assert sum(len(m) for m in bins.values()) == len(tokens)
-
-
-@settings(max_examples=60, deadline=None)
-@given(st.integers(min_value=1, max_value=4),  # half-tile size q
-       st.lists(st.tuples(st.integers(min_value=0, max_value=1),
-                          st.integers(min_value=0, max_value=1)),
-                min_size=1, max_size=4, unique=True),
-       st.integers(min_value=0, max_value=996))
-def test_pyramid_quadrant_math(q, quadrants, seed):
-    # downsample-index arithmetic used by tiling.pyramid_up's SQL: the
-    # 2x2 child-pixel gather must tile the child exactly once
-    ts = 2 * q
-    covered = set()
-    for i in range(q * q):
-        for dr in (0, 1):
-            for dc in (0, 1):
-                idx = (i // q) * 2 * ts + dr * ts + (i % q) * 2 + dc
-                assert 0 <= idx < ts * ts
-                assert idx not in covered or (dr, dc) == (9, 9)
-                covered.add(idx)
-    assert len(covered) == ts * ts

@@ -444,3 +444,44 @@ def test_png_header_meta_sql_only(spark):
     # plan stays in codegen — no Python eval
     plan = png_header_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_randomized_against_reference(spark):
+    """Seeded random corpora run through the PRODUCTION pack_sequences;
+    per-packer output must equal an independent next-fit reference and
+    satisfy the bin-capacity invariant."""
+    import random
+
+    from geotrellis_server_spark.operators.text import pack_sequences
+
+    rng = random.Random(41)
+    capacity = 48
+    docs = [(i, " ".join("w" for _ in range(rng.randint(1, 60))))
+            for i in range(120)]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    out = pack_sequences(df, capacity=capacity, n_packers=5).collect()
+    assert len(out) == 120
+
+    # independent reference: same routing/order rules, scalar next-fit
+    by_packer = {}
+    for i, text in docs:
+        by_packer.setdefault(i % 5, []).append((i, len(text.split(" "))))
+    want = {}
+    for p, members in by_packer.items():
+        members.sort(key=lambda it: (-it[1], it[0]))
+        cum, b = 0, -1
+        for i, tok in members:
+            if b < 0 or cum + tok > capacity:
+                b += 1
+                cum = tok
+            else:
+                cum += tok
+            want[i] = (p, b, cum - tok)
+    got = {r.doc_id: (r.packer, r.bin_id, r.bin_offset) for r in out}
+    assert got == want
+    # capacity invariant on production output
+    fill = {}
+    for r in out:
+        fill.setdefault((r.packer, r.bin_id), []).append(r.ws_tokens)
+    for toks in fill.values():
+        assert sum(toks) <= capacity or len(toks) == 1
