@@ -3,11 +3,13 @@ columns with typed metadata, processed via ``mapInPandas`` in Arrow
 batches.
 
 Decoders: IMAGE decode is REAL for PNG payloads (the pure-stdlib decoder
-in styles/png.py — all five scanline filters; synth media payloads are
-genuine PNG bytes, so the pipeline exercises a true bytes→pixels codec
-end to end). JPEG falls back to Pillow when installed. Audio/video
-decoding remains a clearly-marked deterministic stub (no codec libs in
-this container); a real decoder drops into ``DECODERS`` unchanged.
+in styles/png.py — all five scanline filters), AUDIO decode is REAL for
+PCM16 WAV, and VIDEO demux + frame decode is REAL for YUV4MPEG2 (both in
+sources/media_codecs.py) — synth media generates genuine PNG/WAV/Y4M
+bytes, so every pipeline exercises true bytes→samples codecs end to end.
+Compressed codecs (JPEG/mp3/h264) fall back to Pillow when installed or
+a clearly-marked deterministic stub otherwise; a real library decoder
+drops into ``DECODERS`` unchanged.
 """
 
 from __future__ import annotations
@@ -22,6 +24,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.media_codecs import (
+    WAV_MAGIC,
+    Y4M_MAGIC,
+    decode_wav,
+    decode_y4m_frame,
+    encode_wav,
+    encode_y4m,
+    y4m_info,
+)
 from ..styles.png import decode_png, encode_png
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -62,9 +73,22 @@ def synth_media(spark, docs: DataFrame) -> DataFrame:
                     ).reshape(side, side, 3)
                     payload = encode_png(px)
                     meta = {"bytes": str(len(payload)), "codec": "image/png"}
+                elif kind == "audio":
+                    # REAL PCM16 WAV payload: deterministic tone mix
+                    n = 128 + seed[1] % 128
+                    t = np.arange(n, dtype=np.float64)
+                    wave = 0.5 * np.sin(t * (0.05 + seed[2] / 512.0)) \
+                        + 0.25 * np.sin(t * (0.11 + seed[3] / 512.0))
+                    payload = encode_wav(wave, sample_rate=8000)
+                    meta = {"bytes": str(len(payload)), "codec": "audio/wav"}
                 else:
-                    payload = (seed * 8)[: 64 + seed[1] % 64]
-                    meta = {"bytes": str(len(payload)), "codec": "fake/v1"}
+                    # REAL YUV4MPEG2 payload: deterministic luma frames
+                    nf = 6 + seed[1] % 10
+                    frames = np.frombuffer(
+                        (seed * (nf * 4))[: nf * 16], dtype=np.uint8
+                    ).reshape(nf, 4, 4)
+                    payload = encode_y4m(frames)
+                    meta = {"bytes": str(len(payload)), "codec": "video/y4m"}
                 rows.append((ref, kind, payload, meta))
             yield pd.DataFrame(rows, columns=["media_ref", "kind", "payload", "meta"])
 
@@ -96,14 +120,23 @@ def _fake_decode_image(payload: bytes) -> np.ndarray:
 
 
 def _fake_decode_audio(payload: bytes) -> np.ndarray:
-    """STUB — deterministic 256-sample float32 'waveform' (no audio codec
-    libs in this container)."""
+    """STUB fallback for compressed audio (mp3/aac — no codec libs in
+    this container): deterministic 256-sample float32 'waveform'."""
     h = hashlib.sha256(payload + b"a").digest()
     raw = np.frombuffer((h * 32)[: 256 * 4], dtype=np.uint8).astype(np.float32)
     return (raw - 127.5) / 127.5
 
 
-DECODERS = {"image": _decode_image, "audio": _fake_decode_audio}
+def _decode_audio(payload: bytes) -> np.ndarray:
+    """REAL for PCM16 WAV (sources/media_codecs.py); deterministic stub
+    for compressed codecs."""
+    if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
+        samples, _ = decode_wav(payload)
+        return samples if samples.ndim == 1 else samples.mean(axis=1)
+    return _fake_decode_audio(payload)
+
+
+DECODERS = {"image": _decode_image, "audio": _decode_audio}
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -230,12 +263,13 @@ def image_near_dup_pairs(
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame sampling for video payloads (north-rule op): pick n_frames
-    evenly spaced frames and decode each to pixels + a tiny feature.
-    DECODE IS STUBBED for video (no codec libs in this container — the
-    deterministic fake derives per-frame bytes from (payload, frame_no));
-    the Spark plumbing (mapInPandas, one output row per sampled frame,
-    Arrow batch shapes) is real, and a real demuxer drops in at the
-    marked line."""
+    evenly spaced frames and decode each to pixels. REAL demux + frame
+    decode for YUV4MPEG2 payloads (sources/media_codecs.py — O(1)
+    frame-offset reads); compressed codecs (h264 etc.) fall back to the
+    clearly-marked deterministic stub until a library decoder is dropped
+    into the marked line. The Spark plumbing (mapInPandas, one output
+    row per sampled frame, Arrow batch shapes) is identical either
+    way."""
     schema = T.StructType(
         [
             T.StructField("media_ref", T.StringType()),
@@ -252,12 +286,20 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 if kind != "video":
                     continue
                 payload = bytes(payload)
-                # STUB demux: fake total frame count from payload length;
-                # replace with a real demuxer (e.g. av / ffmpeg) in prod
-                total = 8 + len(payload) % 24
+                if payload.startswith(Y4M_MAGIC):
+                    _, _, total = y4m_info(payload)  # REAL demux
+                    real = True
+                else:
+                    # STUB demux for compressed codecs: fake frame count;
+                    # replace with a real demuxer (e.g. av / ffmpeg) here
+                    total = 8 + len(payload) % 24
+                    real = False
                 picks = [int(i * (total - 1) / max(n_frames - 1, 1)) for i in range(n_frames)]
                 for fno in dict.fromkeys(picks):  # dedup, keep order
-                    frame = _fake_decode_image(payload + struct.pack("<I", fno))
+                    if real:
+                        frame = decode_y4m_frame(payload, fno)
+                    else:
+                        frame = _fake_decode_image(payload + struct.pack("<I", fno))
                     rows.append((ref, fno, total, frame.ravel().astype(np.int32)))
             yield pd.DataFrame(rows, columns=["media_ref", "frame_no", "n_frames_total", "pixels"])
 

@@ -169,7 +169,8 @@ def test_video_frame_sampling(spark):
         nos = [r.frame_no for r in rows]
         assert nos == sorted(nos) and nos[0] == 0  # evenly spaced from 0
         assert all(r.frame_no < r.n_frames_total for r in rows)
-        assert all(len(r.pixels) == 8 * 8 * 3 for r in rows)
+        # real Y4M path: synth frames are 4x4 luma planes
+        assert all(len(r.pixels) == 4 * 4 for r in rows)
     # determinism: same payload → same frames
     again = {(r.media_ref, r.frame_no): list(r.pixels)
              for r in MM.sample_frames(vids, n_frames=3).collect()}
@@ -485,3 +486,78 @@ def test_pack_sequences_randomized_against_reference(spark):
         fill.setdefault((r.packer, r.bin_id), []).append(r.ws_tokens)
     for toks in fill.values():
         assert sum(toks) <= capacity or len(toks) == 1
+
+
+def test_wav_roundtrip_and_real_audio_decode():
+    import numpy as np
+
+    from geotrellis_server_spark.operators.multimodal import _decode_audio
+    from geotrellis_server_spark.sources.media_codecs import decode_wav, encode_wav
+
+    t = np.arange(500, dtype=np.float64)
+    wave = 0.6 * np.sin(t * 0.1)
+    payload = encode_wav(wave, sample_rate=16000)
+    back, rate = decode_wav(payload)
+    assert rate == 16000 and back.shape == (500,)
+    assert np.abs(back - wave).max() < 1.0 / 32767 + 1e-6  # PCM16 quantization
+    # the engine decoder takes the REAL path (matches the codec output)
+    via_engine = _decode_audio(payload)
+    np.testing.assert_array_equal(via_engine, back)
+    # stereo
+    st = np.stack([wave, -wave], axis=1)
+    b2, _ = decode_wav(encode_wav(st))
+    assert b2.shape == (500, 2)
+    np.testing.assert_allclose(b2[:, 0], -b2[:, 1], atol=2.0 / 32767)
+
+
+def test_y4m_roundtrip_info_and_frame_seek():
+    import numpy as np
+
+    from geotrellis_server_spark.sources.media_codecs import (
+        decode_y4m_frame,
+        encode_y4m,
+        y4m_info,
+    )
+
+    frames = (np.arange(5 * 6 * 8, dtype=np.uint8) % 201).reshape(5, 6, 8)
+    payload = encode_y4m(frames, fps=(30, 1))
+    assert y4m_info(payload) == (8, 6, 5)
+    for i in (0, 2, 4):
+        np.testing.assert_array_equal(decode_y4m_frame(payload, i), frames[i])
+
+
+def test_sample_frames_real_y4m_demux(spark):
+    import numpy as np
+
+    from geotrellis_server_spark.operators.multimodal import sample_frames
+    from geotrellis_server_spark.sources.media_codecs import encode_y4m
+
+    frames = (np.arange(9 * 4 * 4, dtype=np.uint8) % 97).reshape(9, 4, 4)
+    media = spark.createDataFrame(
+        [("v1", "video", bytearray(encode_y4m(frames)), {})],
+        "media_ref STRING, kind STRING, payload BINARY, meta MAP<STRING,STRING>",
+    )
+    rows = {r.frame_no: r for r in sample_frames(media, n_frames=3).collect()}
+    assert set(rows) == {0, 4, 8}  # evenly spaced over the REAL frame count
+    for fno, r in rows.items():
+        assert r.n_frames_total == 9
+        np.testing.assert_array_equal(
+            np.array(r.pixels, dtype=np.uint8).reshape(4, 4), frames[fno]
+        )
+
+
+def test_synth_media_payloads_are_real_codecs(spark):
+    from geotrellis_server_spark.operators.multimodal import synth_media
+    from geotrellis_server_spark.sources import synth
+
+    media = synth_media(spark, synth.docs(spark, 300)).collect()
+    kinds = {r.kind for r in media}
+    assert kinds == {"image", "audio", "video"}
+    for r in media:
+        p = bytes(r.payload)
+        if r.kind == "image":
+            assert p[:8] == b"\x89PNG\r\n\x1a\n"
+        elif r.kind == "audio":
+            assert p[:4] == b"RIFF" and r.meta["codec"] == "audio/wav"
+        else:
+            assert p.startswith(b"YUV4MPEG2 ") and r.meta["codec"] == "video/y4m"
