@@ -96,11 +96,16 @@ def synth_media(spark, docs: DataFrame) -> DataFrame:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """REAL for PNG (pure-stdlib decoder); Pillow fallback for other
-    formats when installed; deterministic fake otherwise (clearly
-    marked — no JPEG codec ships in this container)."""
+    """REAL for PNG (pure-stdlib decoder, styles/png.py) and baseline
+    JPEG (pure-numpy codec, styles/jpeg.py); Pillow fallback for other
+    formats when installed; deterministic fake otherwise."""
     if payload[:8] == PNG_MAGIC:
         arr = decode_png(payload)
+        return arr if arr.ndim == 3 else arr[..., None].repeat(3, axis=-1)
+    if payload[:2] == b"\xff\xd8":
+        from ..styles.jpeg import decode_jpeg
+
+        arr = decode_jpeg(payload)
         return arr if arr.ndim == 3 else arr[..., None].repeat(3, axis=-1)
     try:  # pragma: no cover - Pillow absent in this container
         import io

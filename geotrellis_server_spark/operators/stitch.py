@@ -102,20 +102,21 @@ except ImportError:
 
 
 def render_jpg(rgb: np.ndarray, quality: int = 85) -> bytes:
-    """S9 JPEG sink (reference Render.scala:35,46,63) — import-gated on
-    Pillow (no libjpeg binding ships in this container; the PNG sink is
-    the always-available raster image format)."""
-    if not HAS_PIL:
-        raise NotImplementedError(
-            "JPEG encoding requires Pillow/libjpeg (not in container); use PNG"
-        )
-    import io  # pragma: no cover - exercised only where Pillow exists
+    """S9 JPEG sink (reference Render.scala:35,46,63). Pillow/libjpeg is
+    used when installed; otherwise the pure-numpy baseline JFIF encoder
+    (styles/jpeg.py — standard Annex-K tables, 4:4:4, decodable by any
+    JPEG reader) makes ``format=image/jpeg`` work with NO dependencies."""
+    if HAS_PIL:  # pragma: no cover - Pillow absent in this container
+        import io
 
-    buf = io.BytesIO()
-    _PILImage.fromarray(np.asarray(rgb, dtype=np.uint8)).save(
-        buf, format="JPEG", quality=quality
-    )
-    return buf.getvalue()
+        buf = io.BytesIO()
+        _PILImage.fromarray(np.asarray(rgb, dtype=np.uint8)).save(
+            buf, format="JPEG", quality=quality
+        )
+        return buf.getvalue()
+    from ..styles.jpeg import encode_jpeg
+
+    return encode_jpeg(np.asarray(rgb, dtype=np.uint8), quality)
 
 
 def render_geotiff(

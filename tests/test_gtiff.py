@@ -91,15 +91,14 @@ def test_rasterio_backend_reads_our_output(tmp_path):  # pragma: no cover
     assert np.allclose(arr, a) and epsg == 3857
 
 
-def test_jpeg_gated_on_pillow():
-    from geotrellis_server_spark.operators.stitch import HAS_PIL, render_jpg
+def test_jpeg_real_on_both_paths():
+    # Pillow when installed, pure-numpy baseline encoder otherwise —
+    # either way render_jpg returns a real JFIF stream
+    from geotrellis_server_spark.operators.stitch import render_jpg
 
     rgb = np.zeros((4, 4, 3), dtype=np.uint8)
-    if HAS_PIL:  # pragma: no cover
-        assert render_jpg(rgb)[:2] == b"\xff\xd8"  # JPEG SOI marker
-    else:
-        with pytest.raises(NotImplementedError, match="Pillow"):
-            render_jpg(rgb)
+    out = render_jpg(rgb)
+    assert out[:2] == b"\xff\xd8" and out[-2:] == b"\xff\xd9"
 
 
 def test_load_geotiff_as_tile_table(spark, tmp_path):

@@ -98,16 +98,18 @@ def test_repo_union(spark):
     assert ST.repositories_union(a, a).count() == 8  # concat keeps duplicates
 
 
-def test_jpeg_sink_gated():
-    # render_geotiff became real (pure-stdlib encoder — test_gtiff.py);
-    # JPEG stays import-gated on Pillow with a clear error
+def test_jpeg_sink_roundtrips():
+    # JPEG sink is REAL on both paths now (Pillow or styles/jpeg.py);
+    # the stdlib decoder recovers the pixels within lossy tolerance
     import numpy as np
 
-    if ST.HAS_PIL:  # pragma: no cover - Pillow absent in this container
-        assert ST.render_jpg(np.zeros((2, 2, 3), dtype=np.uint8))
-    else:
-        with pytest.raises(NotImplementedError, match="PNG"):
-            ST.render_jpg(np.zeros((2, 2, 3), dtype=np.uint8))
+    from geotrellis_server_spark.styles.jpeg import decode_jpeg
+
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200
+    back = decode_jpeg(ST.render_jpg(rgb, quality=90))
+    assert back.shape == (8, 8, 3)
+    assert abs(int(back[4, 4, 0]) - 200) < 12 and int(back[4, 4, 1]) < 24
 
 
 # --- cubic / lanczos convolution kernels (R3, conf/package.scala:161-173) ---

@@ -79,3 +79,75 @@ def test_render_rgba_default_grey_nodata_transparent():
     out = C.render_rgba(cells)
     assert out[0, 1, 3] == 0  # NoData transparent
     assert out[1, 1, 0] == 255 and out[0, 0, 0] == 0  # rescaled 0..255
+
+
+# --- baseline JPEG codec (styles/jpeg.py) ----------------------------------
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_minimal_block_matches_spec_hand_encoding():
+    """Flat gray 8x8 at any quality: all coefficients zero, so the scan
+    is DC-size-0 (DC-lum code '00') + EOB (AC-lum code '1010') + 1-bit
+    padding = 0b00101011 = 0x2B — hand-derived from T.81 Annex K
+    canonical code assignment (external-decoder-free spec check)."""
+    from geotrellis_server_spark.styles.jpeg import encode_jpeg
+
+    b = encode_jpeg(np.full((8, 8), 128, dtype=np.uint8), 85)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    i = b.find(b"\xff\xda")
+    seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+    assert b[i + 2 + seg_len : -2] == b"\x2b"
+
+
+def test_jpeg_roundtrip_psnr():
+    from geotrellis_server_spark.styles.jpeg import decode_jpeg, encode_jpeg
+
+    g = np.linspace(0, 255, 23 * 37).reshape(23, 37).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, 85))
+    assert out.shape == g.shape and _psnr(g, out) > 40
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    rgb = np.stack([(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256],
+                   axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb, 90))
+    assert out.shape == rgb.shape and _psnr(rgb, out) > 40
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    assert _psnr(noise, decode_jpeg(encode_jpeg(noise, 95))) > 30
+
+
+def test_jpeg_quality_monotone_size():
+    from geotrellis_server_spark.styles.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    sizes = [len(encode_jpeg(img, q)) for q in (30, 60, 90)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_jpeg_decoder_rejects_progressive():
+    import pytest
+
+    from geotrellis_server_spark.styles.jpeg import decode_jpeg, encode_jpeg
+
+    b = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # pretend progressive
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(b))
+
+
+def test_jpeg_via_image_decode_path():
+    # multimodal _decode_image: JPEG payloads now decode without Pillow
+    from geotrellis_server_spark.operators.multimodal import _decode_image
+    from geotrellis_server_spark.styles.jpeg import encode_jpeg
+
+    rgb = np.full((16, 16, 3), 77, dtype=np.uint8)
+    arr = _decode_image(encode_jpeg(rgb, 90))
+    assert arr.shape == (16, 16, 3)
+    assert abs(int(arr.mean()) - 77) <= 3
