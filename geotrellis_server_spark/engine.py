@@ -97,6 +97,33 @@ class Engine:
 
         return self.request_cache.get_or(key, compute)
 
+    def get_tile_jpg(
+        self, layer_name: str, z: int, x: int, y: int, quality: int = 85
+    ) -> bytes | None:
+        """GetTile with ``format=image/jpeg`` (reference Render.scala:35)
+        — the styled tile transcoded at the request boundary: alpha
+        composites over white (JPEG carries no alpha), then the baseline
+        JFIF encoder (styles/jpeg.py; Pillow when installed). Memoized
+        like get_tile_png; the transcode touches one request-sized tile."""
+        layer = self.layers[layer_name]
+        key = ("tile_jpg", layer_name, layer.generation, z, x, y, quality)
+
+        def compute() -> bytes | None:
+            png = self.get_tile_png(layer_name, z, x, y)
+            if png is None:
+                return None
+            from .operators.stitch import render_jpg
+            from .styles.png import decode_png
+
+            arr = decode_png(png)
+            if arr.ndim == 3 and arr.shape[2] == 4:
+                a = arr[..., 3:4].astype(np.float64) / 255.0
+                rgb = arr[..., :3].astype(np.float64) * a + 255.0 * (1.0 - a)
+                arr = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            return render_jpg(arr, quality)
+
+        return self.request_cache.get_or(key, compute)
+
     def set_layer(self, name: str, layer: Layer) -> None:
         """Replace (or add) a layer and drop every cached response — the
         id()-keyed tile entries above would already miss, but histogram/

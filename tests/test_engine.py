@@ -192,3 +192,32 @@ def test_tile_png_cache_invalidated_on_layer_swap(spark):
     misses0 = eng.request_cache.misses
     eng.get_tile_png("density", 2, 1, 1)
     assert eng.request_cache.misses == misses0 + 1
+
+
+def test_get_tile_jpg(spark):
+    import numpy as np
+
+    from geotrellis_server_spark.engine import Engine, Layer
+    from geotrellis_server_spark.operators import tiling
+    from geotrellis_server_spark.sources import synth
+    from geotrellis_server_spark.styles.jpeg import decode_jpeg
+
+    d = synth.extract_geometry(synth.docs(spark, 2000))
+    tiles = tiling.rasterize_count(d, 2, tile_size=8).withColumn("band", F.lit(0))
+    eng = Engine(spark, {"density": Layer("density", tiles)})
+    jpg = eng.get_tile_jpg("density", 2, 1, 1)
+    assert jpg and jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+    arr = decode_jpeg(jpg)
+    assert arr.shape == (8, 8, 3) and arr.dtype == np.uint8
+    # memoized like the PNG path
+    misses = eng.request_cache.misses
+    assert eng.get_tile_jpg("density", 2, 1, 1) == jpg
+    assert eng.request_cache.misses == misses
+    # matches the PNG render composited over white
+    from geotrellis_server_spark.styles.png import decode_png
+
+    png_arr = decode_png(eng.get_tile_png("density", 2, 1, 1))
+    a = png_arr[..., 3:4].astype(np.float64) / 255.0
+    want = np.clip(np.round(png_arr[..., :3].astype(np.float64) * a
+                            + 255.0 * (1 - a)), 0, 255)
+    assert np.abs(arr.astype(np.float64) - want).max() < 35  # lossy bound
