@@ -27,7 +27,9 @@ formulas:
 - EPSG:5070 / 3577 (Albers equal-area conic — Snyder §14, EPSG method
   9822; the standard US/Australian continental analysis CRS),
 - EPSG:4087 (equidistant cylindrical, EPSG method 1028 — ellipsoidal
-  Plate Carrée via the Krüger rectifying series).
+  Plate Carrée via the Krüger rectifying series),
+- EPSG:3573 / 3574 (North Pole LAEA Canada/Atlantic — the polar aspect,
+  Snyder §24 eq. 24-23/24; the Arctic analysis CRS family).
 
 All transforms route src → lonlat → dst, vectorized over numpy arrays.
 """
@@ -284,6 +286,52 @@ def laea_inverse(x, y, p: dict):
     return p["lon0"] + np.degrees(lam), np.degrees(phi)
 
 
+# --- Lambert azimuthal equal-area, POLAR aspect (Snyder §24, eq. 24-23/24) --
+
+
+def laea_polar_forward(lon, lat, p: dict):
+    """North/south polar aspect (lat0 = ±90): rho = a·sqrt(qp - q) about
+    the pole — the oblique formulas above degenerate (D = 0/0) at the
+    pole, so the polar case is its own closed form."""
+    e2 = p["e2"]
+    e = float(np.sqrt(e2))
+    qp = float(_q_auth(1.0, e, e2))
+    north = p["lat0"] > 0
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    q = _q_auth(np.sin(phi), e, e2)
+    rho = p["a"] * np.sqrt(np.maximum(qp - q if north else qp + q, 0.0))
+    x = p["fe"] + rho * np.sin(lam)
+    y = p["fn"] + (-rho * np.cos(lam) if north else rho * np.cos(lam))
+    return x, y
+
+
+def laea_polar_inverse(x, y, p: dict):
+    e2 = p["e2"]
+    e = float(np.sqrt(e2))
+    qp = float(_q_auth(1.0, e, e2))
+    north = p["lat0"] > 0
+    xp = np.asarray(x, dtype=np.float64) - p["fe"]
+    yp = np.asarray(y, dtype=np.float64) - p["fn"]
+    rho = np.hypot(xp, yp)
+    q = qp - (rho / p["a"]) ** 2 if north else (rho / p["a"]) ** 2 - qp
+    lam = np.arctan2(xp, -yp) if north else np.arctan2(xp, yp)
+    # same authalic-latitude iteration as the oblique case (two extra
+    # rounds: convergence slows near the pole where cos(phi) -> 0)
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e2)
+            - s / (1.0 - e2 * s * s)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+    at_pole = rho == 0.0
+    phi = np.where(at_pole, np.pi / 2.0 if north else -np.pi / 2.0, phi)
+    lam = np.where(at_pole, 0.0, lam)
+    return p["lon0"] + np.degrees(lam), np.degrees(phi)
+
+
 # --- Polar stereographic, variant B (Snyder §21 / EPSG method 9829) ---------
 
 
@@ -524,12 +572,19 @@ CRS_REGISTRY: dict[int, tuple[str, dict]] = {
     # WGS 84 / World Equidistant Cylindrical (EPSG method 1028, lat1 = 0)
     4087: ("eqc", {"a": A_WGS84, "e2": E2, "lat1": 0.0, "lon0": 0.0,
                    "fe": 0.0, "fn": 0.0}),
+    # WGS 84 / North Pole LAEA Canada / Atlantic (Arctic analysis CRS)
+    3573: ("laea_polar", {"a": A_WGS84, "e2": E2, "lat0": 90.0,
+                          "lon0": -100.0, "fe": 0.0, "fn": 0.0}),
+    3574: ("laea_polar", {"a": A_WGS84, "e2": E2, "lat0": 90.0,
+                          "lon0": -40.0, "fe": 0.0, "fn": 0.0}),
 }
 
 _KIND_FWD = {"laea": laea_forward, "ps": ps_forward, "lcc": lcc_forward,
-             "tm": tm_forward_generic, "aea": aea_forward, "eqc": eqc_forward}
+             "tm": tm_forward_generic, "aea": aea_forward, "eqc": eqc_forward,
+             "laea_polar": laea_polar_forward}
 _KIND_INV = {"laea": laea_inverse, "ps": ps_inverse, "lcc": lcc_inverse,
-             "tm": tm_inverse_generic, "aea": aea_inverse, "eqc": eqc_inverse}
+             "tm": tm_inverse_generic, "aea": aea_inverse, "eqc": eqc_inverse,
+             "laea_polar": laea_polar_inverse}
 
 
 # --- CRS registry / generic transform --------------------------------------

@@ -462,3 +462,37 @@ def test_engine_getmap_in_epsg5070(spark):
     ok = ~np.isnan(arr)
     assert ok.mean() > 0.5
     assert np.abs(arr[ok] - exp[ok]).max() < 0.02
+
+
+def test_laea_polar_roundtrip_and_area():
+    # EPSG:3573/3574 (north-pole LAEA): roundtrip + equal-area audit
+    rng = np.random.default_rng(17)
+    lons = rng.uniform(-180.0, 180.0, 400)
+    lats = rng.uniform(45.0, 89.5, 400)
+    for epsg in (3573, 3574):
+        x, y = proj.transform(lons, lats, 4326, epsg)
+        lo, la = proj.transform(x, y, epsg, 4326)
+        dl = (lo - lons + 180.0) % 360.0 - 180.0
+        assert np.abs(dl).max() < 1e-9
+        assert np.abs(la - lats).max() < 1e-9
+    # pole maps to origin; due-south of lon0 gives +y... (north: -rho*cos)
+    p = proj.CRS_REGISTRY[3573][1]
+    x0, y0 = proj.laea_polar_forward(123.0, 90.0, p)
+    assert abs(float(x0)) < 1e-6 and abs(float(y0)) < 1e-6
+    # equal-area property at 75N (same audit as LAEA/AEA)
+    import math
+    lon, lat, d = -100.0, 75.0, 0.01
+    corners = [(lon, lat), (lon + d, lat), (lon + d, lat + d), (lon, lat + d)]
+    xy = [proj.laea_polar_forward(lo_, la_, p) for lo_, la_ in corners]
+    area = 0.0
+    for i in range(4):
+        x1, y1 = xy[i]; x2, y2 = xy[(i + 1) % 4]
+        area += float(x1 * y2 - x2 * y1)
+    area = abs(area) / 2.0
+    e, e2 = float(np.sqrt(p["e2"])), p["e2"]
+    def q(sv): return (1-e2)*(sv/(1-e2*sv*sv) - (1/(2*e))*math.log((1-e*sv)/(1+e*sv)))
+    qp = q(1.0)
+    rq2 = p["a"]**2 * qp / 2.0
+    s1, s2 = math.sin(math.radians(lat)), math.sin(math.radians(lat + d))
+    exact = rq2 * (q(s2) - q(s1)) / qp * math.radians(d)
+    assert abs(area - exact) / exact < 1e-6
