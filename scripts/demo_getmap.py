@@ -59,6 +59,34 @@ def main() -> None:
     with open(out_path, "wb") as f:
         f.write(bytes(rows[0].png))
     print("wrote", out_path, len(bytes(rows[0].png)), "bytes")
+    # GetTile as image/jpeg (pure-numpy baseline codec — no Pillow needed)
+    jpg = eng.get_tile_jpg("density", 3, 2, 3)
+    if jpg:
+        jpg_path = out_path.rsplit(".", 1)[0] + ".jpg"
+        with open(jpg_path, "wb") as f:
+            f.write(jpg)
+        print("wrote", jpg_path, len(jpg), "bytes (baseline JFIF)")
+    # windowed COG read-back through the header-cached RangeReader stack
+    import numpy as np
+
+    from geotrellis_server_spark.sources.cog import CogReader
+    from geotrellis_server_spark.sources.gtiff import (
+        build_overviews,
+        encode_geotiff_pyramid,
+    )
+
+    dem = (np.arange(256 * 256, dtype=np.float64) % 331.0).reshape(256, 256)
+    cog_path = out_path.rsplit(".", 1)[0] + ".tif"
+    with open(cog_path, "wb") as f:
+        f.write(encode_geotiff_pyramid(build_overviews(dem, min_size=32),
+                                       (0.0, 0.0, 256.0, 256.0), epsg=3857,
+                                       rows_per_strip=32))
+    cog = CogReader(cog_path)
+    win, snapped, _ = cog.read_extent((64.0, 64.0, 128.0, 128.0))
+    stats = cog.stats()
+    print(f"COG window {win.shape} from {snapped}; fetched "
+          f"{stats['bytes_fetched']:,} of {stats['total_size']:,} bytes "
+          f"({100.0 * stats['bytes_fetched'] / stats['total_size']:.0f}%)")
     spark.stop()
 
 
