@@ -1063,6 +1063,44 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+DECON_N, DECON_MIN_HITS = 5, 2
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.decontaminate): the 'eval set'
+    is every doc with doc_id % 10 = 0; flag the other docs sharing >= 2
+    distinct word 5-grams with it. The oracle regenerates n-grams with
+    DuckDB list slicing (1-based inclusive — a different indexing
+    convention from Spark's slice, so the formulations are independent)."""
+    from geotrellis_server_spark.operators import dedup
+
+    docs = _read_documents(spark, sf_dir)
+    eval_set = docs.where("doc_id % 10 = 0")
+    train = docs.where("doc_id % 10 != 0")
+    return dedup.decontaminate(train, eval_set, n=DECON_N, min_hits=DECON_MIN_HITS)
+
+
+def _decontaminate_oracle() -> str:
+    n = DECON_N
+    grams = (
+        f"[array_to_string(toks[i + 1:i + {n}], ' ') "
+        f"for i in range(0, greatest(len(toks) - {n} + 1, 1))]"
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct({grams})) AS ngram FROM tok),
+    gn AS (SELECT doc_id, ngram FROM g
+           WHERE len(string_split(ngram, ' ')) = {n}),
+    ev AS (SELECT DISTINCT ngram FROM gn WHERE doc_id % 10 = 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM gn JOIN ev USING (ngram)
+    WHERE doc_id % 10 != 0
+    GROUP BY doc_id
+    HAVING count(*) >= {DECON_MIN_HITS}
+    """
+
+
 def _q_temporal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pixel temporal mean composite (mosaic.temporal_aggregate):
     docs split into 4 deterministic 'time' buckets by id%4, each
@@ -1835,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "style_interp_colormap": _q_interp_colormap,
         "raster_resample_bilinear2x": _q_resample_bilinear,
         "raster_temporal_mean_z2": _q_temporal_mean,
+        "pipeline_decontaminate": _q_decontaminate,
     }
 
 
@@ -2063,6 +2102,7 @@ def oracle_sql() -> dict[str, str]:
         "style_interp_colormap": _interp_colormap_oracle(),
         "raster_resample_bilinear2x": _resample_bilinear_oracle(),
         "raster_temporal_mean_z2": _temporal_mean_oracle(),
+        "pipeline_decontaminate": _decontaminate_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

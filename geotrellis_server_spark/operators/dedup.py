@@ -441,3 +441,48 @@ def incremental_new_docs(
         .agg(F.min(id_col).alias("survivor_id"), F.count("*").alias("n_new"))
     )
     return survivors.join(base_hashes, "content_hash", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(docs: DataFrame, n: int = 8, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, ngram) rows — distinct word n-grams per doc (JVM transform +
+    explode; the standard decontamination unit is the 8-gram)."""
+    toks = f"split({text_col}, ' ')"
+    grams = (
+        f"array_distinct(transform(sequence(0, greatest(size({toks}) - {n}, 0)), "
+        f"i -> array_join(slice({toks}, CAST(i AS INT) + 1, {n}), ' ')))"
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.expr(grams)).alias("ngram")
+    ).where(F.expr(f"size(split(ngram, ' ')) = {n}"))
+
+
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, n: int = 8, min_hits: int = 1,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least ``min_hits`` distinct word n-grams with the evaluation set
+    (the standard n-gram-overlap leak check run before pretraining).
+    Returns (id, n_hits) for CONTAMINATED docs; the caller anti-joins
+    to drop them.
+
+    Scale shape: the eval set is small by definition — its distinct
+    n-gram table broadcasts, so the corpus-side n-gram stream is
+    filtered map-side (BroadcastHashJoin; the corpus never shuffles on
+    raw text). The only exchange is the per-doc hit count, after the
+    broadcast join has already discarded every clean n-gram."""
+    eval_grams = word_ngrams(eval_docs, n, text_col, id_col).select("ngram").distinct()
+    hits = (
+        word_ngrams(docs, n, text_col, id_col)
+        .join(F.broadcast(eval_grams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )
+    return hits

@@ -166,3 +166,38 @@ def test_incremental_new_docs_empty_base(spark):
     new = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id BIGINT, text STRING")
     rows = incremental_new_docs(base, new).collect()
     assert len(rows) == 1 and rows[0].survivor_id == 1 and rows[0].n_new == 2
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from geotrellis_server_spark.operators.dedup import decontaminate
+
+    evals = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id BIGINT, text STRING",
+    )
+    train = spark.createDataFrame(
+        [(1, "prefix words then the quick brown fox jumps over something"),
+         (2, "totally unrelated content with no overlap at all here"),
+         (3, "quick brown fox jumps over the lazy dog exact tail copy")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r.n_hits for r in
+           decontaminate(train, evals, n=5, min_hits=1).collect()}
+    assert 1 in got and 3 in got and 2 not in got
+    # doc 3 shares a longer run -> more distinct 5-gram hits than doc 1
+    assert got[3] > got[1]
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    from geotrellis_server_spark.operators.dedup import decontaminate
+
+    evals = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "doc_id BIGINT, text STRING"
+    )
+    train = spark.createDataFrame(
+        [(1, "x alpha beta gamma delta epsilon y")],  # exactly one 5-gram run of 2
+        "doc_id BIGINT, text STRING",
+    )
+    hits1 = decontaminate(train, evals, n=5, min_hits=1).count()
+    hits9 = decontaminate(train, evals, n=5, min_hits=9).count()
+    assert hits1 == 1 and hits9 == 0
