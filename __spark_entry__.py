@@ -1063,6 +1063,48 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+KMV_K = 16
+
+
+def _q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch.py): per-source
+    approximate distinct-token-count over documents — md5-hash k-minimum
+    values, so the sketch is a pure function of the input set and the
+    oracle reproduces the ESTIMATE bit-exactly (a sketch with an
+    exactness gate). Some sources fall below k (exact path), some above
+    (estimator path) — both exercised."""
+    from geotrellis_server_spark.operators.sketch import kmv_estimate
+
+    docs = _read_documents(spark, sf_dir)
+    words = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    return kmv_estimate(words, "w", k=KMV_K, group_by=["source"])
+
+
+def _kmv_sketch_oracle() -> str:
+    k = KMV_K
+    # digit-weighted hex13 sum — exact integers, any order identical
+    hexmap = "'0123456789abcdef'"
+    frac = (
+        f"list_sum([ (instr({hexmap}, kth[i + 1:i + 1]) - 1) "
+        f"* 16.0 ** (12 - i) for i in range(0, 13)])"
+    )
+    return f"""
+    WITH words AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+    hashes AS (
+      SELECT source, md5(w) AS h FROM words GROUP BY source, md5(w)),
+    sk AS (
+      SELECT source, list_sort(list(h))[1:{k}] AS sk FROM hashes GROUP BY source),
+    kth_t AS (
+      SELECT source, len(sk) AS n, sk[{k}] AS kth FROM sk)
+    SELECT source, CAST(n AS INT) AS n_seen_hashes,
+           CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                ELSE CAST({k} - 1 AS DOUBLE) / ({frac} / {float(16**13)!r}) END
+           AS distinct_est
+    FROM kth_t
+    """
+
+
 DECON_N, DECON_MIN_HITS = 5, 2
 
 
@@ -1874,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_resample_bilinear2x": _q_resample_bilinear,
         "raster_temporal_mean_z2": _q_temporal_mean,
         "pipeline_decontaminate": _q_decontaminate,
+        "sketch_kmv_distinct": _q_kmv_sketch,
     }
 
 
@@ -2103,6 +2146,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_resample_bilinear2x": _resample_bilinear_oracle(),
         "raster_temporal_mean_z2": _temporal_mean_oracle(),
         "pipeline_decontaminate": _decontaminate_oracle(),
+        "sketch_kmv_distinct": _kmv_sketch_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

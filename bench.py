@@ -173,6 +173,23 @@ def run_bench(cores: int) -> dict:
         .write.mode("overwrite").format("noop").save(),
     )
     pq_enc.unpersist()
+    # q16 — benchmark decontamination: corpus n-grams vs broadcast eval set
+    eval_docs = documents.where("doc_id % 100 = 0")
+    train_docs = documents.where("doc_id % 100 != 0")
+    timed(
+        "q16_decontaminate",
+        lambda: dedup.decontaminate(train_docs, eval_docs, n=5, min_hits=2)
+        .write.mode("overwrite").format("noop").save(),
+    )
+    # q17 — KMV distinct sketch per source (collect_set partial agg)
+    from geotrellis_server_spark.operators import sketch as sk
+    timed(
+        "q17_kmv_distinct",
+        lambda: sk.kmv_estimate(
+            documents.select("source", F.explode(F.split("text", " ")).alias("w")),
+            "w", k=64, group_by=["source"],
+        ).write.mode("overwrite").format("noop").save(),
+    )
     timed(
         "q8_text_stats",
         lambda: text.text_stats(documents).write.mode("overwrite").format("noop").save(),

@@ -1,0 +1,75 @@
+"""Distinct-count sketching — KMV (k-minimum-values) over md5 hashes.
+
+``approx_count_distinct`` (HyperLogLog++) is Spark's built-in sketch, but
+its register layout is engine-internal — no cross-engine oracle can
+reproduce it. KMV (Bar-Yossef et al. 2002, "Counting distinct elements
+in a data stream") is the classic alternative whose state is just the k
+smallest hash values: with md5-hex hashing (identical in Spark and
+DuckDB) the whole sketch is a DETERMINISTIC function of the input set,
+so the driver oracle checks it hash-exactly — a sketch with an exactness
+gate, not a tolerance test.
+
+Estimator: distinct ≈ (k - 1) / U_(k), where U_(k) is the k-th smallest
+hash mapped to (0, 1]. Fewer than k distinct values → the sketch IS the
+exact distinct set (standard KMV fallback). Merging sketches = merging
+sorted hash lists and re-truncating to k — an associative monoid, so
+partial aggregation works map-side (collect_set + array_sort + slice
+below; Spark's partial collect_set dedups per partition before the
+exchange).
+
+The hash→(0,1] map uses the first 13 hex digits (52 bits): every
+intermediate is an exact integer below 2^53, so ANY evaluation order
+yields the same double and the Spark/DuckDB results agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX13_DENOM = float(16 ** 13)
+
+
+def hex13_fraction_sql(h: str) -> str:
+    """SQL fragment: first 13 hex chars of ``h`` → exact double in
+    (0, 16^13], as digit-weighted sum (all terms exact integers)."""
+    return (
+        f"aggregate(sequence(1, 13), 0D, (acc, i) -> acc * 16D + "
+        f"CAST(instr('0123456789abcdef', substring({h}, CAST(i AS INT), 1)) - 1 AS DOUBLE))"
+    )
+
+
+def kmv_estimate(
+    df: DataFrame, col: str, k: int = 64, group_by: list[str] | None = None
+) -> DataFrame:
+    """Per-group (or global) approximate distinct count of ``col``:
+    (group..., n_seen_hashes, distinct_est). ``distinct_est`` is exact
+    when the group has < k distinct values, else the KMV estimate.
+
+    Plan shape: collect_set partially aggregates map-side (per-partition
+    dedup), the exchange carries at most one hash per distinct value,
+    and the k-truncation is a JVM array op — no row-at-a-time anything."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    hashes = F.expr(f"slice(array_sort(collect_set(md5(CAST({col} AS STRING)))), 1, {k})")
+    agg = (df.groupBy(*group_by) if group_by else df.groupBy()).agg(
+        hashes.alias("_h")
+    )
+    kth_frac = f"({hex13_fraction_sql(f'element_at(_h, {k})')} / {HEX13_DENOM!r}D)"
+    est = (
+        f"CASE WHEN size(_h) < {k} THEN CAST(size(_h) AS DOUBLE) "
+        f"ELSE CAST({k} - 1 AS DOUBLE) / {kth_frac} END"
+    )
+    return agg.select(
+        *(group_by or []),
+        F.expr("size(_h)").alias("n_seen_hashes"),
+        F.expr(est).alias("distinct_est"),
+    )
+
+
+def kmv_merge_sql(k: int) -> str:
+    """SQL fragment merging an array-of-sketches column ``sketches``
+    (each an ascending hash array) into one k-truncated sketch — the KMV
+    monoid, usable in a second-level rollup (e.g. per-day sketches →
+    per-month estimate without touching raw data)."""
+    return f"slice(array_sort(array_distinct(flatten(sketches))), 1, {k})"

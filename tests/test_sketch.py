@@ -1,0 +1,62 @@
+"""KMV distinct-count sketch: exactness below k, accuracy above, monoid
+merge equivalence."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from geotrellis_server_spark.operators.sketch import kmv_estimate, kmv_merge_sql
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(1000).selectExpr("CAST(id % 37 AS STRING) AS v")
+    r = kmv_estimate(df, "v", k=64).collect()[0]
+    assert r.n_seen_hashes == 37 and r.distinct_est == 37.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    # 20k distinct values, k=256: KMV relative error ~ 1/sqrt(k) ≈ 6%
+    df = spark.range(60000).selectExpr("CAST(id % 20000 AS STRING) AS v")
+    r = kmv_estimate(df, "v", k=256).collect()[0]
+    assert r.n_seen_hashes == 256
+    assert abs(r.distinct_est - 20000) / 20000 < 0.2
+
+
+def test_kmv_partition_invariant(spark):
+    df = spark.range(5000).selectExpr("CAST(id % 999 AS STRING) AS v")
+    a = kmv_estimate(df.repartition(16), "v", k=128).collect()[0].distinct_est
+    b = kmv_estimate(df.coalesce(1), "v", k=128).collect()[0].distinct_est
+    assert a == b  # bit-identical: the sketch is a pure function of the set
+
+
+def test_kmv_grouped(spark):
+    df = spark.range(2000).selectExpr(
+        "CAST(id % 4 AS STRING) AS g", "CAST(id % 100 AS STRING) AS v"
+    )
+    rows = {r.g: r.distinct_est for r in
+            kmv_estimate(df, "v", k=64, group_by=["g"]).collect()}
+    # each group sees the 25 values congruent to it mod 4
+    assert rows == {"0": 25.0, "1": 25.0, "2": 25.0, "3": 25.0}
+
+
+def test_kmv_merge_monoid(spark):
+    # merging per-part sketches == sketching the union
+    k = 64
+    df = spark.range(3000).selectExpr(
+        "CAST(id % 2 AS STRING) AS part", "CAST(id % 500 AS STRING) AS v"
+    )
+    per_part = (
+        df.groupBy("part")
+        .agg(F.expr(f"slice(array_sort(collect_set(md5(CAST(v AS STRING)))), 1, {k})").alias("sk"))
+        .agg(F.collect_list("sk").alias("sketches"))
+        .selectExpr(f"{kmv_merge_sql(k)} AS merged")
+        .collect()[0]
+        .merged
+    )
+    direct = (
+        df.selectExpr(f"slice(array_sort(collect_set(md5(CAST(v AS STRING)))), 1, {k})")
+    )
+    # build the direct sketch over the union
+    whole = df.agg(
+        F.expr(f"slice(array_sort(collect_set(md5(CAST(v AS STRING)))), 1, {k})").alias("sk")
+    ).collect()[0].sk
+    assert list(per_part) == list(whole)
