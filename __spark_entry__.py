@@ -1063,6 +1063,44 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+QSK_K, QSK_PROBS = 128, (0.25, 0.5, 0.9)
+
+
+def _q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling quantile sketch (operators/sketch.py):
+    bottom-k-by-md5 sample of events, nearest-rank quantiles of value.
+    The oracle draws the SAME sample in DuckDB — every output is an
+    actual data value picked by integer rank, hash-exact."""
+    from geotrellis_server_spark.operators.sketch import quantile_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return quantile_sketch(ev, "value", ["event_id"], k=QSK_K,
+                           probs=list(QSK_PROBS))
+
+
+def _quantile_sketch_oracle() -> str:
+    cases = []
+    for p in QSK_PROBS:
+        cases.append(
+            f"WHEN rk = greatest(CAST(ceil({p!r} * m) AS BIGINT), 1) "
+            f"THEN CAST({p!r} AS DOUBLE)"
+        )
+    return f"""
+    WITH sample AS (
+      SELECT value AS v
+      FROM events
+      ORDER BY md5(concat_ws('|', CAST(event_id AS VARCHAR))) ASC
+      LIMIT {QSK_K}),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v ASC) AS rk,
+             count(*) OVER () AS m
+      FROM sample)
+    SELECT CASE {' '.join(cases)} END AS prob, v AS value
+    FROM ranked
+    WHERE CASE {' '.join(cases)} END IS NOT NULL
+    """
+
+
 KMV_K = 16
 
 
@@ -1917,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_temporal_mean_z2": _q_temporal_mean,
         "pipeline_decontaminate": _q_decontaminate,
         "sketch_kmv_distinct": _q_kmv_sketch,
+        "sketch_quantile_sample": _q_quantile_sketch,
     }
 
 
@@ -2147,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_temporal_mean_z2": _temporal_mean_oracle(),
         "pipeline_decontaminate": _decontaminate_oracle(),
         "sketch_kmv_distinct": _kmv_sketch_oracle(),
+        "sketch_quantile_sample": _quantile_sketch_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

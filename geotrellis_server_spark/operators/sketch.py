@@ -73,3 +73,71 @@ def kmv_merge_sql(k: int) -> str:
     monoid, usable in a second-level rollup (e.g. per-day sketches →
     per-month estimate without touching raw data)."""
     return f"slice(array_sort(array_distinct(flatten(sketches))), 1, {k})"
+
+
+def hash_sample(
+    df: DataFrame, identity_cols: list[str], k: int
+) -> DataFrame:
+    """Deterministic uniform sample: the k rows whose md5(identity) is
+    smallest — a bottom-k-by-hash reservoir. Unlike ``df.sample`` (whose
+    per-partition seeding changes with partitioning) this is a pure
+    function of the DATA, so estimates built on it are reproducible
+    across runs, cluster sizes, and engines (the DuckDB oracle draws the
+    SAME sample). Plans as TakeOrderedAndProject: per-partition bottom-k,
+    driver merge of k·P candidates — no global sort."""
+    ident = ", ".join(f"CAST({c} AS STRING)" for c in identity_cols)
+    h = F.expr(f"md5(concat_ws('|', {ident}))")
+    return df.withColumn("_hk", h).orderBy(F.asc("_hk")).limit(int(k))
+
+
+def quantile_sketch(
+    df: DataFrame, col: str, identity_cols: list[str], k: int = 1024,
+    probs: list[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Approximate quantiles from the deterministic hash sample —
+    nearest-rank (no interpolation) over the k sampled values, so every
+    output is an ACTUAL data value picked by integer rank: exact-oracle
+    friendly and scale-independent (sample error ~ 1/sqrt(k)).
+    Returns (prob, value) rows."""
+    import math
+
+    from pyspark.sql import Window
+
+    sample = hash_sample(df, identity_cols, k).select(F.col(col).alias("v"))
+    m = sample.count()
+    # rank ties on equal v are interchangeable (same value emitted)
+    ranked = sample.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.asc("v")))
+    )
+    conds = " ".join(
+        f"WHEN rk = {max(1, math.ceil(p * m))} THEN CAST({p!r} AS DOUBLE)"
+        for p in probs
+    )
+    return ranked.selectExpr(f"CASE {conds} END AS prob", "v AS value").where(
+        "prob IS NOT NULL"
+    )
+
+
+def heavy_hitters_sampled(
+    df: DataFrame, col: str, identity_cols: list[str], k: int = 4096,
+    top_n: int = 10,
+) -> DataFrame:
+    """Frequent-items estimate from the hash sample: count values inside
+    the deterministic k-row sample, scale by N/k. Returns the top_n
+    (value, est_count) — deterministic, exact-oracle-able, and the
+    sample (not the corpus) is all that ever reaches the heavy-hitter
+    aggregation."""
+    n_total = df.count()
+    sample = hash_sample(df, identity_cols, k)
+    m = sample.count()
+    scale = float(n_total) / float(m or 1)
+    counts = (
+        sample.groupBy(F.col(col).alias("value"))
+        .agg(F.count("*").alias("_c"))
+        .selectExpr("value", f"CAST(_c * CAST({scale!r} AS DOUBLE) AS DOUBLE) AS est_count",
+                    "_c")
+        .orderBy(F.desc("_c"), F.asc("value"))
+        .limit(int(top_n))
+        .drop("_c")
+    )
+    return counts

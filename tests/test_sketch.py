@@ -60,3 +60,37 @@ def test_kmv_merge_monoid(spark):
         F.expr(f"slice(array_sort(collect_set(md5(CAST(v AS STRING)))), 1, {k})").alias("sk")
     ).collect()[0].sk
     assert list(per_part) == list(whole)
+
+
+def test_hash_sample_deterministic_and_uniformish(spark):
+    from geotrellis_server_spark.operators.sketch import hash_sample
+
+    df = spark.range(10000).selectExpr("id", "CAST(id % 100 AS DOUBLE) AS v")
+    a = sorted(r.id for r in hash_sample(df.repartition(16), ["id"], 500).collect())
+    b = sorted(r.id for r in hash_sample(df.coalesce(1), ["id"], 500).collect())
+    assert a == b and len(a) == 500
+    # roughly uniform over the id range (hash sample, not head rows)
+    assert min(a) < 1000 and max(a) > 9000
+
+
+def test_quantile_sketch_accuracy(spark):
+    from geotrellis_server_spark.operators.sketch import quantile_sketch
+
+    df = spark.range(20000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    qs = {r.prob: r.value for r in
+          quantile_sketch(df, "v", ["id"], k=2000, probs=[0.25, 0.5, 0.9]).collect()}
+    assert abs(qs[0.5] - 10000) / 20000 < 0.05
+    assert abs(qs[0.25] - 5000) / 20000 < 0.05
+    assert abs(qs[0.9] - 18000) / 20000 < 0.05
+
+
+def test_heavy_hitters_sampled(spark):
+    from geotrellis_server_spark.operators.sketch import heavy_hitters_sampled
+
+    # skewed: value 'hot' = 50%, others spread
+    df = spark.range(20000).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'hot' ELSE CAST(id % 57 AS STRING) END AS v"
+    )
+    rows = heavy_hitters_sampled(df, "v", ["id"], k=2000, top_n=3).collect()
+    assert rows[0].value == "hot"
+    assert abs(rows[0].est_count - 10000) / 10000 < 0.15
