@@ -1063,6 +1063,42 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py — union-sort-carry, single keyed
+    window, NO join operator in the plan): every purchase event matched
+    to the user's latest at-or-before view event. The oracle is DuckDB's
+    NATIVE ``ASOF JOIN`` — an independent implementation of the
+    semantics, not a mirrored formulation."""
+    from geotrellis_server_spark.operators.asof import as_of_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where("event_type = 'view'").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    out = as_of_join(left, right, ["user_id"], "ts", ["view_event_id"])
+    return out.selectExpr(
+        "event_id", "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+        "view_event_id",
+        "unix_micros(CAST(matched_time AS TIMESTAMP)) AS matched_us",
+    )
+
+
+def _asof_join_oracle() -> str:
+    return """
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           r.event_id AS view_event_id, epoch_us(r.ts) AS matched_us
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN
+         (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+
 QSK_K, QSK_PROBS = 128, (0.25, 0.5, 0.9)
 
 
@@ -1956,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_decontaminate": _q_decontaminate,
         "sketch_kmv_distinct": _q_kmv_sketch,
         "sketch_quantile_sample": _q_quantile_sketch,
+        "join_asof_purchase_view": _q_asof_join,
     }
 
 
@@ -2187,6 +2224,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_decontaminate": _decontaminate_oracle(),
         "sketch_kmv_distinct": _kmv_sketch_oracle(),
         "sketch_quantile_sample": _quantile_sketch_oracle(),
+        "join_asof_purchase_view": _asof_join_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

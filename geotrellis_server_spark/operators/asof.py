@@ -1,0 +1,77 @@
+"""As-of (point-in-time) join — the classic temporal operator Spark
+lacks natively, built as a union-sort-carry composition of DataFrame
+ops (no per-key loops, no UDF):
+
+for each left row, attach the LATEST right row whose time is <= the
+left row's time (inclusive), optionally per join key — the
+"trade gets the prevailing quote" join.
+
+Plan shape: union both sides with a side tag, ONE shuffle on the key,
+one window pass per key ordered by (time, side) carrying the last seen
+right-side values forward (``last(..., ignorenulls=true)``), then filter
+back to left rows. At 100 TB this is a single sort-merge exchange —
+the same cost as any keyed window — and hot keys are ordinary window
+skew (salt upstream if a single key dominates; see operators/skew.py).
+
+The DuckDB oracle for the contract query uses DuckDB's NATIVE ``ASOF
+JOIN`` — an entirely independent implementation of the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_cols: list[str],
+    right_time_alias: str = "matched_time",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus ``value_cols`` (and the
+    matched right time) from the latest ``right`` row with
+    ``right.time_col <= left.time_col`` in the same key group; NULLs
+    when no prior right row exists (LEFT ASOF semantics).
+
+    Ties: a right row AT the left row's exact time matches (inclusive),
+    and among equal right times the LAST one in (time, value) order
+    wins — deterministic for any input."""
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[time_col].dataType).alias("_rt"),
+    )
+    tagged_r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c not in key_cols + [time_col] else F.col(c)
+          for c in lcols],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.col(time_col).alias("_rt"),
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    # right rows sort BEFORE left rows at equal time (_side 0 < 1) →
+    # inclusive <=; extra value columns break right-right time ties
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.asc(time_col), F.asc("_side"),
+                 *[F.asc(f"_rv_{c}") for c in value_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_cv_{c}")
+          for c in value_cols],
+        F.last("_rt", ignorenulls=True).over(w).alias("_ct"),
+    )
+    return carried.where(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col(f"_cv_{c}").alias(c) for c in value_cols],
+        F.col("_ct").alias(right_time_alias),
+    )

@@ -1,0 +1,51 @@
+"""As-of join vs a scalar reference implementation."""
+
+import pyspark.sql.functions as F
+
+from geotrellis_server_spark.operators.asof import as_of_join
+
+
+def test_as_of_join_basic(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0), ("B", 4, 99.0)],
+        "sym STRING, t INT, px DOUBLE",
+    )
+    trades = spark.createDataFrame(
+        [("A", 0, 1), ("A", 5, 2), ("A", 7, 3), ("A", 100, 4), ("B", 3, 5), ("B", 4, 6)],
+        "sym STRING, t INT, trade_id INT",
+    )
+    got = {r.trade_id: (r.px, r.matched_time)
+           for r in as_of_join(trades, quotes, ["sym"], "t", ["px"]).collect()}
+    assert got[1] == (None, None)        # before any quote
+    assert got[2] == (11.0, 5)           # inclusive tie at t=5
+    assert got[3] == (11.0, 5)
+    assert got[4] == (12.0, 9)           # latest
+    assert got[5] == (None, None)        # B before its quote
+    assert got[6] == (99.0, 4)           # B inclusive
+
+
+def test_as_of_join_matches_brute_force_random(spark):
+    import random
+
+    rng = random.Random(23)
+    quotes = [(f"k{rng.randint(0, 4)}", rng.randint(0, 100), float(i))
+              for i in range(200)]
+    trades = [(f"k{rng.randint(0, 4)}", rng.randint(0, 100), i)
+              for i in range(300)]
+    qdf = spark.createDataFrame(quotes, "k STRING, t INT, v DOUBLE")
+    tdf = spark.createDataFrame(trades, "k STRING, t INT, tid INT")
+    got = {r.tid: r.v for r in as_of_join(tdf, qdf, ["k"], "t", ["v"]).collect()}
+    for k, t, tid in trades:
+        elig = [(qt, v) for (qk, qt, v) in quotes if qk == k and qt <= t]
+        want = max(elig, key=lambda e: (e[0], e[1]))[1] if elig else None
+        assert got[tid] == want, (tid, k, t, got[tid], want)
+
+
+def test_as_of_join_plan_single_exchange(spark):
+    quotes = spark.createDataFrame([("A", 1, 1.0)], "k STRING, t INT, v DOUBLE")
+    trades = spark.createDataFrame([("A", 2, 1)], "k STRING, t INT, tid INT")
+    plan = as_of_join(trades, quotes, ["k"], "t", ["v"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # no join operator at all — union + one keyed window
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
