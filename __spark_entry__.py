@@ -1063,6 +1063,41 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+SESSION_GAP_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/asof.py sessionize +
+    session_stats): per-user sessions over the events stream with a
+    1-hour gap; one row per session with count and duration."""
+    from geotrellis_server_spark.operators.asof import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS t_us"
+    )
+    return session_stats(ev, ["user_id"], "t_us", SESSION_GAP_US)
+
+
+def _sessionize_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS t_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY epoch_us(ts) ASC)
+                  > {SESSION_GAP_US} THEN 1 ELSE 0 END AS boundary
+      FROM events),
+    s AS (
+      SELECT user_id, t_us,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY t_us ASC
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM t)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(t_us) - min(t_us) AS DOUBLE) AS duration_s
+    FROM s GROUP BY user_id, session_id
+    """
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — union-sort-carry, single keyed
     window, NO join operator in the plan): every purchase event matched
@@ -1993,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": _q_kmv_sketch,
         "sketch_quantile_sample": _q_quantile_sketch,
         "join_asof_purchase_view": _q_asof_join,
+        "events_sessionize_1h": _q_sessionize,
     }
 
 
@@ -2225,6 +2261,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kmv_distinct": _kmv_sketch_oracle(),
         "sketch_quantile_sample": _quantile_sketch_oracle(),
         "join_asof_purchase_view": _asof_join_oracle(),
+        "events_sessionize_1h": _sessionize_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

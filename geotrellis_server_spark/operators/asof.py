@@ -75,3 +75,56 @@ def as_of_join(
         *[F.col(f"_cv_{c}").alias(c) for c in value_cols],
         F.col("_ct").alias(right_time_alias),
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Gap-based sessionization: rows of one key belong to the same
+    session while consecutive gaps are <= ``gap_seconds``; a longer gap
+    opens a new session. Adds ``session_id`` (0-based per key, in time
+    order) — the batch form of the session window (Structured
+    Streaming's ``session_window`` is the streaming twin).
+
+    Pure window SQL: lag → boundary flag → running sum. One shuffle on
+    the key; per-key work is a linear scan in time order."""
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(time_col))
+    gap = F.col(time_col).cast("double") - F.lag(
+        F.col(time_col).cast("double")
+    ).over(w)
+    boundary = F.when(gap.isNull() | (gap <= float(gap_seconds)), 0).otherwise(1)
+    return events.withColumn(
+        "session_id",
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Sessionize then aggregate one row per session: (key...,
+    session_id, n_events, start_us, end_us, duration_s)."""
+    s = sessionize(events, key_cols, time_col, gap_seconds)
+    t = F.col(time_col).cast("double")
+    return (
+        s.groupBy(*key_cols, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(t).alias("_t0"),
+            F.max(t).alias("_t1"),
+        )
+        .select(
+            *key_cols,
+            "session_id",
+            "n_events",
+            (F.col("_t1") - F.col("_t0")).alias("duration_s"),
+        )
+    )

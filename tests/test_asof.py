@@ -49,3 +49,25 @@ def test_as_of_join_plan_single_exchange(spark):
     # no join operator at all — union + one keyed window
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_sessionize_gap_boundaries(spark):
+    from geotrellis_server_spark.operators.asof import session_stats, sessionize
+
+    rows = [("u", t) for t in (0, 10, 25, 100, 105, 300)]
+    df = spark.createDataFrame(rows, "u STRING, t INT")
+    got = {r.t: r.session_id for r in sessionize(df, ["u"], "t", 30).collect()}
+    assert got == {0: 0, 10: 0, 25: 0, 100: 1, 105: 1, 300: 2}
+    stats = {r.session_id: (r.n_events, r.duration_s)
+             for r in session_stats(df, ["u"], "t", 30).collect()}
+    assert stats == {0: (3, 25.0), 1: (2, 5.0), 2: (1, 0.0)}
+
+
+def test_sessionize_per_key_independent(spark):
+    from geotrellis_server_spark.operators.asof import sessionize
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 1000), ("b", 0), ("b", 10)], "u STRING, t INT"
+    )
+    got = {(r.u, r.t): r.session_id for r in sessionize(df, ["u"], "t", 30).collect()}
+    assert got == {("a", 0): 0, ("a", 1000): 1, ("b", 0): 0, ("b", 10): 0}
