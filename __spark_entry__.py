@@ -1110,8 +1110,14 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = ev.where("event_type = 'purchase'").select(
         "event_id", "user_id", "ts"
     )
-    right = ev.where("event_type = 'view'").select(
-        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    # dedupe to one view per (user, ts): equal-time ties would otherwise
+    # be resolved differently by the engine (deterministic max) and
+    # DuckDB's ASOF JOIN (unspecified) — structural, though this data
+    # has no (user_id, ts) collisions
+    right = (
+        ev.where("event_type = 'view'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
     )
     out = as_of_join(left, right, ["user_id"], "ts", ["view_event_id"])
     return out.selectExpr(
@@ -1128,8 +1134,8 @@ def _asof_join_oracle() -> str:
     FROM (SELECT event_id, user_id, ts FROM events
           WHERE event_type = 'purchase') l
     ASOF LEFT JOIN
-         (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'view') r
+         (SELECT user_id, ts, max(event_id) AS event_id FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts) r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     """
 

@@ -316,16 +316,34 @@ def laea_polar_inverse(x, y, p: dict):
     rho = np.hypot(xp, yp)
     q = qp - (rho / p["a"]) ** 2 if north else (rho / p["a"]) ** 2 - qp
     lam = np.arctan2(xp, -yp) if north else np.arctan2(xp, yp)
-    # same authalic-latitude iteration as the oblique case (two extra
-    # rounds: convergence slows near the pole where cos(phi) -> 0)
-    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
-    for _ in range(8):
-        s = np.sin(phi)
-        phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+    # authalic -> geodetic via the CLOSED SERIES (Snyder eq. 3-18), not
+    # the Newton iteration the oblique case uses: the iteration divides
+    # by cos(phi) and diverges near the pole (hundreds of metres of
+    # error at 89.99 deg) — exactly where a polar CRS operates. The
+    # series converges uniformly including the pole.
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    phi = (
+        beta
+        + (e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0) * np.sin(2.0 * beta)
+        + (23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0) * np.sin(4.0 * beta)
+        + (761.0 * e6 / 45360.0) * np.sin(6.0 * beta)
+    )
+    # two Newton polish steps where they are stable (cos phi not tiny):
+    # brings truncation below 1e-12 deg; inside ~0.06 deg of the pole the
+    # series alone is already ~1e-8 deg (~1 mm) and Newton would divide
+    # by cos(phi) -> 0
+    safe = np.cos(phi) > 1e-3
+    for _ in range(2):
+        sph = np.sin(phi)
+        upd = phi + (1.0 - e2 * sph * sph) ** 2 / (
+            2.0 * np.where(safe, np.cos(phi), 1.0)
+        ) * (
             q / (1.0 - e2)
-            - s / (1.0 - e2 * s * s)
-            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+            - sph / (1.0 - e2 * sph * sph)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * sph) / (1.0 + e * sph))
         )
+        phi = np.where(safe, upd, phi)
     at_pole = rho == 0.0
     phi = np.where(at_pole, np.pi / 2.0 if north else -np.pi / 2.0, phi)
     lam = np.where(at_pole, 0.0, lam)

@@ -38,7 +38,8 @@ def as_of_join(
 
     Ties: a right row AT the left row's exact time matches (inclusive),
     and among equal right times the LAST one in (time, value) order
-    wins — deterministic for any input."""
+    wins — deterministic for any input. Right rows with a NULL time have
+    no as-of position and are dropped."""
     lcols = left.columns
     tagged_l = left.select(
         *lcols,
@@ -47,6 +48,7 @@ def as_of_join(
           for c in value_cols],
         F.lit(None).cast(right.schema[time_col].dataType).alias("_rt"),
     )
+    right = right.where(F.col(time_col).isNotNull())
     tagged_r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           if c not in key_cols + [time_col] else F.col(c)
@@ -57,23 +59,31 @@ def as_of_join(
     )
     unioned = tagged_l.unionByName(tagged_r)
     # right rows sort BEFORE left rows at equal time (_side 0 < 1) →
-    # inclusive <=; extra value columns break right-right time ties
+    # inclusive <=; extra value columns break right-right time ties.
+    # The carried state is ONE struct per right row (never per-column):
+    # carrying columns independently would fabricate rows mixing values
+    # and matched_time from DIFFERENT right rows whenever a right value
+    # is NULL. The struct is non-null exactly for right rows, so
+    # last(ignorenulls) carries the whole row atomically — NULL right
+    # VALUES stay NULL alongside their own matched time.
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(F.asc(time_col), F.asc("_side"),
                  *[F.asc(f"_rv_{c}") for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    row_struct = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col("_rt").alias("t"),
+                 *[F.col(f"_rv_{c}").alias(c) for c in value_cols]),
+    )
     carried = unioned.select(
-        "*",
-        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_cv_{c}")
-          for c in value_cols],
-        F.last("_rt", ignorenulls=True).over(w).alias("_ct"),
+        "*", F.last(row_struct, ignorenulls=True).over(w).alias("_carry")
     )
     return carried.where(F.col("_side") == 1).select(
         *lcols,
-        *[F.col(f"_cv_{c}").alias(c) for c in value_cols],
-        F.col("_ct").alias(right_time_alias),
+        *[F.col(f"_carry.{c}").alias(c) for c in value_cols],
+        F.col("_carry.t").alias(right_time_alias),
     )
 
 
@@ -111,7 +121,8 @@ def session_stats(
     gap_seconds: float,
 ) -> DataFrame:
     """Sessionize then aggregate one row per session: (key...,
-    session_id, n_events, start_us, end_us, duration_s)."""
+    session_id, n_events, duration_s). ``duration_s`` is max-min of the
+    time column in ITS OWN units (pass epoch seconds for seconds)."""
     s = sessionize(events, key_cols, time_col, gap_seconds)
     t = F.col(time_col).cast("double")
     return (

@@ -105,8 +105,11 @@ def _decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"\xff\xd8":
         from ..styles.jpeg import decode_jpeg
 
-        arr = decode_jpeg(payload)
-        return arr if arr.ndim == 3 else arr[..., None].repeat(3, axis=-1)
+        try:
+            arr = decode_jpeg(payload)
+            return arr if arr.ndim == 3 else arr[..., None].repeat(3, axis=-1)
+        except ValueError:
+            pass  # subsampled/progressive JPEG: fall through to Pillow/stub
     try:  # pragma: no cover - Pillow absent in this container
         import io
 
@@ -293,6 +296,8 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 payload = bytes(payload)
                 if payload.startswith(Y4M_MAGIC):
                     _, _, total = y4m_info(payload)  # REAL demux
+                    if total == 0:  # valid header-only stream: no rows
+                        continue
                     real = True
                 else:
                     # STUB demux for compressed codecs: fake frame count;

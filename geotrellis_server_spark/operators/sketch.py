@@ -103,19 +103,22 @@ def quantile_sketch(
 
     from pyspark.sql import Window
 
-    sample = hash_sample(df, identity_cols, k).select(F.col(col).alias("v"))
+    # cache: the bottom-k scan would otherwise run twice (count + final)
+    sample = hash_sample(df, identity_cols, k).select(F.col(col).alias("v")).cache()
     m = sample.count()
     # rank ties on equal v are interchangeable (same value emitted)
     ranked = sample.withColumn(
         "rk", F.row_number().over(Window.orderBy(F.asc("v")))
     )
-    conds = " ".join(
-        f"WHEN rk = {max(1, math.ceil(p * m))} THEN CAST({p!r} AS DOUBLE)"
-        for p in probs
+    # join per-prob rank targets instead of a CASE: two probs mapping to
+    # the SAME nearest rank (tiny m) must each emit their row
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(float(p), max(1, math.ceil(p * m))) for p in probs],
+        "prob DOUBLE, rk INT",
     )
-    return ranked.selectExpr(f"CASE {conds} END AS prob", "v AS value").where(
-        "prob IS NOT NULL"
-    )
+    out = targets.join(ranked, "rk").select("prob", F.col("v").alias("value"))
+    return out
 
 
 def heavy_hitters_sampled(
@@ -128,7 +131,7 @@ def heavy_hitters_sampled(
     sample (not the corpus) is all that ever reaches the heavy-hitter
     aggregation."""
     n_total = df.count()
-    sample = hash_sample(df, identity_cols, k)
+    sample = hash_sample(df, identity_cols, k).cache()
     m = sample.count()
     scale = float(n_total) / float(m or 1)
     counts = (

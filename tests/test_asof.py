@@ -71,3 +71,14 @@ def test_sessionize_per_key_independent(spark):
     )
     got = {(r.u, r.t): r.session_id for r in sessionize(df, ["u"], "t", 30).collect()}
     assert got == {("a", 0): 0, ("a", 1000): 1, ("b", 0): 0, ("b", 10): 0}
+
+
+def test_as_of_join_null_right_value_not_chimera(spark):
+    # a NULL right VALUE must be carried as NULL with its own time —
+    # never mixed with an older row's value (the struct-carry guarantee)
+    quotes = spark.createDataFrame(
+        [("u", 0, 5.0), ("u", 10, None)], "k STRING, t INT, v DOUBLE"
+    )
+    trades = spark.createDataFrame([("u", 20, 1)], "k STRING, t INT, tid INT")
+    r = as_of_join(trades, quotes, ["k"], "t", ["v"]).collect()[0]
+    assert r.v is None and r.matched_time == 10
