@@ -1063,6 +1063,55 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+CMS_D, CMS_W = 4, 64
+
+
+def _q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketch.py cms_build/cms_query):
+    per-source document frequencies estimated from a 4×64 sketch — the
+    md5-derived buckets make the sketch a pure function of the data, so
+    the DuckDB oracle rebuilds it and the estimates match exactly."""
+    from geotrellis_server_spark.operators.sketch import cms_build, cms_query
+
+    docs = _read_documents(spark, sf_dir)
+    cms = cms_build(docs, "source", depth=CMS_D, width=CMS_W)
+    # fresh read: probing the sketch with a DataFrame from the same
+    # lineage trips Spark's self-join attribute resolution in the
+    # broadcast (key not found) — a separate relation sidesteps it
+    vals = _read_documents(spark, sf_dir).select("source").distinct()
+    return cms_query(cms, vals, "source", depth=CMS_D, width=CMS_W)
+
+
+def _cms_counts_oracle() -> str:
+    d, w = CMS_D, CMS_W
+    hexmap = "'0123456789abcdef'"
+
+    def bucket(expr: str, r: int) -> str:
+        h = f"md5(concat(CAST({expr} AS VARCHAR), '#', '{r}'))"
+        frac = (
+            f"list_sum([ (instr({hexmap}, {h}[i + 1:i + 1]) - 1) "
+            f"* 16.0 ** (12 - i) for i in range(0, 13)])"
+        )
+        return f"CAST({frac} AS BIGINT) % {w}"
+
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {bucket('source', r)} AS bucket, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2"
+        for r in range(d)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT source AS value, {r} AS row, {bucket('source', r)} AS bucket "
+        f"FROM (SELECT DISTINCT source FROM documents)"
+        for r in range(d)
+    )
+    return f"""
+    WITH cms AS ({rows}), probe AS ({probes})
+    SELECT value, CAST(min(COALESCE(cms.cnt, 0)) AS BIGINT) AS est_count
+    FROM probe LEFT JOIN cms USING (row, bucket)
+    GROUP BY value
+    """
+
+
 SESSION_GAP_US = 3_600_000_000  # 1 hour in microseconds
 
 
@@ -2035,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantile_sample": _q_quantile_sketch,
         "join_asof_purchase_view": _q_asof_join,
         "events_sessionize_1h": _q_sessionize,
+        "sketch_cms_source_counts": _q_cms_counts,
     }
 
 
@@ -2268,6 +2318,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_quantile_sample": _quantile_sketch_oracle(),
         "join_asof_purchase_view": _asof_join_oracle(),
         "events_sessionize_1h": _sessionize_oracle(),
+        "sketch_cms_source_counts": _cms_counts_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

@@ -144,3 +144,58 @@ def heavy_hitters_sampled(
         .drop("_c")
     )
     return counts
+
+
+def cms_build(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): ``depth``
+    independent hash rows × ``width`` buckets of exact counters.
+    Returns (row, bucket, count) — the sketch table. Hashing is
+    md5(value # row) → first 13 hex digits mod width: deterministic and
+    engine-portable, so the sketch (and every estimate) is a pure
+    function of the data — exactly oracle-able like the KMV sketch.
+
+    Build cost: ONE scan (posexplode of the depth bucket ids) + one
+    (row, bucket) aggregation with map-side partials; nothing
+    proportional to distinct-value count is kept (that's the point vs
+    exact counts)."""
+    buckets = []
+    for r in range(depth):
+        h = "md5(concat(CAST(" + col + " AS STRING), '#', '" + str(r) + "'))"
+        buckets.append(f"CAST({hex13_fraction_sql(h)} AS BIGINT) % {width}")
+    # ONE scan + posexplode (pos = hash row id), not a depth-way union of
+    # scans: depth× less input I/O, and union-of-aggregates over the same
+    # file relation trips Spark 4.1's scan-reuse attribute rewrite
+    # ("key not found") when the sketch is later broadcast
+    return (
+        df.selectExpr(
+            f"posexplode(array({', '.join(buckets)})) AS (row, bucket)"
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def cms_query(
+    cms: DataFrame, values: DataFrame, col: str, depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates: for each value, min over the depth
+    rows of its bucket counters (the classic CMS upper-bound estimate;
+    never undercounts). ``values`` joins the sketch on (row, bucket) —
+    the sketch is small (depth×width rows) and broadcasts."""
+    keyed = values.select(F.col(col).alias("value"))
+    buckets = []
+    for r in range(depth):
+        h = "md5(concat(CAST(value AS STRING), '#', '" + str(r) + "'))"
+        buckets.append(f"CAST({hex13_fraction_sql(h)} AS BIGINT) % {width}")
+    # one posexplode, not a depth-way union: pos IS the hash row id
+    probe = keyed.selectExpr(
+        "value", f"posexplode(array({', '.join(buckets)})) AS (row, bucket)"
+    )
+    return (
+        probe.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est_count"))
+    )

@@ -94,3 +94,36 @@ def test_heavy_hitters_sampled(spark):
     rows = heavy_hitters_sampled(df, "v", ["id"], k=2000, top_n=3).collect()
     assert rows[0].value == "hot"
     assert abs(rows[0].est_count - 10000) / 10000 < 0.15
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    from geotrellis_server_spark.operators.sketch import cms_build, cms_query
+
+    # 50 distinct values, skewed counts; width 256 >> 50 so collisions
+    # are rare and most estimates are exact
+    df = spark.range(5000).selectExpr("CAST(id % 50 AS STRING) AS v")
+    true = {str(k): 100 for k in range(50)}
+    cms = cms_build(df, "v", depth=4, width=256).cache()
+    vals = spark.createDataFrame([(k,) for k in true], "v STRING")
+    est = {r.value: r.est_count for r in cms_query(cms, vals, "v").collect()}
+    assert all(est[k] >= true[k] for k in true)  # CMS upper bound
+    assert sum(1 for k in true if est[k] == true[k]) >= 45  # mostly exact
+
+
+def test_cms_unseen_value_estimates_small(spark):
+    from geotrellis_server_spark.operators.sketch import cms_build, cms_query
+
+    df = spark.range(1000).selectExpr("CAST(id % 10 AS STRING) AS v")
+    cms = cms_build(df, "v", depth=4, width=512)
+    vals = spark.createDataFrame([("never-seen",)], "v STRING")
+    est = cms_query(cms, vals, "v").collect()[0].est_count
+    assert est <= 100  # min over rows bounds collision noise
+
+
+def test_cms_partition_invariant(spark):
+    from geotrellis_server_spark.operators.sketch import cms_build
+
+    df = spark.range(3000).selectExpr("CAST(id % 77 AS STRING) AS v")
+    a = sorted(map(tuple, cms_build(df.repartition(16), "v").collect()))
+    b = sorted(map(tuple, cms_build(df.coalesce(1), "v").collect()))
+    assert a == b
