@@ -1063,6 +1063,22 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): 24 merges
+    learned from the documents corpus — iterative (driver loop over
+    distributed pair counts), so no SQL oracle; correctness is pinned by
+    the scalar-reference equivalence test (tests/test_bpe.py) and the
+    deterministic tie-break makes these rows a pure function of the
+    corpus (rows-only driver check)."""
+    from geotrellis_server_spark.operators.bpe import learn_bpe_merges
+
+    merges = learn_bpe_merges(_read_documents(spark, sf_dir), n_merges=24)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank INT, left STRING, right STRING",
+    )
+
+
 CMS_D, CMS_W = 4, 64
 
 
@@ -2085,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof_purchase_view": _q_asof_join,
         "events_sessionize_1h": _q_sessionize,
         "sketch_cms_source_counts": _q_cms_counts,
+        "pipeline_bpe_merges": _q_bpe_merges,
     }
 
 
