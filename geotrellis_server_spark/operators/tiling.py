@@ -268,3 +268,28 @@ def pyramid_up(
         "zoom", "tile_x", "tile_y", "width", "height",
         f"concat({rows}, {rows_s}) AS cells",
     )
+
+
+def write_pyramid(
+    points: DataFrame, path: str, max_zoom: int, tile_size: int = 256,
+    lon: str = "lon", lat: str = "lat",
+) -> None:
+    """Materialize a full tile pyramid: rasterize ONCE at ``max_zoom``,
+    roll up level by level with ``pyramid_up`` (each level is a narrow
+    2×2 aggregation of the previous — points are never re-keyed per
+    level), and write every level into one parquet layout PARTITIONED BY
+    zoom. Serving a (z, x, y) request is then partition pruning on
+    ``zoom`` plus a tile-key range filter — the GeoTrellis layer-write
+    analog (Pyramid.scala + LayerWriter) on a plain columnar layout."""
+    level = rasterize_count(points, max_zoom, tile_size, lon, lat)
+    level.write.mode("overwrite").partitionBy("zoom").parquet(path)
+    for _z in range(max_zoom, 0, -1):
+        level = pyramid_up(level, agg="sum")
+        level.write.mode("append").partitionBy("zoom").parquet(path)
+
+
+def read_pyramid_level(spark, path: str, zoom: int) -> DataFrame:
+    """Read one pyramid level — the ``zoom`` filter is pruned at
+    planning time (PartitionFilters), so only that level's files are
+    touched."""
+    return spark.read.parquet(path).where(F.col("zoom") == zoom)

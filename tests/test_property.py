@@ -168,3 +168,31 @@ def test_caching_range_reader_equals_plain_reads(data, header, chunk, reads):
                            chunk_bytes=chunk, max_chunks=3)
     for off, ln in reads:
         assert r.read(off, ln) == data[off:off + ln]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=2, max_value=3),
+       st.integers(min_value=9, max_value=24),
+       st.integers(min_value=9, max_value=24),
+       st.integers(min_value=40, max_value=95),
+       st.integers(min_value=0, max_value=10**9))
+def test_jpeg_roundtrip_psnr_property(channels_sel, h, w, quality, seed):
+    # random images, sizes and qualities: encode→decode must parse and
+    # stay within lossy-JPEG fidelity (smooth content ⇒ higher PSNR)
+    from geotrellis_server_spark.styles.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    # smooth it: JPEG's guarantee is about low-frequency content
+    smooth = (base.astype(np.float64) + np.roll(base, 1, 0) + np.roll(base, 1, 1)
+              + np.roll(base, -1, 0) + np.roll(base, -1, 1)) / 5.0
+    if channels_sel == 3:
+        img = np.stack([smooth, np.flipud(smooth), np.fliplr(smooth)],
+                       axis=-1).astype(np.uint8)
+    else:
+        img = smooth.astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality))
+    assert out.shape == img.shape
+    mse = np.mean((out.astype(np.float64) - img.astype(np.float64)) ** 2)
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+    assert psnr > 20.0, (h, w, quality, psnr)  # q40 on noisy content ~21.6

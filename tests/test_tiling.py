@@ -156,3 +156,28 @@ def test_pyramid_up_rejects_odd_tile_size(spark):
     )
     with pytest.raises(Exception, match="even tile size"):
         pyramid_up(df).collect()
+
+
+def test_write_pyramid_levels_and_pruning(spark, tmp_path):
+    from geotrellis_server_spark.operators.tiling import (
+        pyramid_up,
+        rasterize_count,
+        read_pyramid_level,
+        write_pyramid,
+    )
+
+    d = synth.extract_geometry(synth.docs(spark, 2000))
+    path = str(tmp_path / "pyr")
+    write_pyramid(d, path, max_zoom=3, tile_size=8)
+    # every level present; z2 equals direct rollup of z3
+    all_levels = spark.read.parquet(path)
+    assert {r.zoom for r in all_levels.select("zoom").distinct().collect()} == {0, 1, 2, 3}
+    z2_direct = {(r.tile_x, r.tile_y): tuple(r.cells)
+                 for r in pyramid_up(rasterize_count(d, 3, tile_size=8)).collect()}
+    z2_read = {(r.tile_x, r.tile_y): tuple(r.cells)
+               for r in read_pyramid_level(spark, path, 2).collect()}
+    assert z2_read == z2_direct
+    # zoom filter reaches the scan as a partition filter
+    plan = read_pyramid_level(spark, path, 2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan and "zoom" in plan.split("PartitionFilters")[1][:120]
