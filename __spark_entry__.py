@@ -1063,6 +1063,38 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+def _q_reproject_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 reproject through the driver gate: the DISTRIBUTED
+    project_to_epsg op (Arrow-batched Karney–Krüger kernel) against a
+    constant golden table derived with the independent Snyder N/T/C/A/M
+    series (scripts/gen_reproject_goldens.py), in integer centimetres —
+    both formulations agree to <1 mm and every golden sits clear of the
+    rounding boundary."""
+    from geotrellis_server_spark.sources.reproject_goldens import EPSG, GOLDEN
+
+    pts = spark.createDataFrame(
+        [(pid, lon, lat) for pid, lon, lat, _, _ in GOLDEN],
+        "pid INT, lon DOUBLE, lat DOUBLE",
+    )
+    out = tiling.project_to_epsg(pts, EPSG)
+    return out.selectExpr(
+        "pid",
+        "CAST(round(x * 100.0) AS BIGINT) AS easting_cm",
+        "CAST(round(y * 100.0) AS BIGINT) AS northing_cm",
+    )
+
+
+def _reproject_points_oracle() -> str:
+    from geotrellis_server_spark.sources.reproject_goldens import GOLDEN
+
+    vals = ", ".join(f"({p}, {e}, {n})" for p, _, _, e, n in GOLDEN)
+    return f"""
+    SELECT CAST(pid AS INT) AS pid, CAST(e AS BIGINT) AS easting_cm,
+           CAST(n AS BIGINT) AS northing_cm
+    FROM (VALUES {vals}) t(pid, e, n)
+    """
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): 24 merges
     learned from the documents corpus — iterative (driver loop over
@@ -2102,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_1h": _q_sessionize,
         "sketch_cms_source_counts": _q_cms_counts,
         "pipeline_bpe_merges": _q_bpe_merges,
+        "geo_reproject_points_utm33": _q_reproject_points,
     }
 
 
@@ -2336,6 +2369,7 @@ def oracle_sql() -> dict[str, str]:
         "join_asof_purchase_view": _asof_join_oracle(),
         "events_sessionize_1h": _sessionize_oracle(),
         "sketch_cms_source_counts": _cms_counts_oracle(),
+        "geo_reproject_points_utm33": _reproject_points_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,
