@@ -29,7 +29,9 @@ formulas:
 - EPSG:4087 (equidistant cylindrical, EPSG method 1028 — ellipsoidal
   Plate Carrée via the Krüger rectifying series),
 - EPSG:3573 / 3574 (North Pole LAEA Canada/Atlantic — the polar aspect,
-  Snyder §24 eq. 24-23/24; the Arctic analysis CRS family).
+  Snyder §24 eq. 24-23/24; the Arctic analysis CRS family),
+- ESRI:54009 (World Mollweide — Snyder §31 spherical Newton iteration;
+  the standard global equal-area map CRS).
 
 All transforms route src → lonlat → dst, vectorized over numpy arrays.
 """
@@ -350,6 +352,43 @@ def laea_polar_inverse(x, y, p: dict):
     return p["lon0"] + np.degrees(lam), np.degrees(phi)
 
 
+# --- Mollweide (Snyder §31 — spherical, the ESRI:54009 world map CRS) -------
+
+
+def mollweide_forward(lon, lat, p: dict):
+    """x = (2√2/π)·R·λ·cosθ, y = √2·R·sinθ with 2θ + sin2θ = π·sinφ
+    (Newton; Snyder eqs. 31-1..31-5). Spherical formulas on R = a —
+    how ESRI:54009 is applied in practice (proj's moll +R=a)."""
+    r = p["a"]
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rhs = np.pi * np.sin(phi)
+    theta = phi.copy()
+    for _ in range(20):
+        f = 2.0 * theta + np.sin(2.0 * theta) - rhs
+        d = 2.0 + 2.0 * np.cos(2.0 * theta)
+        step = np.where(np.abs(d) > 1e-12, f / np.where(d == 0, 1.0, d), 0.0)
+        theta = theta - step
+    x = p["fe"] + (2.0 * np.sqrt(2.0) / np.pi) * r * lam * np.cos(theta)
+    y = p["fn"] + np.sqrt(2.0) * r * np.sin(theta)
+    return x, y
+
+
+def mollweide_inverse(x, y, p: dict):
+    r = p["a"]
+    xp = np.asarray(x, dtype=np.float64) - p["fe"]
+    yp = np.asarray(y, dtype=np.float64) - p["fn"]
+    theta = np.arcsin(np.clip(yp / (np.sqrt(2.0) * r), -1.0, 1.0))
+    phi = np.arcsin(np.clip((2.0 * theta + np.sin(2.0 * theta)) / np.pi, -1.0, 1.0))
+    cos_t = np.cos(theta)
+    at_pole = np.abs(cos_t) < 1e-12
+    lam = np.where(
+        at_pole, 0.0,
+        np.pi * xp / (2.0 * r * np.sqrt(2.0) * np.where(at_pole, 1.0, cos_t)),
+    )
+    return p["lon0"] + np.degrees(lam), np.degrees(phi)
+
+
 # --- Polar stereographic, variant B (Snyder §21 / EPSG method 9829) ---------
 
 
@@ -595,14 +634,17 @@ CRS_REGISTRY: dict[int, tuple[str, dict]] = {
                           "lon0": -100.0, "fe": 0.0, "fn": 0.0}),
     3574: ("laea_polar", {"a": A_WGS84, "e2": E2, "lat0": 90.0,
                           "lon0": -40.0, "fe": 0.0, "fn": 0.0}),
+    # World Mollweide (ESRI:54009 — no EPSG number; registered under the
+    # conventional ESRI code, spherical formulas on R = a)
+    54009: ("moll", {"a": A_WGS84, "lon0": 0.0, "fe": 0.0, "fn": 0.0}),
 }
 
 _KIND_FWD = {"laea": laea_forward, "ps": ps_forward, "lcc": lcc_forward,
              "tm": tm_forward_generic, "aea": aea_forward, "eqc": eqc_forward,
-             "laea_polar": laea_polar_forward}
+             "laea_polar": laea_polar_forward, "moll": mollweide_forward}
 _KIND_INV = {"laea": laea_inverse, "ps": ps_inverse, "lcc": lcc_inverse,
              "tm": tm_inverse_generic, "aea": aea_inverse, "eqc": eqc_inverse,
-             "laea_polar": laea_polar_inverse}
+             "laea_polar": laea_polar_inverse, "moll": mollweide_inverse}
 
 
 # --- CRS registry / generic transform --------------------------------------

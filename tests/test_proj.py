@@ -503,3 +503,46 @@ def test_laea_polar_roundtrip_and_area():
     s1, s2 = math.sin(math.radians(lat)), math.sin(math.radians(lat + d))
     exact = rq2 * (q(s2) - q(s1)) / qp * math.radians(d)
     assert abs(area - exact) / exact < 1e-6
+
+
+def test_mollweide_known_points_and_roundtrip():
+    p = proj.CRS_REGISTRY[54009][1]
+    a = p["a"]
+    # origin and poles (Snyder §31 closed values)
+    x, y = proj.mollweide_forward(0.0, 0.0, p)
+    assert abs(float(x)) < 1e-6 and abs(float(y)) < 1e-6
+    x, y = proj.mollweide_forward(0.0, 90.0, p)
+    assert abs(float(x)) < 1e-6
+    assert abs(float(y) - np.sqrt(2.0) * a) < 1e-6
+    # equator scale: x(λ=90°, φ=0) = √2·a·(π/2)·(2/π) = √2·a... via formula
+    x, y = proj.mollweide_forward(90.0, 0.0, p)
+    assert abs(float(x) - np.sqrt(2.0) * a) < 1e-6
+    # roundtrip over the globe (skip the exact poles)
+    rng = np.random.default_rng(29)
+    lons = rng.uniform(-179.0, 179.0, 500)
+    lats = rng.uniform(-89.5, 89.5, 500)
+    x, y = proj.transform(lons, lats, 4326, 54009)
+    lo, la = proj.transform(x, y, 54009, 4326)
+    dl = (lo - lons + 180.0) % 360.0 - 180.0
+    assert np.abs(dl).max() < 1e-8
+    assert np.abs(la - lats).max() < 1e-8
+
+
+def test_mollweide_equal_area_on_sphere():
+    # the defining property: a quad's projected area equals its area on
+    # the sphere of radius a
+    import math
+
+    p = proj.CRS_REGISTRY[54009][1]
+    lon, lat, d = 30.0, 40.0, 0.01
+    corners = [(lon, lat), (lon + d, lat), (lon + d, lat + d), (lon, lat + d)]
+    xy = [proj.mollweide_forward(lo, la, p) for lo, la in corners]
+    area = 0.0
+    for i in range(4):
+        x1, y1 = xy[i]; x2, y2 = xy[(i + 1) % 4]
+        area += float(x1 * y2 - x2 * y1)
+    area = abs(area) / 2.0
+    exact = p["a"]**2 * math.radians(d) * (
+        math.sin(math.radians(lat + d)) - math.sin(math.radians(lat))
+    )
+    assert abs(area - exact) / exact < 1e-6
