@@ -233,3 +233,46 @@ def test_streaming_lsh_ingest_restart_no_duplicates(spark, tmp_path):
     pairs = {(r.a, r.b) for r in read_pairs(spark, str(tmp_path / "pairs")).collect()}
     # doc 100 duplicates the text of docs 0 and 5 (id % 5 == 0)
     assert (0, 100) in pairs and (5, 100) in pairs
+
+
+def test_streaming_ivf_ingest_probe_equals_batch(spark, tmp_path):
+    """Two embedding waves drained one file per batch: probing the
+    ingested partitioned index must equal the batch IVF probe over the
+    union, and the probe must prune ivf_cell partitions."""
+    from geotrellis_server_spark.operators import similarity as S
+    from geotrellis_server_spark.streaming.ann_ingest import (
+        probe_topk,
+        start_ivf_ingest,
+    )
+
+    src = str(tmp_path / "emb")
+
+    def wave(lo, hi):
+        spark.range(lo, hi).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(0, 15), j -> CAST("
+            " sin(CAST(id % 16 AS DOUBLE) * 2.7 + CAST(j AS DOUBLE))"
+            " + 0.05 * sin(CAST(id AS DOUBLE) * 0.913 + CAST(j AS DOUBLE) * 1.71)"
+            " AS FLOAT)) AS embedding",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    wave(0, 400)
+    wave(400, 800)
+    full = spark.read.parquet(src)
+    cent = S.ivf_train(full, n_centroids=16, seed=7)
+
+    q = start_ivf_ingest(
+        spark, src, str(tmp_path / "idx"), str(tmp_path / "ck"), cent,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    qvec = [float(v) for v in full.where("vec_id = 37").first().embedding]
+    got = [r.vec_id for r in
+           probe_topk(spark, str(tmp_path / "idx"), cent, qvec, 10, nprobe=4).collect()]
+    want = [r.vec_id for r in
+            S.ivf_ann_topk(S.ivf_assign(full, cent), cent, qvec, 10, nprobe=4).collect()]
+    assert got == want
+    plan = probe_topk(spark, str(tmp_path / "idx"), cent, qvec, 10, nprobe=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:200]
