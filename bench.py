@@ -89,6 +89,11 @@ def run_bench(cores: int) -> dict:
         os.environ["SPARK_GRAFT_BENCH_RUNS"])
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")  # e.g. "q1" for scaling
 
+    def wanted(name: str) -> bool:
+        """Skip UNTIMED prep for queries a restricted run will never
+        time (shorter legs = less exposure to external-tenant bursts)."""
+        return not only or only == name or name.split("_")[0] == only
+
     def timed(name, fn):
         # exact qN token or full-name match ("q1" must not select q10..q13)
         if only and only != name and name.split("_")[0] != only:
@@ -163,16 +168,17 @@ def run_bench(cores: int) -> dict:
     )
     # q15 — PQ ADC top-k over a pre-encoded corpus (the IVF-PQ read path:
     # codes scanned, lookup-table scoring in codegen, TakeOrderedAndProject)
-    pq_books = similarity.pq_train(embeddings, n_subspaces=8, n_codes=16, seed=11)
-    pq_enc = similarity.pq_encode(embeddings, pq_books).select("vec_id", "pq_code").cache()
-    pq_enc.count()
-    pq_q = [float(v) for v in embeddings.filter("vec_id = 0").first().embedding]
-    timed(
-        "q15_pq_adc_topk100",
-        lambda: similarity.pq_topk(pq_enc, pq_books, pq_q, 100)
-        .write.mode("overwrite").format("noop").save(),
-    )
-    pq_enc.unpersist()
+    if wanted("q15_pq_adc_topk100"):
+        pq_books = similarity.pq_train(embeddings, n_subspaces=8, n_codes=16, seed=11)
+        pq_enc = similarity.pq_encode(embeddings, pq_books).select("vec_id", "pq_code").cache()
+        pq_enc.count()
+        pq_q = [float(v) for v in embeddings.filter("vec_id = 0").first().embedding]
+        timed(
+            "q15_pq_adc_topk100",
+            lambda: similarity.pq_topk(pq_enc, pq_books, pq_q, 100)
+            .write.mode("overwrite").format("noop").save(),
+        )
+        pq_enc.unpersist()
     # q16 — benchmark decontamination: corpus n-grams vs broadcast eval set
     eval_docs = documents.where("doc_id % 100 = 0")
     train_docs = documents.where("doc_id % 100 != 0")
@@ -222,8 +228,12 @@ def run_bench(cores: int) -> dict:
     from geotrellis_server_spark.maml import ast as M
     from geotrellis_server_spark.maml.eval import eval_expr
 
-    tiles_z6 = tiling.rasterize_count(load(), 6, tile_size=64).cache()
-    tiles_z6.count()  # materialize outside the timed region (input table)
+    any_z6 = any(wanted(n) for n in
+                 ("q9_focal_fmean_z6", "q11_mask_polygon_z6", "q14_pyramid_up_z6to5"))
+    tiles_z6 = None
+    if any_z6:
+        tiles_z6 = tiling.rasterize_count(load(), 6, tile_size=64).cache()
+        tiles_z6.count()  # materialize outside the timed region (input table)
     timed(
         "q9_focal_fmean_z6",
         lambda: eval_expr(M.focal("fmean", M.var("d"), radius=1), {"d": tiles_z6})
@@ -244,7 +254,8 @@ def run_bench(cores: int) -> dict:
         lambda: tiling.pyramid_up(tiles_z6, agg="sum")
         .write.mode("overwrite").format("noop").save(),
     )
-    tiles_z6.unpersist()
+    if tiles_z6 is not None:
+        tiles_z6.unpersist()
 
     # q10 — join-based bulk kNN: 1,000 query points, exact top-10 each
     # (r2 operator: no driver loop — docs join broadcast query cells)
