@@ -294,18 +294,31 @@ def run_bench(cores: int) -> dict:
 def run_scaling() -> None:
     lo, hi = (int(x) for x in SCALE_CORES.split(","))
     mult = os.environ.get("SPARK_GRAFT_SCALE_MULT", "3200")
+    # SPARK_GRAFT_SCALE_PAIRS > 1: run the whole (lo, hi) pair several
+    # times and take the BEST time per leg — the external-tenant noise is
+    # strictly additive, so per-leg minimums over pairs estimate the
+    # quiet-window times (the same min-of-N protocol the per-query bench
+    # uses, extended across pairs because a burst can cover one whole leg)
+    n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "1"))
     results = {}
     for cores in (lo, hi):
-        env = dict(os.environ, SPARK_GRAFT_BENCH_MULT=mult, SPARK_GRAFT_BENCH_ONLY="q1")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cores", str(cores), "--json-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        results[cores] = None
+    for _ in range(n_pairs):
+        for cores in (lo, hi):
+            env = dict(os.environ, SPARK_GRAFT_BENCH_MULT=mult, SPARK_GRAFT_BENCH_ONLY="q1")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cores", str(cores), "--json-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            prev = results[cores]
+            if prev is None or (r["queries"]["q1_pip_tile_pipeline"]
+                                < prev["queries"]["q1_pip_tile_pipeline"]):
+                results[cores] = r
     t_lo = results[lo]["queries"]["q1_pip_tile_pipeline"]
     t_hi = results[hi]["queries"]["q1_pip_tile_pipeline"]
     speedup = t_lo / t_hi
@@ -313,7 +326,8 @@ def run_scaling() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling_last.json", "w") as jf:
         json.dump({"efficiency": round(eff, 3), "cores": [lo, hi],
-                   "t_lo": t_lo, "t_hi": t_hi, "results": results}, jf, indent=1)
+                   "t_lo": t_lo, "t_hi": t_hi, "n_pairs": n_pairs,
+                   "results": results}, jf, indent=1)
     # keep the curated report if one exists; raw template only on first run
     report = "BENCH/BASELINE.md"
     if os.path.exists(report):
