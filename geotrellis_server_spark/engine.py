@@ -65,6 +65,15 @@ class Layer:
         return self._meta["m"]
 
 
+def _supported_epsg() -> list:
+    """Every CRS the engine serves requests in: the hub pair, all 60 UTM
+    zones (as range markers), and each registry entry (grids/proj.py)."""
+    from .grids.proj import CRS_REGISTRY
+
+    return [4326, 3857, "utm:32601-32660/32701-32760",
+            *sorted(CRS_REGISTRY)]
+
+
 class Engine:
     def __init__(self, spark: SparkSession, layers: dict[str, Layer], catalog: DataFrame | None = None):
         self.spark = spark
@@ -317,6 +326,11 @@ class Engine:
                 "extent": tuple(ext),
                 "expression": layer.expression.to_dict() if layer.expression else None,
                 "styled": layer.style is not None,
+                # capabilities advertisement (CapabilitiesView analog):
+                # always-available formats + every registered request CRS
+                "formats": ["image/png", "image/jpeg", "image/geotiff",
+                            "application/geo+json"],
+                "request_crs": _supported_epsg(),
             }
             if layer.scheme is not None:
                 # WMTS tile-matrix-set metadata (GeotrellisTileMatrix

@@ -221,3 +221,17 @@ def test_get_tile_jpg(spark):
     want = np.clip(np.round(png_arr[..., :3].astype(np.float64) * a
                             + 255.0 * (1 - a)), 0, 255)
     assert np.abs(arr.astype(np.float64) - want).max() < 35  # lossy bound
+
+
+def test_describe_advertises_formats_and_crs(spark):
+    from geotrellis_server_spark.engine import Engine, Layer
+    from geotrellis_server_spark.operators import tiling
+    from geotrellis_server_spark.sources import synth
+
+    d = synth.extract_geometry(synth.docs(spark, 300))
+    tiles = tiling.rasterize_count(d, 2, tile_size=8).withColumn("band", F.lit(0))
+    eng = Engine(spark, {"density": Layer("density", tiles)})
+    entry = eng.describe()[0]
+    assert "image/jpeg" in entry["formats"] and "image/png" in entry["formats"]
+    crs = entry["request_crs"]
+    assert 4326 in crs and 3035 in crs and 5070 in crs and 54009 in crs
