@@ -1063,6 +1063,75 @@ def _q_salted_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("cell", F.size("values").alias("n_docs"))
 
 
+def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v2 — the round-3 ops chained end-to-end:
+    source blocklist (broadcast anti-join) → benchmark decontamination
+    (word-5-gram overlap vs the eval split) → exact dedup survivors →
+    deterministic split assignment → per-split doc/token budget. Every
+    stage is individually oracle-exact; this query gates their
+    COMPOSITION (join orders, column flows, filter interactions)."""
+    from geotrellis_server_spark.operators import dedup
+    from geotrellis_server_spark.operators import text as T_
+
+    docs = _read_documents(spark, sf_dir)
+    blocked = docs.select("source").distinct().where(
+        "substring(md5(source), 1, 1) < '2'"
+    )
+    clean_src = T_.blocklist_filter(docs, blocked)
+    eval_set = docs.where("doc_id % 10 = 0")
+    train_pool = clean_src.where("doc_id % 10 != 0")
+    contaminated = dedup.decontaminate(train_pool, eval_set, n=5, min_hits=2)
+    clean = train_pool.join(contaminated, "doc_id", "left_anti")
+    surv = dedup.exact_dedup(clean).select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    kept = clean.join(surv, "doc_id")
+    splits = T_.split_assign(kept)
+    toks = T_.token_count(kept).select("doc_id", "ws_tokens")
+    return (
+        kept.select("doc_id").join(splits, "doc_id").join(toks, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("ws_tokens").alias("total_tokens"))
+    )
+
+
+def _curation_v2_oracle() -> str:
+    n = 5
+    grams = (
+        f"[array_to_string(toks[i + 1:i + {n}], ' ') "
+        f"for i in range(0, greatest(len(toks) - {n} + 1, 1))]"
+    )
+    return f"""
+    WITH clean_src AS (
+      SELECT * FROM documents WHERE substring(md5(source), 1, 1) >= '2'),
+    pool AS (SELECT * FROM clean_src WHERE doc_id % 10 != 0),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct({grams})) AS ngram FROM tok),
+    gn AS (SELECT doc_id, ngram FROM g WHERE len(string_split(ngram, ' ')) = {n}),
+    ev AS (SELECT DISTINCT ngram FROM gn WHERE doc_id % 10 = 0),
+    contaminated AS (
+      SELECT gn.doc_id FROM gn JOIN ev USING (ngram)
+      WHERE gn.doc_id IN (SELECT doc_id FROM pool)
+      GROUP BY gn.doc_id HAVING count(*) >= 2),
+    clean AS (
+      SELECT * FROM pool
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    kept AS (
+      SELECT * FROM clean
+      WHERE doc_id IN (SELECT min(doc_id) FROM clean GROUP BY md5(text)))
+    SELECT CASE WHEN h < 'cccd' THEN 'train'
+                WHEN h < 'e666' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM (SELECT *,
+                 substr(md5(CAST(doc_id AS VARCHAR) || '#split-v1'), 1, 4) AS h
+          FROM kept)
+    GROUP BY 1
+    """
+
+
 def _q_reproject_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 reproject through the driver gate: the DISTRIBUTED
     project_to_epsg op (Arrow-batched Karney–Krüger kernel) against a
@@ -2135,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_source_counts": _q_cms_counts,
         "pipeline_bpe_merges": _q_bpe_merges,
         "geo_reproject_points_utm33": _q_reproject_points,
+        "pipeline_curation_v2": _q_curation_v2,
     }
 
 
@@ -2370,6 +2440,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize_1h": _sessionize_oracle(),
         "sketch_cms_source_counts": _cms_counts_oracle(),
         "geo_reproject_points_utm33": _reproject_points_oracle(),
+        "pipeline_curation_v2": _curation_v2_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,
