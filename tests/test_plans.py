@@ -96,3 +96,31 @@ def test_ivf_topk_is_take_ordered(spark):
     plan = _plan(S.ivf_ann_topk(emb, cent, qvec, 5, nprobe=4))
     tk = plan.index("TakeOrderedAndProject")
     assert "Exchange SinglePartition" not in plan[tk:]
+
+
+def test_focal_halo_reuses_input_partitioning(spark):
+    """The strips-only halo exchange must NOT reshuffle the tile bodies
+    when the input is already hash-partitioned by the halo key: exactly
+    one Exchange (the strip rows) on the body side of the join."""
+    from geotrellis_server_spark.operators import tiling
+    from geotrellis_server_spark.operators.focal import with_halo
+    from geotrellis_server_spark.sources import synth
+
+    d = synth.extract_geometry(synth.docs(spark, 2000))
+    tiles = (
+        tiling.rasterize_count(d, 3, tile_size=8)
+        .repartition(8, "zoom", "tile_x", "tile_y")
+        .cache()
+    )
+    tiles.count()
+    plan = with_halo(tiles, 1)._jdf.queryExecution().executedPlan().toString()
+    # the join's BODY side must be the cached scan DIRECTLY — no Exchange
+    # between the join and InMemoryTableScan (plan.count of exchanges is
+    # useless here: the InMemoryRelation description embeds the cached
+    # lineage's unexecuted exchanges)
+    import re
+
+    assert re.search(
+        r"Join [^\n]*\n\s*:- InMemoryTableScan", plan
+    ), plan[:4000]
+    tiles.unpersist()
