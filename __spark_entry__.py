@@ -1008,6 +1008,71 @@ def _q_render_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling (sketch.weighted_sample):
+    50 documents drawn ∝ n_chars with md5-derived uniforms — the sample
+    is a pure function of the corpus, so the oracle draws the SAME
+    rows (ids compared as a set)."""
+    from geotrellis_server_spark.operators.sketch import weighted_sample
+
+    docs = _read_documents(spark, sf_dir)
+    return weighted_sample(docs, "n_chars", ["doc_id"], 50).select("doc_id")
+
+
+def _weighted_sample_oracle() -> str:
+    hexmap = "'0123456789abcdef'"
+    h = "md5(concat_ws('|', CAST(doc_id AS VARCHAR)))"
+    frac = (
+        f"list_sum([ (instr({hexmap}, {h}[i + 1:i + 1]) - 1) "
+        f"* 16.0 ** (12 - i) for i in range(0, 13)])"
+    )
+    u = f"(({frac} + 1.0) / {float(16**13)!r})"
+    return f"""
+    SELECT doc_id FROM documents
+    WHERE n_chars > 0
+    ORDER BY ln({u}) / CAST(n_chars AS DOUBLE) DESC
+    LIMIT 50
+    """
+
+
+def _q_zonal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone histogram of the z4 count raster (zonal.zonal_histogram_rect):
+    floor bins of width 1 over the dense pixel domain — (zone, bin, count)
+    exactly reproduced by the oracle's dense-grid SQL."""
+    from geotrellis_server_spark.operators import zonal
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 4, tile_size=16)
+    return zonal.zonal_histogram_rect(tiles, 4, 16, bin_width=1.0)
+
+
+def _zonal_histogram_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 4, 16)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    npx = (1 << 4) * 16
+    clon = f"((CAST(d.tx * 16 + d.px AS DOUBLE) + 0.5) / {npx} * 360.0 - 180.0)"
+    clat = (
+        f"degrees(2.0 * atan(exp(pi() * (1.0 - 2.0 * "
+        f"((CAST(d.ty * 16 + d.py AS DOUBLE) + 0.5) / {npx})))) - pi() / 2.0)"
+    )
+    return f"""
+    WITH pix AS (
+      SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px, count(*) AS cnt
+      FROM ({pts}) GROUP BY 1, 2, 3, 4),
+    tiles AS (SELECT DISTINCT tx, ty FROM pix),
+    dom AS (
+      SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py, CAST(j.j AS BIGINT) AS px
+      FROM tiles t CROSS JOIN range(16) i(i) CROSS JOIN range(16) j(j)),
+    gval AS (
+      SELECT {sqlgen.zone_id_for_point_sql(clon, clat)} AS zone_id,
+             CAST(floor(CAST(COALESCE(p.cnt, 0) AS DOUBLE) / 1.0) AS BIGINT) AS bin
+      FROM dom d LEFT JOIN pix p
+        ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px)
+    SELECT zone_id, bin, CAST(count(*) AS BIGINT) AS count
+    FROM gval GROUP BY 1, 2
+    """
+
+
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics of the z4 count raster over the rectangular zone
     grid (count/sum/min/max/mean per zone; sums are exact — integer-valued
@@ -2205,6 +2270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_bpe_merges": _q_bpe_merges,
         "geo_reproject_points_utm33": _q_reproject_points,
         "pipeline_curation_v2": _q_curation_v2,
+        "raster_zonal_histogram_z4": _q_zonal_histogram,
+        "sketch_weighted_sample50": _q_weighted_sample,
     }
 
 
@@ -2441,6 +2508,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cms_source_counts": _cms_counts_oracle(),
         "geo_reproject_points_utm33": _reproject_points_oracle(),
         "pipeline_curation_v2": _curation_v2_oracle(),
+        "raster_zonal_histogram_z4": _zonal_histogram_oracle(),
+        "sketch_weighted_sample50": _weighted_sample_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

@@ -199,3 +199,28 @@ def cms_query(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est_count"))
     )
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, identity_cols: list[str], k: int
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — Efraimidis &
+    Spirakis 2006: each row gets key ln(u)/w with u = md5-derived uniform
+    in (0, 1]; the k LARGEST keys are a weight-proportional sample. With
+    the hash-derived u the sample is a pure function of the data
+    (reproducible, engine-portable — the oracle draws the SAME rows).
+    Plans as TakeOrderedAndProject; the classic op behind quality-
+    weighted corpus subsetting ('sample documents ∝ quality score')."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ident = ", ".join(f"CAST({c} AS STRING)" for c in identity_cols)
+    h = "md5(concat_ws('|', " + ident + "))"
+    u = f"(({hex13_fraction_sql(h)} + 1.0D) / {float(16**13)!r}D)"
+    key = f"(ln({u}) / CAST({weight_col} AS DOUBLE))"
+    return (
+        df.where(F.expr(f"CAST({weight_col} AS DOUBLE) > 0"))
+        .withColumn("_es_key", F.expr(key))
+        .orderBy(F.desc("_es_key"))
+        .limit(int(k))
+        .drop("_es_key")
+    )

@@ -56,3 +56,25 @@ def zonal_stats_rect(tiles: DataFrame, zoom: int, tile_size: int) -> DataFrame:
         F.max("value").alias("max"),
         (F.sum("value") / F.count("*")).alias("mean"),
     )
+
+
+def zonal_histogram_rect(
+    tiles: DataFrame, zoom: int, tile_size: int, bin_width: float = 1.0,
+) -> DataFrame:
+    """Per-zone HISTOGRAM of cell values (A1 × zonal: the polygonal
+    histogram summary the reference's wcs/wms stats path exposes per
+    request, computed for every zone at once). Bins are fixed-width
+    floor buckets (bin = floor(value / width)); NoData excluded.
+    Returns (zone_id, bin, count) — the long-form histogram table.
+
+    Shape: same narrow posexplode + one (zone, bin) aggregation with
+    map-side partials; hot zones collapse before the exchange."""
+    lon, lat = pixel_center_lonlat_sql(zoom, tile_size)
+    px = tiles.selectExpr(
+        "tile_x", "tile_y", "posexplode(cells) AS (idx, value)"
+    ).filter("value IS NOT NULL AND NOT isnan(value)")
+    zoned = px.selectExpr(
+        f"{sqlgen.zone_id_for_point_sql(lon, lat)} AS zone_id",
+        f"CAST(floor(value / CAST({bin_width!r} AS DOUBLE)) AS BIGINT) AS bin",
+    )
+    return zoned.groupBy("zone_id", "bin").agg(F.count("*").alias("count"))

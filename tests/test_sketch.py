@@ -127,3 +127,26 @@ def test_cms_partition_invariant(spark):
     a = sorted(map(tuple, cms_build(df.repartition(16), "v").collect()))
     b = sorted(map(tuple, cms_build(df.coalesce(1), "v").collect()))
     assert a == b
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from geotrellis_server_spark.operators.sketch import weighted_sample
+
+    # 10k rows: ids < 5000 carry weight 10, rest weight 1
+    df = spark.range(10000).selectExpr(
+        "id", "CASE WHEN id < 5000 THEN 10.0 ELSE 1.0 END AS w"
+    )
+    s1 = {r.id for r in weighted_sample(df.repartition(16), "w", ["id"], 500).collect()}
+    s2 = {r.id for r in weighted_sample(df.coalesce(1), "w", ["id"], 500).collect()}
+    assert s1 == s2 and len(s1) == 500  # deterministic, partition-invariant
+    heavy = sum(1 for i in s1 if i < 5000)
+    # E-S inclusion: heavy items ~10x the rate of light ones
+    assert heavy > 400, heavy
+
+
+def test_weighted_sample_rejects_nonpositive(spark):
+    from geotrellis_server_spark.operators.sketch import weighted_sample
+
+    df = spark.range(100).selectExpr("id", "CASE WHEN id = 0 THEN 0.0 ELSE 1.0 END AS w")
+    got = {r.id for r in weighted_sample(df, "w", ["id"], 99).collect()}
+    assert 0 not in got and len(got) == 99
