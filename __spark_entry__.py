@@ -1294,6 +1294,37 @@ def _cms_counts_oracle() -> str:
     """
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/asof.range_join): events banded by value
+    into half-open price bands via a broadcast non-equi join; per-band
+    counts. Oracle: the same containment predicate as a plain SQL
+    join."""
+    from geotrellis_server_spark.operators.asof import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bands = spark.createDataFrame(
+        [("b0", 0.0, 10.0), ("b1", 10.0, 50.0), ("b2", 50.0, 200.0),
+         ("b3", 200.0, 1e9)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        range_join(ev.select("event_id", "value"), bands, "value")
+        .groupBy("band")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def _range_join_oracle() -> str:
+    return """
+    WITH bands(band, lo, hi) AS (VALUES
+      ('b0', 0.0, 10.0), ('b1', 10.0, 50.0), ('b2', 50.0, 200.0),
+      ('b3', 200.0, 1e9))
+    SELECT band, CAST(count(*) AS BIGINT) AS n_events
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """
+
+
 SESSION_GAP_US = 3_600_000_000  # 1 hour in microseconds
 
 
@@ -2272,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curation_v2": _q_curation_v2,
         "raster_zonal_histogram_z4": _q_zonal_histogram,
         "sketch_weighted_sample50": _q_weighted_sample,
+        "join_range_value_bands": _q_range_join,
     }
 
 
@@ -2510,6 +2542,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curation_v2": _curation_v2_oracle(),
         "raster_zonal_histogram_z4": _zonal_histogram_oracle(),
         "sketch_weighted_sample50": _weighted_sample_oracle(),
+        "join_range_value_bands": _range_join_oracle(),
         "sim_cosine_topk20": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,

@@ -139,3 +139,26 @@ def session_stats(
             (F.col("_t1") - F.col("_t0")).alias("duration_s"),
         )
     )
+
+
+def range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval-containment) join: attach to every fact row the
+    range row whose half-open interval [lo, hi) contains
+    ``fact.value_col`` — price bands, latency buckets, date ranges.
+
+    Scale shape: the ranges table is small by definition (a banding
+    scheme), so this is a BROADCAST non-equi join — the fact side never
+    shuffles and the containment predicate evaluates map-side in
+    codegen. For the pathological case of a large ranges side, pre-bin
+    both sides on floor(value/width) first and equi-join on the bin (the
+    PIP join's cell-cover trick, operators/spatial_join.py) — not needed
+    for banding tables."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(ranges), cond, how)

@@ -82,3 +82,23 @@ def test_as_of_join_null_right_value_not_chimera(spark):
     trades = spark.createDataFrame([("u", 20, 1)], "k STRING, t INT, tid INT")
     r = as_of_join(trades, quotes, ["k"], "t", ["v"]).collect()[0]
     assert r.v is None and r.matched_time == 10
+
+
+def test_range_join_bands(spark):
+    from geotrellis_server_spark.operators.asof import range_join
+
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 99.9), (4, 100.0), (5, -1.0)],
+        "id BIGINT, v DOUBLE",
+    )
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1000.0)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    got = {r.id: r.band for r in range_join(facts, bands, "v").collect()}
+    assert got == {1: "low", 2: "mid", 3: "mid", 4: "high"}  # 5 unmatched
+    left = {r.id: r.band for r in range_join(facts, bands, "v", how="left").collect()}
+    assert left[5] is None
+    # broadcast plan: fact side must not shuffle
+    plan = range_join(facts, bands, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan and "SortMergeJoin" not in plan
