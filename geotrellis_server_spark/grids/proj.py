@@ -637,6 +637,15 @@ CRS_REGISTRY: dict[int, tuple[str, dict]] = {
     # World Mollweide (ESRI:54009 — no EPSG number; registered under the
     # conventional ESRI code, spherical formulas on R = a)
     54009: ("moll", {"a": A_WGS84, "lon0": 0.0, "fe": 0.0, "fn": 0.0}),
+    # NZGD2000 / New Zealand Transverse Mercator (NZTM2000)
+    2193: ("tm", {"a": A_GRS80, "f": F_GRS80, "k0": 0.9996, "lat0": 0.0,
+                  "lon0": 173.0, "fe": 1600000.0, "fn": 10000000.0}),
+    # NAD83 / Canada Atlas Lambert
+    3978: ("lcc", {"a": A_GRS80, "e2": E2_GRS80, "lat1": 49.0, "lat2": 77.0,
+                   "lat_f": 49.0, "lon0": -95.0, "fe": 0.0, "fn": 0.0}),
+    # WGS 84 / Arctic Polar Stereographic
+    3995: ("ps", {"a": A_WGS84, "e2": E2, "lat_ts": 71.0, "lon0": 0.0,
+                  "fe": 0.0, "fn": 0.0}),
 }
 
 _KIND_FWD = {"laea": laea_forward, "ps": ps_forward, "lcc": lcc_forward,

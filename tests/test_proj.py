@@ -546,3 +546,19 @@ def test_mollweide_equal_area_on_sphere():
         math.sin(math.radians(lat + d)) - math.sin(math.radians(lat))
     )
     assert abs(area - exact) / exact < 1e-6
+
+
+@pytest.mark.parametrize("epsg,lon_rng,lat_rng", [
+    (2193, (166.0, 179.0), (-47.5, -34.0)),   # NZTM2000
+    (3978, (-140.0, -50.0), (41.0, 84.0)),    # Canada Atlas LCC
+    (3995, (-180.0, 180.0), (60.0, 89.9)),    # Arctic PS
+])
+def test_registry_additions_roundtrip(epsg, lon_rng, lat_rng):
+    rng = np.random.default_rng(31)
+    lons = rng.uniform(*lon_rng, 300)
+    lats = rng.uniform(*lat_rng, 300)
+    x, y = proj.transform(lons, lats, 4326, epsg)
+    lo, la = proj.transform(x, y, epsg, 4326)
+    dl = (lo - lons + 180.0) % 360.0 - 180.0
+    assert np.abs(dl).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
