@@ -590,6 +590,106 @@ def eqc_inverse(x, y, p: dict):
     return p["lon0"] + np.degrees(lam), lat
 
 
+# --- datum shift (7-parameter Helmert, EPSG method 1033) --------------------
+#
+# The hub CRS is WGS84 lon/lat. Registry entries on a datum that is NOT
+# WGS84/GRS80-equivalent (GRS80 and WGS84 agree to ~0.1 mm) carry a
+# ``towgs84`` tuple (dx, dy, dz [m], rx, ry, rz [arcsec], ds [ppm]) in the
+# position-vector convention: native geodetic -> geocentric cartesian ->
+# Helmert -> WGS84 geodetic. Reference parity: proj4j applies the same
+# towgs84 shift for these codes (ogc/.../WmsParams.scala CRS parsing).
+
+
+def geodetic_to_geocentric(lon, lat, a: float, e2: float, h=0.0):
+    """Geodetic (degrees, ellipsoidal height m) -> geocentric cartesian
+    (EPSG Guidance 7-2 §2.2.1)."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    sphi, cphi = np.sin(phi), np.cos(phi)
+    nu = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    x = (nu + h) * cphi * np.cos(lam)
+    y = (nu + h) * cphi * np.sin(lam)
+    z = (nu * (1.0 - e2) + h) * sphi
+    return x, y, z
+
+
+def geocentric_to_geodetic(x, y, z, a: float, e2: float):
+    """Geocentric cartesian -> geodetic (degrees; height discarded).
+    Bowring's initial guess polished by fixed-point iteration to <1e-14
+    rad — exact roundtrip partner of :func:`geodetic_to_geocentric`."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    p = np.hypot(x, y)
+    b = a * np.sqrt(1.0 - e2)
+    # Bowring 1976 start
+    theta = np.arctan2(z * a, p * b)
+    ep2 = e2 / (1.0 - e2)
+    phi = np.arctan2(z + ep2 * b * np.sin(theta) ** 3,
+                     p - e2 * a * np.cos(theta) ** 3)
+    for _ in range(6):
+        sphi = np.sin(phi)
+        nu = a / np.sqrt(1.0 - e2 * sphi * sphi)
+        phi_new = np.arctan2(z + e2 * nu * sphi, p)
+        if np.all(np.abs(phi_new - phi) < 1e-15):
+            phi = phi_new
+            break
+        phi = phi_new
+    return np.degrees(np.arctan2(y, x)), np.degrees(phi)
+
+
+_AS2RAD = np.pi / (180.0 * 3600.0)
+
+
+def _helmert_matrix(t7: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """(M, T) with X2 = M @ X1 + T for the position-vector 7-parameter
+    transformation; rotations arcsec, scale ppm."""
+    dx, dy, dz, rx, ry, rz, ds = t7
+    rx, ry, rz = rx * _AS2RAD, ry * _AS2RAD, rz * _AS2RAD
+    s = 1.0 + ds * 1e-6
+    m = s * np.array([[1.0, -rz, ry],
+                      [rz, 1.0, -rx],
+                      [-ry, rx, 1.0]])
+    return m, np.array([dx, dy, dz])
+
+
+def helmert_apply(x, y, z, t7: tuple, inverse: bool = False):
+    """Apply (or exactly invert — matrix inverse, not sign-flip
+    approximation) the position-vector Helmert transformation."""
+    m, t = _helmert_matrix(t7)
+    v = np.stack([np.asarray(x, dtype=np.float64).ravel(),
+                  np.asarray(y, dtype=np.float64).ravel(),
+                  np.asarray(z, dtype=np.float64).ravel()])
+    if inverse:
+        out = np.linalg.inv(m) @ (v - t[:, None])
+    else:
+        out = m @ v + t[:, None]
+    shape = np.asarray(x, dtype=np.float64).shape
+    return out[0].reshape(shape), out[1].reshape(shape), out[2].reshape(shape)
+
+
+def _entry_ellipsoid(kind: str, p: dict) -> tuple[float, float]:
+    """(a, e2) of a registry entry's ellipsoid ('tm' dicts carry f)."""
+    if "e2" in p:
+        return p["a"], p["e2"]
+    f = p["f"]
+    return p["a"], f * (2.0 - f)
+
+
+def _datum_to_wgs84(lon, lat, kind: str, p: dict):
+    a, e2 = _entry_ellipsoid(kind, p)
+    gx, gy, gz = geodetic_to_geocentric(lon, lat, a, e2)
+    gx, gy, gz = helmert_apply(gx, gy, gz, p["towgs84"])
+    return geocentric_to_geodetic(gx, gy, gz, A_WGS84, E2)
+
+
+def _datum_from_wgs84(lon, lat, kind: str, p: dict):
+    a, e2 = _entry_ellipsoid(kind, p)
+    gx, gy, gz = geodetic_to_geocentric(lon, lat, A_WGS84, E2)
+    gx, gy, gz = helmert_apply(gx, gy, gz, p["towgs84"], inverse=True)
+    return geocentric_to_geodetic(gx, gy, gz, a, e2)
+
+
 # EPSG registry for the closed-form projections above. UTM zones resolve
 # arithmetically in _utm_params; everything else is a parameter dict here.
 CRS_REGISTRY: dict[int, tuple[str, dict]] = {
@@ -612,10 +712,15 @@ CRS_REGISTRY: dict[int, tuple[str, dict]] = {
     3347: ("lcc", {"a": A_GRS80, "e2": E2_GRS80, "lat1": 49.0, "lat2": 77.0,
                    "lat_f": 63.390675, "lon0": -91.866667,
                    "fe": 6200000.0, "fn": 3000000.0}),
-    # OSGB36 / British National Grid (Airy 1830 — generic TM, method 9807)
+    # OSGB36 / British National Grid (Airy 1830 — generic TM, method 9807;
+    # OSGB36<->WGS84 via the official 7-param Helmert, OSGB "A guide to
+    # coordinate systems in Great Britain" §6.6 / EPSG:1314 — ~3.5 m vs
+    # the OSTN grid, same parameters proj4j applies for towgs84)
     27700: ("tm", {"a": 6377563.396, "f": 1.0 / 299.3249646,
                    "k0": 0.9996012717, "lat0": 49.0, "lon0": -2.0,
-                   "fe": 400000.0, "fn": -100000.0}),
+                   "fe": 400000.0, "fn": -100000.0,
+                   "towgs84": (446.448, -125.157, 542.060,
+                               0.1502, 0.2470, 0.8421, -20.4894)}),
     # ETRS89 / Gauss-Krüger zone 4 style (DHDN-free modern variant):
     # EPSG:25832 = ETRS89 / UTM 32N on GRS80 (generic-TM path, k0 0.9996)
     25832: ("tm", {"a": A_GRS80, "f": F_GRS80, "k0": 0.9996, "lat0": 0.0,
@@ -668,7 +773,10 @@ def _to_lonlat(x, y, epsg: int):
         return mercator_to_lonlat(x, y)
     if epsg in CRS_REGISTRY:
         kind, p = CRS_REGISTRY[epsg]
-        return _KIND_INV[kind](x, y, p)
+        lon, lat = _KIND_INV[kind](x, y, p)
+        if "towgs84" in p:
+            lon, lat = _datum_to_wgs84(lon, lat, kind, p)
+        return lon, lat
     lon0, fn = _utm_params(epsg)
     return tm_inverse(x, y, lon0, fn)
 
@@ -682,9 +790,30 @@ def _from_lonlat(lon, lat, epsg: int):
         return lonlat_to_mercator(lon, lat)
     if epsg in CRS_REGISTRY:
         kind, p = CRS_REGISTRY[epsg]
+        if "towgs84" in p:
+            lon, lat = _datum_from_wgs84(lon, lat, kind, p)
         return _KIND_FWD[kind](lon, lat, p)
     lon0, fn = _utm_params(epsg)
     return tm_forward(lon, lat, lon0, fn)
+
+
+def project_geodetic(lon, lat, epsg: int):
+    """Projection-only forward: NATIVE-datum geographic coordinates
+    (e.g. OSGB36 lat/lon for 27700) -> projected E/N, skipping the datum
+    shift. :func:`transform` from 4326 is the datum-aware path."""
+    if epsg in CRS_REGISTRY:
+        kind, p = CRS_REGISTRY[epsg]
+        return _KIND_FWD[kind](lon, lat, p)
+    return _from_lonlat(lon, lat, epsg)
+
+
+def inverse_geodetic(x, y, epsg: int):
+    """Projection-only inverse: projected E/N -> NATIVE-datum geographic
+    coordinates (no datum shift)."""
+    if epsg in CRS_REGISTRY:
+        kind, p = CRS_REGISTRY[epsg]
+        return _KIND_INV[kind](x, y, p)
+    return _to_lonlat(x, y, epsg)
 
 
 def transform(x, y, src_epsg: int, dst_epsg: int):

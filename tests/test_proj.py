@@ -317,21 +317,69 @@ def test_lambert93_roundtrip_and_conformal_scale():
 def test_generic_tm_british_national_grid():
     # EPSG Guidance 7-2, method 9807 (OSGB36 / British National Grid,
     # Airy 1830): 50d30'N 00d30'E -> E 577274.99, N 69740.50. The guide's
-    # own Snyder-series values carry ~mm truncation; the Karney n^6 series
-    # lands within 8 mm of them.
-    x, y = proj.transform(0.5, 50.5, 4326, 27700)
+    # coordinates are OSGB36 GEOGRAPHIC, so this exercises the
+    # projection-only path (transform() from 4326 now also applies the
+    # OSGB36<->WGS84 Helmert datum shift and would land ~100 m away).
+    x, y = proj.project_geodetic(0.5, 50.5, 27700)
     assert abs(float(x) - 577274.99) < 0.015
     assert abs(float(y) - 69740.50) < 0.015
-    lon, lat = proj.transform(x, y, 27700, 4326)
+    lon, lat = proj.inverse_geodetic(x, y, 27700)
     assert abs(float(lon) - 0.5) < 1e-9 and abs(float(lat) - 50.5) < 1e-9
-    # roundtrip sweep over Great Britain
+    # datum-aware roundtrip sweep over Great Britain. The Helmert inverse
+    # is an exact matrix inverse, but a 2D datum transform drops the
+    # ~50 m ellipsoidal-height offset between the datums, which leaks
+    # ~2 mm laterally (normal directions of the two ellipsoids differ by
+    # ~1e-5 rad) — so mm-level, not nm-level, roundtrip
     rng = np.random.default_rng(7)
     lons = rng.uniform(-7.5, 2.0, 300)
     lats = rng.uniform(50.0, 60.8, 300)
     xx, yy = proj.transform(lons, lats, 4326, 27700)
     lo, la = proj.transform(xx, yy, 27700, 4326)
-    assert np.abs(lo - lons).max() < 1e-9
-    assert np.abs(la - lats).max() < 1e-9
+    assert np.abs(lo - lons).max() < 5e-8
+    assert np.abs(la - lats).max() < 5e-8
+
+
+def test_geocentric_epsg_worked_example():
+    # EPSG Guidance 7-2 §2.2.1 worked example (WGS 84): lat 53d48'33.82"N,
+    # lon 2d07'46.38"E, h 73.0 m -> X 3771793.97, Y 140253.34, Z 5124304.35
+    lat = 53.0 + 48.0 / 60.0 + 33.82 / 3600.0
+    lon = 2.0 + 7.0 / 60.0 + 46.38 / 3600.0
+    x, y, z = proj.geodetic_to_geocentric(lon, lat, proj.A_WGS84, proj.E2,
+                                          h=73.0)
+    assert abs(float(x) - 3771793.97) < 0.02
+    assert abs(float(y) - 140253.34) < 0.02
+    assert abs(float(z) - 5124304.35) < 0.02
+    # inverse recovers the geodetic coordinates (height discarded, so
+    # feed the h=0 cartesian back)
+    x0, y0, z0 = proj.geodetic_to_geocentric(lon, lat, proj.A_WGS84, proj.E2)
+    lo, la = proj.geocentric_to_geodetic(x0, y0, z0, proj.A_WGS84, proj.E2)
+    assert abs(float(lo) - lon) < 1e-11 and abs(float(la) - lat) < 1e-11
+
+
+def test_osgb36_datum_shift():
+    # Independent physical check: OSGB36 longitude is DEFINED by the Airy
+    # transit circle at Greenwich; in WGS84 that meridian sits ~5.3" W
+    # (the famous ~102 m GPS offset at the Observatory). Transforming the
+    # transit circle's WGS84 position into OSGB36 geographic must land
+    # within ~10 m of longitude zero.
+    e, n = proj.transform(-0.0014965, 51.4779356, 4326, 27700)
+    lon_osgb, lat_osgb = proj.inverse_geodetic(e, n, 27700)
+    assert abs(float(lon_osgb)) < 0.00015  # ~10 m at 51.5N
+    # shift magnitude over GB: treating the same lat/lon as WGS84 vs
+    # OSGB36 must differ by the published ~90-130 m
+    for lon, lat in [(-0.1, 51.5), (-3.2, 55.95), (-4.25, 52.4)]:
+        x_datum, y_datum = proj.transform(lon, lat, 4326, 27700)
+        x_raw, y_raw = proj.project_geodetic(lon, lat, 27700)
+        d = float(np.hypot(x_datum - x_raw, y_datum - y_raw))
+        assert 80.0 < d < 140.0, d
+    # Helmert inverse is exact (matrix inverse, not the sign-flip
+    # approximation): geocentric roundtrip at machine precision
+    t7 = proj.CRS_REGISTRY[27700][1]["towgs84"]
+    gx, gy, gz = proj.helmert_apply(3980000.0, -100000.0, 4970000.0, t7)
+    bx, by, bz = proj.helmert_apply(gx, gy, gz, t7, inverse=True)
+    assert abs(float(bx) - 3980000.0) < 1e-6
+    assert abs(float(by) + 100000.0) < 1e-6
+    assert abs(float(bz) - 4970000.0) < 1e-6
 
 
 def test_generic_tm_agrees_with_utm_path():
