@@ -1027,10 +1027,13 @@ def _weighted_sample_oracle() -> str:
         f"* 16.0 ** (12 - i) for i in range(0, 13)])"
     )
     u = f"(({frac} + 1.0) / {float(16**13)!r})"
+    # quantized-key rank (sketch.ES_KEY_SCALE): floor(ln(u)/w * 2^24)
+    # with md5 tiebreak — immune to 1-ULP cross-engine ln() divergence
     return f"""
     SELECT doc_id FROM documents
     WHERE n_chars > 0
-    ORDER BY ln({u}) / CAST(n_chars AS DOUBLE) DESC
+    ORDER BY floor(ln({u}) / CAST(n_chars AS DOUBLE) * 16777216.0) DESC,
+             {h} ASC
     LIMIT 50
     """
 

@@ -201,6 +201,9 @@ def cms_query(
     )
 
 
+ES_KEY_SCALE = 16777216.0  # 2^24 — exact power-of-two scaling
+
+
 def weighted_sample(
     df: DataFrame, weight_col: str, identity_cols: list[str], k: int
 ) -> DataFrame:
@@ -209,18 +212,28 @@ def weighted_sample(
     in (0, 1]; the k LARGEST keys are a weight-proportional sample. With
     the hash-derived u the sample is a pure function of the data
     (reproducible, engine-portable — the oracle draws the SAME rows).
-    Plans as TakeOrderedAndProject; the classic op behind quality-
-    weighted corpus subsetting ('sample documents ∝ quality score')."""
+
+    ULP-proofing: ``ln`` is the one libm call here, and two engines'
+    ``ln`` may legally differ by 1 ULP — enough to flip a rank decided
+    by the raw double. So the rank key is the QUANTIZED
+    ``floor(ln(u)/w * 2^24)`` (power-of-two scaling is exact; floor
+    yields an exact integer) with the row's md5 as deterministic
+    tiebreaker. A cross-engine flip now needs ln() to land on the other
+    side of a 2^-24 grid line — ~10^6 ULP away — and
+    test_weighted_sample_ulp_margin proves the gate corpus keeps a wide
+    margin from every boundary. Plans as TakeOrderedAndProject; the
+    classic op behind quality-weighted corpus subsetting."""
     if k < 1:
         raise ValueError("k must be >= 1")
     ident = ", ".join(f"CAST({c} AS STRING)" for c in identity_cols)
     h = "md5(concat_ws('|', " + ident + "))"
     u = f"(({hex13_fraction_sql(h)} + 1.0D) / {float(16**13)!r}D)"
-    key = f"(ln({u}) / CAST({weight_col} AS DOUBLE))"
+    key = f"floor(ln({u}) / CAST({weight_col} AS DOUBLE) * {ES_KEY_SCALE!r}D)"
     return (
         df.where(F.expr(f"CAST({weight_col} AS DOUBLE) > 0"))
         .withColumn("_es_key", F.expr(key))
-        .orderBy(F.desc("_es_key"))
+        .withColumn("_es_tie", F.expr(h))
+        .orderBy(F.desc("_es_key"), F.asc("_es_tie"))
         .limit(int(k))
-        .drop("_es_key")
+        .drop("_es_key", "_es_tie")
     )

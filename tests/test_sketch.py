@@ -144,6 +144,37 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     assert heavy > 400, heavy
 
 
+def test_weighted_sample_ulp_margin():
+    """ULP-proof evidence for the sketch_weighted_sample50 gate query:
+    every quantized rank key floor(ln(u)/w * 2^24) of the sf0.01 corpus
+    sits FAR from a grid boundary, so a 1-ULP cross-engine ln()
+    divergence (ULP of key*2^24 ~ 2e-10 here) cannot flip any floor —
+    the Spark and DuckDB rankings are provably identical, not
+    coincidentally identical."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.01")
+    t = pq.read_table(os.path.join(path, "documents.parquet"),
+                      columns=["doc_id", "n_chars"]).to_pydict()
+    denom = float(16**13)
+    fracs = []
+    for doc_id, w in zip(t["doc_id"], t["n_chars"]):
+        if w <= 0:
+            continue
+        h13 = hashlib.md5(str(doc_id).encode()).hexdigest()[:13]
+        u = (float(int(h13, 16)) + 1.0) / denom
+        scaled = np.log(u) / float(w) * 16777216.0
+        fr = scaled - np.floor(scaled)
+        fracs.append(min(fr, 1.0 - fr))
+    assert len(fracs) >= 400
+    # min distance to a boundary, in units of the quantum: libm
+    # divergence is ~1e-9 quanta, the corpus margin must dwarf that
+    assert min(fracs) > 1e-4, min(fracs)
+
+
 def test_weighted_sample_rejects_nonpositive(spark):
     from geotrellis_server_spark.operators.sketch import weighted_sample
 
