@@ -571,6 +571,23 @@ def _q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann_topk(emb, cent, qvec, 15, nprobe=8).select("vec_id", "rank")
 
 
+def _q_ivfpq_full_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ COMPOSITE exactness contract (similarity.ivf_pq_topk, the
+    full serving path: coarse-cell prune -> ADC scan -> exact rerank).
+    With nprobe = n_centroids (no pruning) and a rerank pool covering
+    every candidate, the two-stage pipeline must degrade to the exact
+    cosine top-k — the same discipline as sim_ivf_full_probe, now over
+    the composed operator rather than its parts."""
+    from geotrellis_server_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter("vec_id = 3").first()["embedding"]]
+    cent = S.ivf_train(emb, n_centroids=8, seed=7)
+    books = S.pq_train(emb, n_subspaces=8, n_codes=16, seed=11)
+    return S.ivf_pq_topk(emb, cent, books, qvec, 12, nprobe=8,
+                         rerank=1_000_000)
+
+
 def _q_lsh_ann_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN contract: deterministic sin-valued hyperplanes
     (similarity._hyperplanes — no RNG state) mean the bucket membership is
@@ -1232,20 +1249,70 @@ def _reproject_points_oracle() -> str:
     """
 
 
+def _bpe_golden_corpus() -> list[str]:
+    """Fixed deterministic training corpus for the BPE golden (the
+    hillshade-golden pattern: same input both sides, independent
+    computations). An LCG draws words from a 48-word synthetic
+    vocabulary with a Zipf-ish skew, so merge ranks have a rich,
+    non-degenerate frequency structure."""
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    state = 1234567
+    vocab = []
+    for _ in range(48):
+        word = []
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        for _ in range(2 + state % 7):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            word.append(alphabet[state % 26])
+        vocab.append("".join(word))
+    sentences = []
+    for _ in range(160):
+        words = []
+        for _ in range(9):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            # square the uniform for a skewed (Zipf-ish) vocab pick
+            r = (state % 48) * (state // 65536 % 48) // 48
+            words.append(vocab[r % 48])
+        sentences.append(" ".join(words))
+    return sentences
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): 24 merges
-    learned from the documents corpus — iterative (driver loop over
-    distributed pair counts), so no SQL oracle; correctness is pinned by
-    the scalar-reference equivalence test (tests/test_bpe.py) and the
-    deterministic tie-break makes these rows a pure function of the
-    corpus (rows-only driver check)."""
+    learned via the driver loop over distributed pair counts from the
+    fixed golden corpus; the oracle is the INDEPENDENT scalar
+    implementation (bpe.reference_bpe — dict/loop, no Spark) on the
+    same corpus, emitted as a VALUES golden including each winning
+    pair's corpus frequency."""
     from geotrellis_server_spark.operators.bpe import learn_bpe_merges
 
-    merges = learn_bpe_merges(_read_documents(spark, sf_dir), n_merges=24)
-    return spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)],
-        "rank INT, left STRING, right STRING",
+    docs = spark.createDataFrame(
+        [(s,) for s in _bpe_golden_corpus()], "text STRING"
     )
+    merges = learn_bpe_merges(docs, n_merges=24, with_counts=True)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank INT, merge_left STRING, merge_right STRING, pair_freq BIGINT",
+    )
+
+
+def _bpe_oracle() -> str:
+    from geotrellis_server_spark.operators.bpe import reference_bpe
+
+    freqs: dict[str, int] = {}
+    for s in _bpe_golden_corpus():
+        for w in s.split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    rows = reference_bpe(freqs, 24, with_counts=True)
+    vals = ", ".join(
+        f"({i}, '{a}', '{b}', {n})" for i, (a, b, n) in enumerate(rows)
+    )
+    return f"""
+    SELECT CAST(rank AS INT) AS rank, merge_left, merge_right,
+           CAST(pair_freq AS BIGINT) AS pair_freq
+    FROM (VALUES {vals}) t(rank, merge_left, merge_right, pair_freq)
+    """
 
 
 CMS_D, CMS_W = 4, 64
@@ -2278,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pretrain_curation": _q_pretrain_curation,
         "sim_cosine_topk20": _q_cosine_topk,
         "sim_ivf_full_probe": _q_ivf_full_probe,
+        "sim_ivfpq_full_topk": _q_ivfpq_full_topk,
         "sim_lsh_ann_bucket": _q_lsh_ann_bucket,
         "maml_fslope_grad2_z2": _q_fslope,
         "agg_extent_folds": _q_extent_folds,
@@ -2518,6 +2586,18 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
               FROM s) WHERE rank <= 15
         """,
+        "sim_ivfpq_full_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3),
+            s AS (SELECT vec_id,
+                         list_dot_product(embedding::DOUBLE[], qv)
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(qv, qv))) AS cosine
+                  FROM embeddings, q)
+            SELECT vec_id, rank FROM (
+              SELECT vec_id,
+                     CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+              FROM s) WHERE rank <= 12
+        """,
         "sim_lsh_ann_bucket": _lsh_bucket_oracle(),
         "maml_fslope_grad2_z2": _fslope_oracle(),
         "agg_extent_folds": _extent_folds_oracle(),
@@ -2536,6 +2616,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_resample_bilinear2x": _resample_bilinear_oracle(),
         "raster_temporal_mean_z2": _temporal_mean_oracle(),
         "pipeline_decontaminate": _decontaminate_oracle(),
+        "pipeline_bpe_merges": _bpe_oracle(),
         "sketch_kmv_distinct": _kmv_sketch_oracle(),
         "sketch_quantile_sample": _quantile_sketch_oracle(),
         "join_asof_purchase_view": _asof_join_oracle(),

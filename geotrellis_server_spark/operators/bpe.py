@@ -66,14 +66,16 @@ def _apply_merge(pdf: pd.DataFrame, a: str, b: str) -> pd.DataFrame:
 
 def learn_bpe_merges(
     docs: DataFrame, n_merges: int, text_col: str = "text",
-    end_mark: str = "</w>",
-) -> list[tuple[str, str]]:
+    end_mark: str = "</w>", with_counts: bool = False,
+):
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
-    list in learned order. Deterministic: ties on pair count break
-    lexicographically, so the merge table is a pure function of the
-    corpus (reproducible across runs/partitionings)."""
+    list in learned order — ``(a, b)`` tuples, or ``(a, b, count)``
+    when ``with_counts`` (the winning pair's corpus frequency, a
+    stronger golden-oracle check). Deterministic: ties on pair count
+    break lexicographically, so the merge table is a pure function of
+    the corpus (reproducible across runs/partitionings)."""
     state = word_freq_table(docs, text_col, end_mark).localCheckpoint()
-    merges: list[tuple[str, str]] = []
+    merges: list[tuple] = []
     pair_counts = (
         "transform(sequence(0, size(symbols) - 2), "
         "i -> struct(element_at(symbols, CAST(i AS INT) + 1) AS a, "
@@ -92,7 +94,7 @@ def learn_bpe_merges(
         if not top or top[0]["n"] <= 0:
             break
         a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
+        merges.append((a, b, int(top[0]["n"])) if with_counts else (a, b))
 
         def apply_batch(it, a=a, b=b):
             for pdf in it:
@@ -105,9 +107,9 @@ def learn_bpe_merges(
 
 
 def reference_bpe(word_freqs: dict[str, int], n_merges: int,
-                  end_mark: str = "</w>") -> list[tuple[str, str]]:
-    """Scalar reference implementation (same tie-break) — the test
-    oracle for the distributed trainer."""
+                  end_mark: str = "</w>", with_counts: bool = False):
+    """Scalar reference implementation (same tie-break) — the test and
+    golden-table oracle for the distributed trainer."""
     vocab = {w: list(w) + [end_mark] for w in word_freqs}
     merges = []
     for _ in range(n_merges):
@@ -120,7 +122,7 @@ def reference_bpe(word_freqs: dict[str, int], n_merges: int,
         if not counts:
             break
         best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        merges.append(best)
+        merges.append(best + (counts[best],) if with_counts else best)
         a, b = best
         for w in vocab:
             syms, res, i = vocab[w], [], 0
