@@ -67,11 +67,15 @@ class Layer:
 
 def _supported_epsg() -> list:
     """Every CRS the engine serves requests in: the hub pair, all 60 UTM
-    zones (as range markers), and each registry entry (grids/proj.py)."""
+    zones (as range markers), each registry entry (grids/proj.py), and
+    the arbitrary-definition front-end (grids/proj4.py — any
+    +proj=utm|tmerc|lcc|laea|aea|stere|eqc|moll string or parameter
+    dict registers a usable code at request time)."""
     from .grids.proj import CRS_REGISTRY
 
     return [4326, 3857, "utm:32601-32660/32701-32760",
-            *sorted(CRS_REGISTRY)]
+            *sorted(c for c in CRS_REGISTRY if c < 910000),
+            "proj4:+proj=utm|tmerc|lcc|laea|aea|stere|eqc|moll"]
 
 
 class Engine:

@@ -1,0 +1,227 @@
+"""Arbitrary-CRS front-end: proj4 strings / parameter dicts -> registry.
+
+The reference accepts ANY CRS on every request (proj4 strings via
+GeoTrellis ``CRS``: ogc/src/main/scala/geotrellis/server/ogc/wms/
+WmsParams.scala:90-103, wcs/WcsParams.scala:85-111). The engine's
+projection kernels (grids/proj.py — EPSG methods 9807 tmerc, 9802 lcc,
+9820/polar laea, 9822 aea, 9829 stere, 1028 eqc, Mollweide) are already
+parameterized over arbitrary ellipsoids and origins; this module is the
+missing front-end that maps a ``+proj=...`` string or an explicit
+parameter dict onto them, so an unregistered CRS becomes DATA (a
+registry entry minted at request time), not code.
+
+``crs_from_proj4("+proj=lcc +lat_1=49 ... +ellps=GRS80")`` returns a
+synthetic EPSG-like code usable with every ``proj.transform`` /
+layout / reproject path; registration is idempotent (the same
+definition always yields the same code). ``+towgs84`` datum shifts ride
+the same Helmert hub as EPSG:27700.
+"""
+
+from __future__ import annotations
+
+from . import proj
+
+# Public ellipsoid table (proj's ellps registry values — Snyder App. A /
+# EPSG). (a meters, 1/f); 1/f = 0 marks a sphere.
+ELLIPSOIDS: dict[str, tuple[float, float]] = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "airy": (6377563.396, 299.3249646),
+    "intl": (6378388.0, 297.0),
+    "clrk66": (6378206.4, 294.9786982),
+    "clrk80ign": (6378249.2, 293.4660213),
+    "bessel": (6377397.155, 299.1528128),
+    "krass": (6378245.0, 298.3),
+    "sphere": (6370997.0, 0.0),
+}
+
+# +datum= shorthand: ellipsoid + (optional) towgs84 to WGS84
+DATUMS: dict[str, tuple[str, tuple | None]] = {
+    "WGS84": ("WGS84", None),
+    "NAD83": ("GRS80", None),  # NAD83~WGS84 at the metre level
+    "OSGB36": ("airy", (446.448, -125.157, 542.060,
+                        0.1502, 0.2470, 0.8421, -20.4894)),
+}
+
+# synthetic code allocation for dynamically-registered CRSs
+_CUSTOM_BASE = 910000
+_custom_codes: dict[tuple, int] = {}
+
+
+def _parse_tokens(proj4: str) -> dict[str, str | bool]:
+    toks: dict[str, str | bool] = {}
+    for raw in proj4.split():
+        if not raw.startswith("+"):
+            continue
+        body = raw[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            toks[k] = v
+        else:
+            toks[body] = True
+    return toks
+
+
+def _ellipsoid_of(toks: dict) -> tuple[float, float, tuple | None]:
+    """(a, f, towgs84|None) from +datum / +ellps / +a +b|+rf / +R."""
+    towgs84 = None
+    if "towgs84" in toks:
+        parts = [float(v) for v in str(toks["towgs84"]).split(",")]
+        if len(parts) == 3:
+            parts += [0.0, 0.0, 0.0, 0.0]
+        if len(parts) != 7:
+            raise ValueError(f"towgs84 needs 3 or 7 values: {toks['towgs84']}")
+        if any(parts):  # all-zero shift = WGS84-equivalent, drop it
+            towgs84 = tuple(parts)
+    if "datum" in toks:
+        name = str(toks["datum"])
+        if name not in DATUMS:
+            raise NotImplementedError(f"unknown +datum={name}")
+        ellps, datum_shift = DATUMS[name]
+        a, rf = ELLIPSOIDS[ellps]
+        return a, (1.0 / rf if rf else 0.0), towgs84 or datum_shift
+    if "a" in toks:
+        a = float(toks["a"])
+        if "b" in toks:
+            b = float(toks["b"])
+            f = (a - b) / a
+        elif "rf" in toks:
+            f = 1.0 / float(toks["rf"])
+        else:
+            f = 0.0  # sphere
+        return a, f, towgs84
+    if "R" in toks:
+        return float(toks["R"]), 0.0, towgs84
+    name = str(toks.get("ellps", "WGS84"))
+    if name not in ELLIPSOIDS:
+        raise NotImplementedError(f"unknown +ellps={name}")
+    a, rf = ELLIPSOIDS[name]
+    return a, (1.0 / rf if rf else 0.0), towgs84
+
+
+def _fl(toks: dict, key: str, default: float | None = None) -> float:
+    if key in toks:
+        return float(toks[key])
+    if default is None:
+        raise ValueError(f"+{key}= is required for +proj={toks.get('proj')}")
+    return default
+
+
+def params_from_proj4(proj4: str) -> tuple[str, dict]:
+    """Parse a proj4 string into a (kernel kind, parameter dict) pair —
+    the same shape as a ``proj.CRS_REGISTRY`` entry. Raises
+    NotImplementedError for projections/options outside the kernel set
+    (oblique stereographic, non-metre units, grid-shift datums)."""
+    toks = _parse_tokens(proj4)
+    if "units" in toks and toks["units"] != "m":
+        raise NotImplementedError(f"+units={toks['units']} (metres only)")
+    if "to_meter" in toks and float(toks["to_meter"]) != 1.0:
+        raise NotImplementedError("+to_meter scaling")
+    if "nadgrids" in toks:
+        raise NotImplementedError("+nadgrids grid-shift datums")
+    kind_in = str(toks.get("proj", ""))
+    a, f, towgs84 = _ellipsoid_of(toks)
+    e2 = f * (2.0 - f)
+    fe = _fl(toks, "x_0", 0.0)
+    fn = _fl(toks, "y_0", 0.0)
+    lon0 = _fl(toks, "lon_0", 0.0)
+
+    if kind_in == "utm":
+        zone = int(toks["zone"])
+        if not 1 <= zone <= 60:
+            raise ValueError(f"UTM zone out of range: {zone}")
+        kind, p = "tm", {"a": a, "f": f, "k0": 0.9996,
+                         "lat0": 0.0, "lon0": zone * 6.0 - 183.0,
+                         "fe": 500000.0,
+                         "fn": 10000000.0 if toks.get("south") else 0.0}
+    elif kind_in == "tmerc":
+        kind, p = "tm", {"a": a, "f": f, "k0": _fl(toks, "k_0", 1.0),
+                         "lat0": _fl(toks, "lat_0", 0.0), "lon0": lon0,
+                         "fe": fe, "fn": fn}
+    elif kind_in == "lcc":
+        lat1 = _fl(toks, "lat_1")
+        lat2 = _fl(toks, "lat_2", lat1)
+        if lat1 == lat2 and _fl(toks, "k_0", 1.0) != 1.0:
+            raise NotImplementedError("LCC 1SP with k_0 != 1")
+        kind, p = "lcc", {"a": a, "e2": e2, "lat1": lat1, "lat2": lat2,
+                          "lat_f": _fl(toks, "lat_0", lat1), "lon0": lon0,
+                          "fe": fe, "fn": fn}
+    elif kind_in == "laea":
+        lat0 = _fl(toks, "lat_0", 0.0)
+        if abs(lat0) == 90.0:
+            kind, p = "laea_polar", {"a": a, "e2": e2, "lat0": lat0,
+                                     "lon0": lon0, "fe": fe, "fn": fn}
+        else:
+            kind, p = "laea", {"a": a, "e2": e2, "lat0": lat0,
+                               "lon0": lon0, "fe": fe, "fn": fn}
+    elif kind_in == "aea":
+        kind, p = "aea", {"a": a, "e2": e2, "lat1": _fl(toks, "lat_1"),
+                          "lat2": _fl(toks, "lat_2"),
+                          "lat0": _fl(toks, "lat_0", 0.0), "lon0": lon0,
+                          "fe": fe, "fn": fn}
+    elif kind_in == "stere":
+        lat0 = _fl(toks, "lat_0", 90.0)
+        if abs(lat0) != 90.0:
+            raise NotImplementedError("oblique stereographic (polar only)")
+        if "lat_ts" not in toks:
+            if _fl(toks, "k_0", 1.0) != 1.0:
+                raise NotImplementedError("polar stereographic variant A "
+                                          "(+k_0 at pole); give +lat_ts")
+            lat_ts = lat0
+        else:
+            lat_ts = _fl(toks, "lat_ts")
+        # kernel encodes the aspect in lat_ts's sign
+        kind, p = "ps", {"a": a, "e2": e2,
+                         "lat_ts": abs(lat_ts) if lat0 > 0 else -abs(lat_ts),
+                         "lon0": lon0, "fe": fe, "fn": fn}
+    elif kind_in == "eqc":
+        kind, p = "eqc", {"a": a, "e2": e2,
+                          "lat1": _fl(toks, "lat_ts", _fl(toks, "lat_1", 0.0)),
+                          "lon0": lon0, "fe": fe, "fn": fn}
+    elif kind_in == "moll":
+        kind, p = "moll", {"a": a, "lon0": lon0, "fe": fe, "fn": fn}
+    else:
+        raise NotImplementedError(f"+proj={kind_in!r} has no kernel "
+                                  "(supported: utm tmerc lcc laea aea "
+                                  "stere eqc moll)")
+    if towgs84 is not None:
+        p["towgs84"] = towgs84
+    return kind, p
+
+
+def crs_from_params(kind: str, params: dict) -> int:
+    """Register a (kernel kind, parameter dict) as a synthetic CRS code
+    usable everywhere an EPSG int is (proj.transform, layouts,
+    reproject). Idempotent: identical definitions share a code."""
+    if kind not in proj._KIND_FWD:
+        raise ValueError(f"unknown projection kind {kind!r}; "
+                         f"one of {sorted(proj._KIND_FWD)}")
+    key = (kind,) + tuple(sorted(params.items()))
+    if key in _custom_codes:
+        return _custom_codes[key]
+    code = _CUSTOM_BASE + len(_custom_codes)
+    while code in proj.CRS_REGISTRY:
+        code += 1
+    proj.CRS_REGISTRY[code] = (kind, dict(params))
+    _custom_codes[key] = code
+    return code
+
+
+def crs_from_proj4(proj4: str) -> int:
+    """proj4 string -> usable CRS code. ``+proj=longlat +datum=WGS84``
+    maps to 4326 and spherical ``+proj=merc`` on a=b=6378137 to 3857;
+    everything else registers a custom kernel entry."""
+    toks = _parse_tokens(proj4)
+    kind_in = str(toks.get("proj", ""))
+    if kind_in == "longlat":
+        a, f, towgs84 = _ellipsoid_of(toks)
+        if towgs84 is not None:
+            raise NotImplementedError("datum-shifted geographic CRS "
+                                      "(only WGS84 longlat)")
+        return 4326
+    if kind_in == "merc":
+        a, f, _ = _ellipsoid_of(toks)
+        if f == 0.0 and a == proj.A_WGS84:
+            return 3857
+        raise NotImplementedError("non-web-mercator +proj=merc")
+    return crs_from_params(*params_from_proj4(proj4))
