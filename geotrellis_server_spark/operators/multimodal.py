@@ -27,6 +27,8 @@ from pyspark.sql import types as T
 from ..sources.media_codecs import (
     WAV_MAGIC,
     Y4M_MAGIC,
+    avi_info,
+    decode_avi_frame,
     decode_wav,
     decode_y4m_frame,
     encode_wav,
@@ -273,11 +275,13 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame sampling for video payloads (north-rule op): pick n_frames
     evenly spaced frames and decode each to pixels. REAL demux + frame
     decode for YUV4MPEG2 payloads (sources/media_codecs.py — O(1)
-    frame-offset reads); compressed codecs (h264 etc.) fall back to the
-    clearly-marked deterministic stub until a library decoder is dropped
-    into the marked line. The Spark plumbing (mapInPandas, one output
-    row per sampled frame, Arrow batch shapes) is identical either
-    way."""
+    frame-offset reads) AND for Motion-JPEG AVI (RIFF chunk walk + the
+    in-house T.81 baseline decoder — a genuinely COMPRESSED video
+    format with no external codec); h264/hevc etc. fall back to the
+    clearly-marked deterministic stub until a library decoder is
+    dropped into the marked line. The Spark plumbing (mapInPandas, one
+    output row per sampled frame, Arrow batch shapes) is identical
+    either way."""
     schema = T.StructType(
         [
             T.StructField("media_ref", T.StringType()),
@@ -299,6 +303,11 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     if total == 0:  # valid header-only stream: no rows
                         continue
                     real = True
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    _, _, total = avi_info(payload)  # REAL MJPEG demux
+                    if total == 0:
+                        continue
+                    real = True
                 else:
                     # STUB demux for compressed codecs: fake frame count;
                     # replace with a real demuxer (e.g. av / ffmpeg) here
@@ -306,8 +315,10 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     real = False
                 picks = [int(i * (total - 1) / max(n_frames - 1, 1)) for i in range(n_frames)]
                 for fno in dict.fromkeys(picks):  # dedup, keep order
-                    if real:
+                    if real and payload.startswith(Y4M_MAGIC):
                         frame = decode_y4m_frame(payload, fno)
+                    elif real:
+                        frame = decode_avi_frame(payload, fno)
                     else:
                         frame = _fake_decode_image(payload + struct.pack("<I", fno))
                     rows.append((ref, fno, total, frame.ravel().astype(np.int32)))

@@ -121,3 +121,117 @@ def decode_y4m_frame(payload: bytes, idx: int) -> np.ndarray:
     stride = len(b"FRAME\n") + w * h + 2 * (w // 2) * (h // 2)
     off = nl + 1 + idx * stride + len(b"FRAME\n")
     return np.frombuffer(payload[off : off + w * h], dtype=np.uint8).reshape(h, w).copy()
+
+
+# ------------------------------------------------------------- MJPEG AVI
+
+AVI_MAGIC = b"RIFF"
+
+
+def encode_mjpeg_avi(
+    frames: np.ndarray, fps: int = 25, quality: int = 85
+) -> bytes:
+    """uint8 luma frames (n, h, w) → a Motion-JPEG AVI: a RIFF container
+    (Microsoft AVI spec / OpenDML) whose '00dc' movi chunks are baseline
+    JPEGs from the in-house T.81 encoder (styles/jpeg.py). This is a
+    COMPRESSED video format the engine reads and writes with zero
+    external codec libraries."""
+    from ..styles.jpeg import encode_jpeg
+
+    f = np.asarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    payloads = [encode_jpeg(f[i], quality=quality) for i in range(n)]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_sz = max(len(p) for p in payloads)
+    # avih: MainAVIHeader (56 bytes)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_sz * fps, 0, 0x10,  # HASINDEX
+        n, 0, 1, max_sz, w, h, 0, 0, 0, 0)
+    # strh: AVIStreamHeader for a 'vids'/'MJPG' stream
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHH8I4H", 0, 0, 0, 0, 1, fps, 0, n, max_sz, 0xFFFFFFFF,
+        0, 0, 0, w, h)
+    # strf: BITMAPINFOHEADER with biCompression = 'MJPG'
+    strf = struct.pack("<IiiHH", 40, w, h, 1, 24) + b"MJPG" + struct.pack(
+        "<IiiII", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = [chunk(b"00dc", p) for p in payloads]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    # idx1: one entry per frame (offset relative to the movi 'kind' word)
+    off, idx = 4, []
+    for p, c in zip(payloads, movi_chunks):
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(p)))
+        off += len(c)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", b"".join(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_movi_span(payload: bytes) -> tuple[int, int]:
+    """(start, end) byte span of the movi LIST body (after 'movi')."""
+    if payload[:4] != AVI_MAGIC or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if fourcc == b"LIST" and payload[pos + 8 : pos + 12] == b"movi":
+            return pos + 12, pos + 8 + size
+        pos += 8 + size + (size % 2)
+    raise ValueError("AVI has no movi list")
+
+
+def avi_info(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) — avih header parse plus a movi chunk
+    walk (sizes only; no JPEG bytes are decoded)."""
+    if payload[:4] != AVI_MAGIC or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    # avih is the first chunk inside LIST hdrl at offset 12
+    if payload[12:16] != b"LIST" or payload[20:24] != b"hdrl":
+        raise ValueError("AVI missing hdrl")
+    if payload[24:28] != b"avih":
+        raise ValueError("AVI missing avih")
+    a = struct.unpack("<14I", payload[32:88])
+    w, h = a[8], a[9]
+    start, end = _avi_movi_span(payload)
+    pos, n = start, 0
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if fourcc[2:4] in (b"dc", b"db"):
+            n += 1
+        pos += 8 + size + (size % 2)
+    return w, h, n
+
+
+def avi_frame_jpeg(payload: bytes, idx: int) -> bytes:
+    """JPEG bytes of frame ``idx`` — a chunk walk over the movi list
+    (the seekable-demux analog; idx1, when present, would make this an
+    O(1) offset read on a real range reader)."""
+    start, end = _avi_movi_span(payload)
+    pos, n = start, 0
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if fourcc[2:4] in (b"dc", b"db"):
+            if n == idx:
+                return payload[pos + 8 : pos + 8 + size]
+            n += 1
+        pos += 8 + size + (size % 2)
+    raise IndexError(f"frame {idx} of {n}")
+
+
+def decode_avi_frame(payload: bytes, idx: int) -> np.ndarray:
+    """Luma frame ``idx`` of an MJPEG AVI as uint8 (h, w) — REAL
+    compressed-video decode: RIFF demux + the T.81 baseline decoder."""
+    from ..styles.jpeg import decode_jpeg
+
+    arr = decode_jpeg(avi_frame_jpeg(payload, idx))
+    return arr if arr.ndim == 2 else arr[..., 0]

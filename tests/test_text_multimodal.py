@@ -561,3 +561,55 @@ def test_synth_media_payloads_are_real_codecs(spark):
             assert p[:4] == b"RIFF" and r.meta["codec"] == "audio/wav"
         else:
             assert p.startswith(b"YUV4MPEG2 ") and r.meta["codec"] == "video/y4m"
+
+
+def test_mjpeg_avi_roundtrip():
+    """MJPEG AVI: a COMPRESSED video format, real both ways with zero
+    external codec libs (RIFF demux + in-house T.81 JPEG)."""
+    import numpy as np
+
+    from geotrellis_server_spark.sources.media_codecs import (
+        avi_frame_jpeg,
+        avi_info,
+        decode_avi_frame,
+        encode_mjpeg_avi,
+    )
+
+    rng = np.random.default_rng(11)
+    # smooth-ish frames: JPEG at q=90 should round-trip with high PSNR
+    base = np.clip(
+        128 + 60 * np.sin(np.arange(24)[:, None] * 0.3)
+        + 40 * np.cos(np.arange(32)[None, :] * 0.2), 0, 255)
+    frames = np.stack([np.clip(base + 3 * t, 0, 255) for t in range(6)])
+    frames = frames.astype(np.uint8)
+    avi = encode_mjpeg_avi(frames, fps=30, quality=90)
+    assert avi_info(avi) == (32, 24, 6)
+    for i in (0, 3, 5):
+        jpg = avi_frame_jpeg(avi, i)
+        assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+        dec = decode_avi_frame(avi, i).astype(np.float64)
+        mse = np.mean((dec - frames[i]) ** 2)
+        psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
+        assert psnr > 30.0, psnr
+
+
+def test_sample_frames_real_mjpeg_avi(spark):
+    import numpy as np
+
+    from geotrellis_server_spark.operators.multimodal import sample_frames
+    from geotrellis_server_spark.sources.media_codecs import encode_mjpeg_avi
+
+    frames = np.stack([
+        np.full((8, 8), 40 + 25 * t, dtype=np.uint8) for t in range(7)
+    ])
+    media = spark.createDataFrame(
+        [("a1", "video", bytearray(encode_mjpeg_avi(frames)), {})],
+        "media_ref STRING, kind STRING, payload BINARY, meta MAP<STRING,STRING>",
+    )
+    rows = {r.frame_no: r for r in sample_frames(media, n_frames=3).collect()}
+    assert set(rows) == {0, 3, 6}  # evenly spaced over the REAL count
+    for fno, r in rows.items():
+        assert r.n_frames_total == 7
+        got = np.array(r.pixels, dtype=np.float64)
+        # flat frames survive JPEG almost exactly
+        assert abs(got.mean() - (40 + 25 * fno)) < 2.0
