@@ -117,7 +117,14 @@ class Engine:
         — the styled tile transcoded at the request boundary: alpha
         composites over white (JPEG carries no alpha), then the baseline
         JFIF encoder (styles/jpeg.py; Pillow when installed). Memoized
-        like get_tile_png; the transcode touches one request-sized tile."""
+        like get_tile_png; the transcode touches one request-sized tile.
+
+        INTENTIONAL DIVERGENCE from the reference: renderJpg there drops
+        the alpha byte outright, so fully-transparent NoData pixels keep
+        whatever RGB they carried (usually black). A white matte is the
+        conventional web-map treatment and reads better over basemaps;
+        callers who need reference-identical bytes can composite over
+        (0,0,0) before encoding."""
         layer = self.layers[layer_name]
         key = ("tile_jpg", layer_name, layer.generation, z, x, y, quality)
 

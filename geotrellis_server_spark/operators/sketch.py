@@ -46,14 +46,28 @@ def kmv_estimate(
     (group..., n_seen_hashes, distinct_est). ``distinct_est`` is exact
     when the group has < k distinct values, else the KMV estimate.
 
-    Plan shape: collect_set partially aggregates map-side (per-partition
-    dedup), the exchange carries at most one hash per distinct value,
-    and the k-truncation is a JVM array op — no row-at-a-time anything."""
+    Plan shape (bounded state): a hash-distinct (spillable hash
+    aggregate — never an in-memory unbounded buffer), then the k
+    smallest hashes via rank. Grouped: a window over the group key
+    (external sort, spills to disk). Global: ``orderBy().limit(k)`` =
+    TakeOrderedAndProject (per-partition bottom-k, no global sort).
+    Only the ≤k winners reach the final collect, so aggregation-buffer
+    state is O(k) — a high-cardinality group can spill, not OOM."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    hashes = F.expr(f"slice(array_sort(collect_set(md5(CAST({col} AS STRING)))), 1, {k})")
-    agg = (df.groupBy(*group_by) if group_by else df.groupBy()).agg(
-        hashes.alias("_h")
+    from pyspark.sql import Window
+
+    distinct_h = df.select(
+        *(group_by or []), F.expr(f"md5(CAST({col} AS STRING))").alias("_h1")
+    ).distinct()
+    if group_by:
+        w = Window.partitionBy(*group_by).orderBy("_h1")
+        kept = (distinct_h.withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") <= k))
+    else:
+        kept = distinct_h.orderBy("_h1").limit(int(k))
+    agg = (kept.groupBy(*group_by) if group_by else kept.groupBy()).agg(
+        F.array_sort(F.collect_list("_h1")).alias("_h")
     )
     kth_frac = f"({hex13_fraction_sql(f'element_at(_h, {k})')} / {HEX13_DENOM!r}D)"
     est = (

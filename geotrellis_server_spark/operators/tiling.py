@@ -280,11 +280,17 @@ def write_pyramid(
     level), and write every level into one parquet layout PARTITIONED BY
     zoom. Serving a (z, x, y) request is then partition pruning on
     ``zoom`` plus a tile-key range filter — the GeoTrellis layer-write
-    analog (Pyramid.scala + LayerWriter) on a plain columnar layout."""
+    analog (Pyramid.scala + LayerWriter) on a plain columnar layout.
+
+    Each rollup reads the level just WRITTEN (partition-pruned parquet),
+    not the in-memory lineage — otherwise every level's write action
+    would re-execute the full rasterize + all prior rollups and an
+    L-level pyramid would cost ~L rasterizations."""
+    spark = points.sparkSession
     level = rasterize_count(points, max_zoom, tile_size, lon, lat)
     level.write.mode("overwrite").partitionBy("zoom").parquet(path)
-    for _z in range(max_zoom, 0, -1):
-        level = pyramid_up(level, agg="sum")
+    for z in range(max_zoom, 0, -1):
+        level = pyramid_up(read_pyramid_level(spark, path, z), agg="sum")
         level.write.mode("append").partitionBy("zoom").parquet(path)
 
 
