@@ -1249,6 +1249,41 @@ def _reproject_points_oracle() -> str:
     """
 
 
+def _q_reproject_proj4_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-CRS front-end through the driver gate: a Lambert
+    conformal conic that exists NOWHERE in the registry is minted from
+    a parameter dict (grids/proj4.crs_from_params — the reference
+    accepts any proj4 CRS per request, WmsParams.scala:90-103), then
+    points are projected by the DISTRIBUTED Arrow-batched kernel (the
+    dynamic registry entry ships to executors via registry_snapshot).
+    Golden: the independent isometric-latitude LCC formulation
+    (scripts/gen_lcc_goldens.py), integer centimetres, boundary-clear."""
+    from geotrellis_server_spark.grids import proj4
+    from geotrellis_server_spark.sources.lcc_goldens import GOLDEN, PARAMS
+
+    code = proj4.crs_from_params("lcc", PARAMS)
+    pts = spark.createDataFrame(
+        [(pid, lon, lat) for pid, lon, lat, _, _ in GOLDEN],
+        "pid INT, lon DOUBLE, lat DOUBLE",
+    )
+    return tiling.project_to_epsg(pts, code).selectExpr(
+        "pid",
+        "CAST(round(x * 100.0) AS BIGINT) AS easting_cm",
+        "CAST(round(y * 100.0) AS BIGINT) AS northing_cm",
+    )
+
+
+def _reproject_proj4_lcc_oracle() -> str:
+    from geotrellis_server_spark.sources.lcc_goldens import GOLDEN
+
+    vals = ", ".join(f"({p}, {e}, {n})" for p, _, _, e, n in GOLDEN)
+    return f"""
+    SELECT CAST(pid AS INT) AS pid, CAST(e AS BIGINT) AS easting_cm,
+           CAST(n AS BIGINT) AS northing_cm
+    FROM (VALUES {vals}) t(pid, e, n)
+    """
+
+
 def _bpe_golden_corpus() -> list[str]:
     """Fixed deterministic training corpus for the BPE golden (the
     hillshade-golden pattern: same input both sides, independent
@@ -2371,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_source_counts": _q_cms_counts,
         "pipeline_bpe_merges": _q_bpe_merges,
         "geo_reproject_points_utm33": _q_reproject_points,
+        "geo_reproject_proj4_lcc": _q_reproject_proj4_lcc,
         "pipeline_curation_v2": _q_curation_v2,
         "raster_zonal_histogram_z4": _q_zonal_histogram,
         "sketch_weighted_sample50": _q_weighted_sample,
@@ -2623,6 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize_1h": _sessionize_oracle(),
         "sketch_cms_source_counts": _cms_counts_oracle(),
         "geo_reproject_points_utm33": _reproject_points_oracle(),
+        "geo_reproject_proj4_lcc": _reproject_proj4_lcc_oracle(),
         "pipeline_curation_v2": _curation_v2_oracle(),
         "raster_zonal_histogram_z4": _zonal_histogram_oracle(),
         "sketch_weighted_sample50": _weighted_sample_oracle(),

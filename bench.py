@@ -57,6 +57,42 @@ def materialize_docs(spark, sf_dir: str, n: int) -> str:
     return path
 
 
+class _MhzSampler:
+    """Samples /proc/cpuinfo every 0.5 s and records the mean MHz of the
+    ``n`` fastest cores (≈ the cores our leg occupies). Few-core legs
+    turbo ~15% above all-core clocks when the host is idle, biasing
+    lo/hi scaling ratios DOWN in a way real clusters don't have (r3
+    BASELINE.md "turbo trap") — recording the clock per leg lets the
+    report show a clock-normalized efficiency alongside the raw one."""
+
+    def __init__(self, n: int):
+        import threading
+
+        self.n, self.samples, self._stop = n, [], threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while not self._stop.wait(0.5):
+            try:
+                with open("/proc/cpuinfo") as f:
+                    mhz = sorted(
+                        (float(l.split(":")[1]) for l in f
+                         if l.startswith("cpu MHz")), reverse=True)
+                if mhz:
+                    top = mhz[: self.n]
+                    self.samples.append(sum(top) / len(top))
+            except (OSError, ValueError, IndexError):
+                return
+
+    def stop(self) -> float | None:
+        self._stop.set()
+        self._t.join(timeout=2)
+        if not self.samples:
+            return None
+        return round(sum(self.samples) / len(self.samples), 1)
+
+
 def run_bench(cores: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -66,6 +102,7 @@ def run_bench(cores: int) -> dict:
     from geotrellis_server_spark.sources import synth
 
     # 4x shuffle partitions per core: straggler smoothing (AQE coalesces)
+    mhz = _MhzSampler(cores)
     spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores * 4)
     spark.sparkContext.setLogLevel("ERROR")
     n_documents = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
@@ -296,6 +333,9 @@ def run_bench(cores: int) -> dict:
         # so compare across rounds with the load note in mind
         "n_runs": n_runs,
         "load_avg_1m": round(os.getloadavg()[0], 2),
+        # mean clock of the `cores` fastest cores over the run — few-core
+        # legs turbo when the host is idle; scaling reports normalize
+        "cpu_mhz": mhz.stop(),
     }
 
 
@@ -331,13 +371,22 @@ def run_scaling() -> None:
     t_hi = results[hi]["queries"]["q1_pip_tile_pipeline"]
     speedup = t_lo / t_hi
     eff = speedup / (hi / lo)
+    # clock-normalized: cycles ~ time x MHz, so a turboing lo leg stops
+    # under-stating the ratio (real clusters have no per-leg clock skew)
+    mhz_lo = results[lo].get("cpu_mhz")
+    mhz_hi = results[hi].get("cpu_mhz")
+    eff_clock = (round(eff * mhz_lo / mhz_hi, 3)
+                 if mhz_lo and mhz_hi else None)
     os.makedirs("BENCH", exist_ok=True)
     # keep-best policy: external-tenant bursts make individual pairs
     # one-sidedly WORSE, never better, so the highest-efficiency raw pair
     # is the best estimate of true scaling — a contended late run must
     # not clobber earlier clean evidence (policy documented in
-    # BENCH/BASELINE.md "Measurement noise")
-    out_path = "BENCH/scaling_last.json"
+    # BENCH/BASELINE.md "Measurement noise"). Evidence files are
+    # per-core-pair (an 8→32 run must not fight the 4→16 history);
+    # scaling_last.json keeps the legacy 4,16 location.
+    out_path = ("BENCH/scaling_last.json" if (lo, hi) == (4, 16)
+                else f"BENCH/scaling_{lo}_{hi}.json")
     prev_eff = None
     if os.path.exists(out_path):
         try:
@@ -351,7 +400,9 @@ def run_scaling() -> None:
                           "cores": [lo, hi], "t_lo": t_lo, "t_hi": t_hi}))
         return
     with open(out_path, "w") as jf:
-        json.dump({"efficiency": round(eff, 3), "cores": [lo, hi],
+        json.dump({"efficiency": round(eff, 3),
+                   "efficiency_clock_norm": eff_clock,
+                   "mhz": [mhz_lo, mhz_hi], "cores": [lo, hi],
                    "t_lo": t_lo, "t_hi": t_hi, "n_pairs": n_pairs,
                    "results": results}, jf, indent=1)
     # keep the curated report if one exists; raw template only on first run
@@ -400,7 +451,42 @@ def main() -> None:
     if args.scaling:
         run_scaling()
         return
-    print(json.dumps(run_bench(args.cores)))
+    if args.json_only:
+        # scaling-subprocess leg: single run, the pair protocol above
+        # owns noise handling
+        print(json.dumps(run_bench(args.cores)))
+        return
+    # retry-if-loaded: the host carries external tenants (observed load
+    # swings 1-17 with nothing of ours running). A suite that STARTS or
+    # ENDS in a burst gets re-run and the per-query minima are merged
+    # (noise is strictly additive, so min-merge estimates the quiet
+    # window); every attempt's load is recorded for provenance.
+    max_tries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+    load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "8"))
+    attempts = []
+    while True:
+        start_load = round(os.getloadavg()[0], 2)
+        r = run_bench(args.cores)
+        r["load_at_start"] = start_load
+        attempts.append(r)
+        if len(attempts) >= max_tries or (
+            start_load <= load_max and r["load_avg_1m"] <= load_max
+        ):
+            break
+    out = dict(attempts[-1])
+    if len(attempts) > 1:
+        names = set().union(*(a["queries"] for a in attempts))
+        out["queries"] = {
+            q: min(a["queries"][q] for a in attempts if q in a["queries"])
+            for q in sorted(names)
+        }
+        if "q1_pip_tile_pipeline" in out["queries"]:
+            out["value"] = round(
+                out["n_docs"] / out["queries"]["q1_pip_tile_pipeline"], 1)
+        out["attempt_loads"] = [
+            [a["load_at_start"], a["load_avg_1m"]] for a in attempts
+        ]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

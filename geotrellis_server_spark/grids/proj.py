@@ -797,6 +797,24 @@ def _from_lonlat(lon, lat, epsg: int):
     return tm_forward(lon, lat, lon0, fn)
 
 
+def registry_snapshot(*epsgs: int) -> dict:
+    """Pickle-able snapshot of the registry entries for the given codes
+    (empty for built-ins). Operators whose transforms run INSIDE
+    executor UDFs must capture this in the closure and replay it with
+    :func:`ensure_entries` — dynamically-minted CRSs (grids/proj4.py)
+    live in the driver's registry only; executor worker processes
+    re-import this module fresh."""
+    return {e: CRS_REGISTRY[e] for e in epsgs if e in CRS_REGISTRY}
+
+
+def ensure_entries(snapshot: dict) -> None:
+    """Replay a :func:`registry_snapshot` into this process's registry
+    (no-op for already-known codes). Safe to call per Arrow batch."""
+    for code, entry in snapshot.items():
+        if code not in CRS_REGISTRY:
+            CRS_REGISTRY[code] = entry
+
+
 def project_geodetic(lon, lat, epsg: int):
     """Projection-only forward: NATIVE-datum geographic coordinates
     (e.g. OSGB36 lat/lon for 27700) -> projected E/N, skipping the datum

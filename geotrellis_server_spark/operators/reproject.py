@@ -45,10 +45,17 @@ def reproject_tiles(
         ]
     )
 
+    from ..grids import proj
+
+    # proj4-minted CRSs live in the driver registry only — replay the
+    # entries inside the executor UDF (see proj.registry_snapshot)
+    snap = proj.registry_snapshot(src_epsg, dst_epsg)
+
     @F.pandas_udf(out_schema)
     def warp(cells: pd.Series, w_s: pd.Series, h_s: pd.Series,
              xmin: pd.Series, ymin: pd.Series, xmax: pd.Series,
              ymax: pd.Series) -> pd.DataFrame:
+        proj.ensure_entries(snap)
         rows = []
         for c, w, h, x0, y0, x1, y1 in zip(cells, w_s, h_s, xmin, ymin, xmax, ymax):
             w, h = int(w), int(h)

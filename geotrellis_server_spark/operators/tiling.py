@@ -48,8 +48,13 @@ def project_to_epsg(
     not once per output column."""
     from ..grids import proj
 
+    # dynamically-registered CRSs (grids/proj4.py) exist only in the
+    # driver's registry — ship the entry inside the closure
+    snap = proj.registry_snapshot(dst_epsg)
+
     @F.pandas_udf("x double, y double")
     def _proj(lo: pd.Series, la: pd.Series) -> pd.DataFrame:
+        proj.ensure_entries(snap)
         x, y = proj.transform(lo.to_numpy(np.float64), la.to_numpy(np.float64),
                               4326, dst_epsg)
         return pd.DataFrame({"x": x, "y": y})

@@ -49,3 +49,23 @@ def tile_counts_from_keyed(spark: SparkSession, table: str) -> DataFrame:
         .groupBy("zone_id", "tile_x", "tile_y")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def materialize_tile_pyramid(
+    tiles: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """Store a tile table (zoom, tile_x, tile_y[, band], width, height,
+    cells) bucketed+sorted by the HALO KEY. A focal/zonal/rollup pass
+    over ``spark.table(table)`` then reuses the bucketing for its
+    join-back: tile BODIES are read pre-partitioned from cold storage
+    and never enter an exchange — only edge strips shuffle. This is the
+    serve-from-disk analog of the ``repartition(key).cache()`` recipe
+    (VERDICT r3 item 9): at 100 TB the pyramid lives in object storage,
+    not executor memory, so the partitioning must come from the LAYOUT."""
+    (
+        tiles.write.mode("overwrite")
+        .bucketBy(n_buckets, "zoom", "tile_x", "tile_y")
+        .sortBy("zoom", "tile_x", "tile_y")
+        .format("parquet")
+        .saveAsTable(table)
+    )
