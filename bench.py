@@ -396,6 +396,8 @@ def run_scaling() -> None:
             prev_eff = None
     if prev_eff is not None and prev_eff >= round(eff, 3):
         print(json.dumps({"scaling_efficiency": round(eff, 3),
+                          "efficiency_clock_norm": eff_clock,
+                          "mhz": [mhz_lo, mhz_hi],
                           "kept_previous": prev_eff,
                           "cores": [lo, hi], "t_lo": t_lo, "t_hi": t_hi}))
         return

@@ -30,6 +30,7 @@ from ..sources.media_codecs import (
     avi_info,
     decode_avi_frame,
     decode_wav,
+    encode_mjpeg_avi,
     decode_y4m_frame,
     encode_wav,
     encode_y4m,
@@ -83,7 +84,7 @@ def synth_media(spark, docs: DataFrame) -> DataFrame:
                         + 0.25 * np.sin(t * (0.11 + seed[3] / 512.0))
                     payload = encode_wav(wave, sample_rate=8000)
                     meta = {"bytes": str(len(payload)), "codec": "audio/wav"}
-                else:
+                elif seed[2] % 2:
                     # REAL YUV4MPEG2 payload: deterministic luma frames
                     nf = 6 + seed[1] % 10
                     frames = np.frombuffer(
@@ -91,6 +92,16 @@ def synth_media(spark, docs: DataFrame) -> DataFrame:
                     ).reshape(nf, 4, 4)
                     payload = encode_y4m(frames)
                     meta = {"bytes": str(len(payload)), "codec": "video/y4m"}
+                else:
+                    # REAL Motion-JPEG AVI payload (COMPRESSED video —
+                    # RIFF container over the in-house T.81 encoder)
+                    nf = 3 + seed[1] % 5
+                    frames = np.frombuffer(
+                        (seed * (nf * 16))[: nf * 64], dtype=np.uint8
+                    ).reshape(nf, 8, 8)
+                    payload = encode_mjpeg_avi(frames)
+                    meta = {"bytes": str(len(payload)),
+                            "codec": "video/x-motion-jpeg"}
                 rows.append((ref, kind, payload, meta))
             yield pd.DataFrame(rows, columns=["media_ref", "kind", "payload", "meta"])
 

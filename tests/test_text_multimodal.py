@@ -169,8 +169,9 @@ def test_video_frame_sampling(spark):
         nos = [r.frame_no for r in rows]
         assert nos == sorted(nos) and nos[0] == 0  # evenly spaced from 0
         assert all(r.frame_no < r.n_frames_total for r in rows)
-        # real Y4M path: synth frames are 4x4 luma planes
-        assert all(len(r.pixels) == 4 * 4 for r in rows)
+        # real decode paths: synth Y4M frames are 4x4 luma planes,
+        # synth MJPEG-AVI frames 8x8
+        assert all(len(r.pixels) in (4 * 4, 8 * 8) for r in rows)
     # determinism: same payload → same frames
     again = {(r.media_ref, r.frame_no): list(r.pixels)
              for r in MM.sample_frames(vids, n_frames=3).collect()}
@@ -559,8 +560,13 @@ def test_synth_media_payloads_are_real_codecs(spark):
             assert p[:8] == b"\x89PNG\r\n\x1a\n"
         elif r.kind == "audio":
             assert p[:4] == b"RIFF" and r.meta["codec"] == "audio/wav"
+        elif r.meta["codec"] == "video/y4m":
+            assert p.startswith(b"YUV4MPEG2 ")
         else:
-            assert p.startswith(b"YUV4MPEG2 ") and r.meta["codec"] == "video/y4m"
+            assert p[:4] == b"RIFF" and p[8:12] == b"AVI "
+            assert r.meta["codec"] == "video/x-motion-jpeg"
+    codecs = {r.meta["codec"] for r in media}
+    assert {"video/y4m", "video/x-motion-jpeg"} <= codecs  # both video paths
 
 
 def test_mjpeg_avi_roundtrip():
