@@ -459,10 +459,12 @@ def main() -> None:
         print(json.dumps(run_bench(args.cores)))
         return
     # retry-if-loaded: the host carries external tenants (observed load
-    # swings 1-17 with nothing of ours running). A suite that STARTS or
-    # ENDS in a burst gets re-run and the per-query minima are merged
-    # (noise is strictly additive, so min-merge estimates the quiet
-    # window); every attempt's load is recorded for provenance.
+    # swings 1-17 with nothing of ours running). A suite that STARTS in
+    # a burst gets re-run and the per-query minima are merged (noise is
+    # strictly additive, so min-merge estimates the quiet window); every
+    # attempt's [start, end] load is recorded for provenance. Only the
+    # START load gates the retry — the END load is dominated by our own
+    # 32-core run and would force a pointless second pass every time.
     max_tries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
     load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "8"))
     attempts = []
@@ -471,9 +473,7 @@ def main() -> None:
         r = run_bench(args.cores)
         r["load_at_start"] = start_load
         attempts.append(r)
-        if len(attempts) >= max_tries or (
-            start_load <= load_max and r["load_avg_1m"] <= load_max
-        ):
+        if len(attempts) >= max_tries or start_load <= load_max:
             break
     out = dict(attempts[-1])
     if len(attempts) > 1:

@@ -156,37 +156,83 @@ def eval_focal(expr: Expr, params: dict[str, DataFrame]) -> DataFrame:
         key = KEY + ["band"]
 
     buf_of = {n: int(bufs.get(n, 0)) for n in names}
-    dfs = []
+    from ..operators.focal import STRIP_COLS
+
+    # per-var column layout in the kernel UDF: 1 column (cells) for an
+    # unbuffered var, 9 columns (body + 8 raw strips) for a buffered one.
+    # Halo-padded blocks are assembled with numpy BLOCK ASSIGNMENT inside
+    # the UDF we were already paying for — the JVM concat/slice build of
+    # cells_padded was ~60% of the halo step's cost, and NULL strips
+    # become NaN pads for free.
+    dfs, var_ncols = [], []
     for i, n in enumerate(names):
-        padded = with_halo(params[n], buf_of[n])
-        cols = [*key, F.col("cells_padded").alias(f"__p_{n}")]
-        if i == 0:
-            cols += [F.col("width"), F.col("height")]
-        dfs.append(padded.select(*cols))
+        b = buf_of[n]
+        if b <= 0:
+            picked = params[n].select(
+                *key, F.col("cells").alias(f"__c_{n}"),
+                *([F.col("width"), F.col("height")] if i == 0 else []))
+            var_ncols.append(1)
+        else:
+            raw = with_halo(params[n], b, assembled=False)
+            picked = raw.select(
+                *key, F.col("s_c").alias(f"__c_{n}"),
+                *[F.col(s).alias(f"__{n}_{s}") for s in STRIP_COLS],
+                *([F.col("width"), F.col("height")] if i == 0 else []))
+            var_ncols.append(9)
+        dfs.append(picked)
     joined = reduce(lambda a, b: a.join(b, key, "inner"), dfs[1:], dfs[0])
 
     pad_env = dict(buf_of)
+
+    def _assemble(w: int, h: int, b: int, body, strips) -> np.ndarray:
+        """(h+2b, w+2b) padded block from the row-major body + 8 strips
+        (corners (b,b), n/s (b,w), w/e (h,b)); None strip = NaN pad."""
+        p = np.full((h + 2 * b, w + 2 * b), np.nan, dtype=np.float64)
+        p[b:b + h, b:b + w] = np.asarray(body, dtype=np.float64).reshape(h, w)
+        nw, nn, ne, ww, ee, sw, ss, se = strips
+        spots = (
+            (nw, (slice(0, b), slice(0, b)), (b, b)),
+            (nn, (slice(0, b), slice(b, b + w)), (b, w)),
+            (ne, (slice(0, b), slice(b + w, None)), (b, b)),
+            (ww, (slice(b, b + h), slice(0, b)), (h, b)),
+            (ee, (slice(b, b + h), slice(b + w, None)), (h, b)),
+            (sw, (slice(b + h, None), slice(0, b)), (b, b)),
+            (ss, (slice(b + h, None), slice(b, b + w)), (b, w)),
+            (se, (slice(b + h, None), slice(b + w, None)), (b, b)),
+        )
+        for strip, where, shape in spots:
+            if strip is not None:
+                p[where] = np.asarray(strip, dtype=np.float64).reshape(shape)
+        return p
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def apply_kernel(width: pd.Series, height: pd.Series, *cols: pd.Series) -> pd.Series:
         out = []
         col_vals = [c.to_numpy() for c in cols]  # zip, not per-row .iloc
-        for w, h, *row_cells in zip(width.to_numpy(), height.to_numpy(), *col_vals):
+        for w, h, *row in zip(width.to_numpy(), height.to_numpy(), *col_vals):
             w, h = int(w), int(h)
             env = {"__pad__": pad_env}
-            for n, c in zip(names, row_cells):
+            j = 0
+            for n, nc in zip(names, var_ncols):
                 b = pad_env[n]
-                env[n] = np.asarray(c, dtype=np.float64).reshape(h + 2 * b, w + 2 * b)
+                if nc == 1:
+                    env[n] = np.asarray(row[j], dtype=np.float64).reshape(h, w)
+                else:
+                    env[n] = _assemble(w, h, b, row[j], row[j + 1:j + 9])
+                j += nc
             out.append(np.asarray(kernel(env), dtype=np.float64).ravel())
         return pd.Series(out)
 
+    kernel_cols = []
+    for n, nc in zip(names, var_ncols):
+        kernel_cols.append(F.col(f"__c_{n}"))
+        if nc == 9:
+            kernel_cols += [F.col(f"__{n}_{s}") for s in STRIP_COLS]
     return joined.select(
         *key,
         "width",
         "height",
-        apply_kernel(
-            F.col("width"), F.col("height"), *[F.col(f"__p_{n}") for n in names]
-        ).alias("cells"),
+        apply_kernel(F.col("width"), F.col("height"), *kernel_cols).alias("cells"),
     )
 
 

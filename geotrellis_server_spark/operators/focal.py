@@ -61,14 +61,25 @@ def _strip_sql(r: int) -> str:
     )
 
 
-def with_halo(tiles: DataFrame, radius: int) -> DataFrame:
+STRIP_COLS = ("s_nw", "s_n", "s_ne", "s_w", "s_e", "s_sw", "s_s", "s_se")
+
+
+def with_halo(tiles: DataFrame, radius: int,
+              assembled: bool = True) -> DataFrame:
     """tiles(zoom, tile_x, tile_y[, band], width, height, cells) →
     (key..., width, height, cells_padded) where cells_padded is the
     (h+2r)*(w+2r) row-major block (NaN outside contributing neighbors).
     Band-aware when a ``band`` column is present (each band exchanges its
     own halo). Only tile keys present in the input appear in the output
     (neighbor copies alone don't materialize a tile — matches the
-    reference reading neighbors *of* an existing tile)."""
+    reference reading neighbors *of* an existing tile).
+
+    ``assembled=False`` returns the RAW pivot instead: (key..., width,
+    height, s_c, s_nw..s_se) with NULL for absent neighbors — for
+    consumers that already cross into Python (the MAML fused kernel's
+    pandas UDF), where numpy block assignment beats the JVM
+    concat/slice padded-array build (measured: the SQL assembly was
+    ~60% of q9's halo step) and Arrow ships strictly fewer bytes."""
     r = int(radius)
     key = KEY + (["band"] if "band" in tiles.columns else [])
     if r <= 0:
@@ -128,6 +139,8 @@ def with_halo(tiles: DataFrame, radius: int) -> DataFrame:
     # fills below — so join tiles LEFT with halos.
     pivoted = tiles.select(*key, "width", "height",
                            F.col("cells").alias("s_c")).join(halos, key, "left")
+    if not assembled:
+        return pivoted
 
     nan = "CAST('NaN' AS DOUBLE)"
     fill = {  # NaN pads for missing neighbors, sized per strip shape
