@@ -394,9 +394,16 @@ def mollweide_inverse(x, y, p: dict):
 
 def _ps_tf_mf(p: dict) -> tuple[float, float, float]:
     """(tF, mF, e) at the standard parallel (north-aspect values —
-    south aspects negate the latitude before calling)."""
+    south aspects negate the latitude before calling). With ``k0`` in
+    the dict (EPSG method 9810 variant A — scale defined AT the pole,
+    e.g. UPS), returns (1, factor) with
+    factor = 2 k0 / sqrt((1+e)^(1+e) (1-e)^(1-e)) so rho = a·factor·t."""
     e2 = p["e2"]
     e = float(np.sqrt(e2))
+    if "k0" in p:
+        factor = 2.0 * float(p["k0"]) / float(
+            np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e)))
+        return 1.0, factor, e
     phif = np.radians(abs(p["lat_ts"]))
     sf = np.sin(phif)
     tf = float(
@@ -466,10 +473,15 @@ def _lcc_consts(p: dict) -> tuple[float, float, float, float]:
     e2 = p["e2"]
     e = float(np.sqrt(e2))
     m1, t1 = _lcc_m_t(np.radians(p["lat1"]), e, e2)
-    m2, t2 = _lcc_m_t(np.radians(p["lat2"]), e, e2)
     _, tf = _lcc_m_t(np.radians(p["lat_f"]), e, e2)
-    n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
-    f = float(m1 / (n * t1**n))
+    if p["lat1"] == p["lat2"]:
+        # 1SP limit (EPSG method 9801): n = sin(lat1); optional k0
+        # scales every radius (rho = a k0 F t^n)
+        n = float(np.sin(np.radians(p["lat1"])))
+    else:
+        m2, t2 = _lcc_m_t(np.radians(p["lat2"]), e, e2)
+        n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
+    f = float(m1 / (n * t1**n)) * float(p.get("k0", 1.0))
     rho_f = float(p["a"] * f * tf**n)
     return n, f, rho_f, e
 
@@ -751,6 +763,12 @@ CRS_REGISTRY: dict[int, tuple[str, dict]] = {
     # WGS 84 / Arctic Polar Stereographic
     3995: ("ps", {"a": A_WGS84, "e2": E2, "lat_ts": 71.0, "lon0": 0.0,
                   "fe": 0.0, "fn": 0.0}),
+    # WGS 84 / UPS North + South (EPSG method 9810 variant A: scale
+    # 0.994 defined AT the pole; EPSG 7-2 worked example exact)
+    32661: ("ps", {"a": A_WGS84, "e2": E2, "lat_ts": 90.0, "k0": 0.994,
+                   "lon0": 0.0, "fe": 2000000.0, "fn": 2000000.0}),
+    32761: ("ps", {"a": A_WGS84, "e2": E2, "lat_ts": -90.0, "k0": 0.994,
+                   "lon0": 0.0, "fe": 2000000.0, "fn": 2000000.0}),
 }
 
 _KIND_FWD = {"laea": laea_forward, "ps": ps_forward, "lcc": lcc_forward,

@@ -141,11 +141,13 @@ def params_from_proj4(proj4: str) -> tuple[str, dict]:
     elif kind_in == "lcc":
         lat1 = _fl(toks, "lat_1")
         lat2 = _fl(toks, "lat_2", lat1)
-        if lat1 == lat2 and _fl(toks, "k_0", 1.0) != 1.0:
-            raise NotImplementedError("LCC 1SP with k_0 != 1")
         kind, p = "lcc", {"a": a, "e2": e2, "lat1": lat1, "lat2": lat2,
                           "lat_f": _fl(toks, "lat_0", lat1), "lon0": lon0,
                           "fe": fe, "fn": fn}
+        if lat1 == lat2:  # 1SP (method 9801): k_0 scales every radius
+            p["k0"] = _fl(toks, "k_0", 1.0)
+        elif _fl(toks, "k_0", 1.0) != 1.0:
+            raise NotImplementedError("LCC 2SP with k_0 != 1")
     elif kind_in == "laea":
         lat0 = _fl(toks, "lat_0", 0.0)
         if abs(lat0) == 90.0:
@@ -164,16 +166,17 @@ def params_from_proj4(proj4: str) -> tuple[str, dict]:
         if abs(lat0) != 90.0:
             raise NotImplementedError("oblique stereographic (polar only)")
         if "lat_ts" not in toks:
-            if _fl(toks, "k_0", 1.0) != 1.0:
-                raise NotImplementedError("polar stereographic variant A "
-                                          "(+k_0 at pole); give +lat_ts")
+            # variant A (method 9810: scale defined AT the pole, e.g. UPS)
             lat_ts = lat0
+            kind, p = "ps", {"a": a, "e2": e2, "lat_ts": lat_ts,
+                             "k0": _fl(toks, "k_0", 1.0),
+                             "lon0": lon0, "fe": fe, "fn": fn}
         else:
             lat_ts = _fl(toks, "lat_ts")
-        # kernel encodes the aspect in lat_ts's sign
-        kind, p = "ps", {"a": a, "e2": e2,
-                         "lat_ts": abs(lat_ts) if lat0 > 0 else -abs(lat_ts),
-                         "lon0": lon0, "fe": fe, "fn": fn}
+            # kernel encodes the aspect in lat_ts's sign
+            kind, p = "ps", {"a": a, "e2": e2,
+                             "lat_ts": abs(lat_ts) if lat0 > 0 else -abs(lat_ts),
+                             "lon0": lon0, "fe": fe, "fn": fn}
     elif kind_in == "eqc":
         kind, p = "eqc", {"a": a, "e2": e2,
                           "lat1": _fl(toks, "lat_ts", _fl(toks, "lat_1", 0.0)),

@@ -113,3 +113,62 @@ def test_engine_describe_advertises_proj4():
     assert any(str(c).startswith("proj4:") for c in crs)
     # dynamically minted codes stay out of the advertised list
     assert all(not (isinstance(c, int) and c >= 910000) for c in crs)
+
+
+def test_lcc_1sp_jamaica_worked_example():
+    # EPSG Guidance 7-2, method 9801 (Lambert conic conformal 1SP),
+    # Jamaica 1969 national grid zone: Clarke 1866, lat_0 = lat_1 = 18N,
+    # lon_0 = 77W, k_0 = 1, FE 250000, FN 150000. Point
+    # 17d55'55.80"N 76d56'37.26"W -> E 255966.58, N 142493.51.
+    # (Projection-only: the Jamaica 1969 datum shift is out of scope.)
+    code = proj4.crs_from_proj4(
+        "+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 +k_0=1.0 "
+        "+x_0=250000 +y_0=150000 +ellps=clrk66")
+    lat = 17.0 + 55.0 / 60.0 + 55.80 / 3600.0
+    lon = -(76.0 + 56.0 / 60.0 + 37.26 / 3600.0)
+    x, y = proj.project_geodetic(lon, lat, code)
+    assert abs(float(x) - 255966.58) < 0.02
+    assert abs(float(y) - 142493.51) < 0.02
+    lo, la = proj.inverse_geodetic(x, y, code)
+    assert abs(float(lo) - lon) < 1e-9 and abs(float(la) - lat) < 1e-9
+
+
+def test_lcc_1sp_limit_and_k0_scaling():
+    base = {"a": proj.A_GRS80, "e2": proj.E2_GRS80, "lat_f": 40.0,
+            "lon0": -100.0, "fe": 0.0, "fn": 0.0}
+    one_sp = proj4.crs_from_params("lcc", {**base, "lat1": 40.0,
+                                           "lat2": 40.0})
+    two_sp = proj4.crs_from_params("lcc", {**base, "lat1": 39.999,
+                                           "lat2": 40.001})
+    # 1SP = the 2SP limit as the parallels merge (sub-mm at eps=0.001 deg)
+    x1, y1 = proj.transform(-96.5, 42.25, 4326, one_sp)
+    x2, y2 = proj.transform(-96.5, 42.25, 4326, two_sp)
+    assert abs(float(x1 - x2)) < 2e-3 and abs(float(y1 - y2)) < 2e-3
+    # k0 scales offsets from the false origin EXACTLY (rho = a k0 F t^n)
+    scaled = proj4.crs_from_params("lcc", {**base, "lat1": 40.0,
+                                           "lat2": 40.0, "k0": 0.9995})
+    x3, y3 = proj.transform(-96.5, 42.25, 4326, scaled)
+    x0, y0 = proj.transform(-100.0, 40.0, 4326, one_sp)  # false origin
+    assert abs(float(x3) - 0.9995 * float(x1)) < 1e-6
+    assert abs(float(y3 - y0 * 0.9995) - 0.9995 * float(y1 - y0)) < 1e-6
+
+
+def test_ups_worked_example_and_proj4():
+    # EPSG Guidance 7-2, method 9810 variant A (scale at the pole):
+    # WGS84 / UPS North (EPSG:32661), k_0 = 0.994, FE = FN = 2000000.
+    # Point 73N 44E -> E 3320416.75, N 632668.43.
+    x, y = proj.transform(44.0, 73.0, 4326, 32661)
+    assert abs(float(x) - 3320416.75) < 0.02
+    assert abs(float(y) - 632668.43) < 0.02
+    lon, lat = proj.transform(x, y, 32661, 4326)
+    assert abs(float(lon) - 44.0) < 1e-9 and abs(float(lat) - 73.0) < 1e-9
+    # the proj4 spelling (no +lat_ts -> variant A) mints an equal CRS
+    code = proj4.crs_from_proj4(
+        "+proj=stere +lat_0=90 +k_0=0.994 +x_0=2000000 +y_0=2000000 "
+        "+datum=WGS84")
+    x2, y2 = proj.transform(44.0, 73.0, 4326, code)
+    assert abs(float(x2 - x)) < 1e-9 and abs(float(y2 - y)) < 1e-9
+    # south aspect roundtrips
+    xs, ys = proj.transform(-63.0, -75.0, 4326, 32761)
+    lo, la = proj.transform(xs, ys, 32761, 4326)
+    assert abs(float(lo) + 63.0) < 1e-9 and abs(float(la) + 75.0) < 1e-9
