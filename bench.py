@@ -377,6 +377,16 @@ def run_scaling() -> None:
     mhz_hi = results[hi].get("cpu_mhz")
     eff_clock = (round(eff * mhz_lo / mhz_hi, 3)
                  if mhz_lo and mhz_hi else None)
+    # over-unity pairs are INVALID evidence, not good news: local[N]
+    # threads share every cache and memory channel, so there is no
+    # superlinear mechanism — eff > 1 proves the LO leg was contaminated
+    # (the mirror image of the hi-leg bursts that produce the low
+    # outliers). Log it, change nothing on disk.
+    if eff > 1.0:
+        print(json.dumps({"scaling_efficiency_raw": round(eff, 3),
+                          "invalid": "over-unity (lo leg contaminated)",
+                          "cores": [lo, hi], "t_lo": t_lo, "t_hi": t_hi}))
+        return
     os.makedirs("BENCH", exist_ok=True)
     # keep-best policy: external-tenant bursts make individual pairs
     # one-sidedly WORSE, never better, so the highest-efficiency raw pair
