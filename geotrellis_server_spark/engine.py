@@ -144,6 +144,33 @@ class Engine:
 
         return self.request_cache.get_or(key, compute)
 
+    def get_legend_png(
+        self, layer_name: str, width: int = 20, height: int = 160
+    ) -> bytes | None:
+        """GetLegendGraphic analog: render the layer's style as a legend
+        swatch PNG (vertical ramp, max value at the TOP — map-legend
+        convention). The reference only advertises a LegendModel URL in
+        capabilities (style/LegendModel.scala) and leaves rendering to
+        the style host; here the engine serves the image too. Returns
+        None for unstyled layers (greyscale auto-rescale has no fixed
+        value scale to draw)."""
+        layer = self.layers[layer_name]
+        style = layer.style
+        if not style or "poles" not in style:
+            return None
+        key = ("legend_png", layer_name, layer.generation, width, height)
+
+        def compute() -> bytes:
+            poles = style["poles"]
+            lo, hi = min(poles), max(poles)
+            vals = np.linspace(hi, lo, height)[:, None].repeat(width, axis=1)
+            rgba = CM.interpolated_colormap(
+                vals, poles, style.get("clip", CM.CLIP_NONE)
+            )
+            return encode_png(rgba)
+
+        return self.request_cache.get_or(key, compute)
+
     def set_layer(self, name: str, layer: Layer) -> None:
         """Replace (or add) a layer and drop every cached response — the
         id()-keyed tile entries above would already miss, but histogram/
@@ -343,6 +370,17 @@ class Engine:
                             "application/geo+json"],
                 "request_crs": _supported_epsg(),
             }
+            if layer.style is not None:
+                # LegendModel parity (ogc/.../style/LegendModel.scala:
+                # format/width/height/onlineResource) — and unlike the
+                # reference, which only ADVERTISES the URL, the engine
+                # also renders it (get_legend_png)
+                entry["legend"] = {
+                    "format": "image/png",
+                    "width": 20,
+                    "height": 160,
+                    "online_resource": f"legend/{name}.png",
+                }
             if layer.scheme is not None:
                 # WMTS tile-matrix-set metadata (GeotrellisTileMatrix
                 # capabilities analog): CRS + per-zoom grid dims and

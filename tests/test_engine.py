@@ -235,3 +235,34 @@ def test_describe_advertises_formats_and_crs(spark):
     assert "image/jpeg" in entry["formats"] and "image/png" in entry["formats"]
     crs = entry["request_crs"]
     assert 4326 in crs and 3035 in crs and 5070 in crs and 54009 in crs
+
+
+def test_legend_png_rendering(spark):
+    from geotrellis_server_spark.engine import Engine, Layer
+    from geotrellis_server_spark.operators import tiling as _tiling
+    from geotrellis_server_spark.sources import synth
+    from geotrellis_server_spark.styles.png import decode_png
+
+    docs = synth.extract_geometry(synth.docs(spark, 500))
+    tiles = _tiling.rasterize_count(docs, 2, tile_size=8)
+    poles = {0.0: (0, 0, 255, 255), 10.0: (255, 0, 0, 255)}
+    eng = Engine(spark, {
+        "plain": Layer("plain", tiles),
+        "styled": Layer("styled", tiles, style={"poles": poles}),
+    })
+    assert eng.get_legend_png("plain") is None  # no fixed value scale
+    png = eng.get_legend_png("styled", width=8, height=64)
+    arr = decode_png(png)
+    assert arr.shape == (64, 8, 4)
+    # map-legend convention: max value (red pole) at the TOP
+    assert tuple(arr[0, 0]) == (255, 0, 0, 255)
+    assert tuple(arr[-1, 0]) == (0, 0, 255, 255)
+    # midpoint interpolates between the poles
+    mid = arr[32, 0].astype(int)
+    assert 100 < mid[0] < 160 and 100 < mid[2] < 160
+    # describe() advertises the LegendModel fields for styled layers only
+    by_name = {e["name"]: e for e in eng.describe()}
+    assert "legend" not in by_name["plain"]
+    leg = by_name["styled"]["legend"]
+    assert leg["format"] == "image/png" and leg["online_resource"].endswith(
+        "styled.png")
