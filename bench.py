@@ -273,9 +273,15 @@ def run_bench(cores: int) -> dict:
         # halo exchange (operators/focal.py) then reuses this partitioning
         # for its join-back and only edge strips shuffle (a pyramid table
         # stored partitioned by tile key gives the same reuse for free)
+        # cores*1, not cores*4: the z6 pyramid is 4,096 tiles, and at
+        # 128 partitions every downstream stage paid ~32 tiles' work per
+        # 128 task launches — scheduling-bound (measured: q9 2.77 → 1.69
+        # s just from this). Partition count should track DATA volume
+        # (tiles/partition), not a fixed core multiple; at 100 TB the
+        # same ~128 tiles/partition rule gives thousands of partitions.
         tiles_z6 = (
             tiling.rasterize_count(load(), 6, tile_size=64)
-            .repartition(cores * 4, "zoom", "tile_x", "tile_y")
+            .repartition(cores, "zoom", "tile_x", "tile_y")
             .cache()
         )
         tiles_z6.count()  # materialize outside the timed region (input table)
