@@ -1331,6 +1331,65 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE ENCODING (bpe.bpe_encode — shuffle-free
+    mapInPandas with a per-batch word cache): the golden corpus encoded
+    with its own trained merge table; the oracle re-derives both table
+    and tokenization with the independent scalar implementations."""
+    from geotrellis_server_spark.operators.bpe import bpe_encode, learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(str(i), s) for i, s in enumerate(_bpe_golden_corpus())],
+        "doc_id STRING, text STRING",
+    )
+    merges = learn_bpe_merges(docs, n_merges=24)
+    enc = bpe_encode(docs, merges)
+    return enc.selectExpr(
+        "CAST(doc_id AS INT) AS doc_id", "n_tokens",
+        "concat_ws(' ', tokens) AS token_str",
+    )
+
+
+def _scalar_bpe_encode_word(word: str, ranks: dict, cache: dict) -> list:
+    if word in cache:
+        return cache[word]
+    syms = list(word) + ["</w>"]
+    while True:
+        pairs = [(ranks[(syms[i], syms[i + 1])], i)
+                 for i in range(len(syms) - 1)
+                 if (syms[i], syms[i + 1]) in ranks]
+        if not pairs:
+            break
+        _, i = min(pairs)
+        syms[i:i + 2] = [syms[i] + syms[i + 1]]
+    cache[word] = syms
+    return syms
+
+
+def _bpe_encode_oracle() -> str:
+    from geotrellis_server_spark.operators.bpe import reference_bpe
+
+    freqs: dict[str, int] = {}
+    corpus = _bpe_golden_corpus()
+    for s in corpus:
+        for w in s.split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    ranks = {m: i for i, m in enumerate(reference_bpe(freqs, 24))}
+    cache: dict = {}
+    rows = []
+    for i, s in enumerate(corpus):
+        toks = [t for w in s.split(" ") if w
+                for t in _scalar_bpe_encode_word(w, ranks, cache)]
+        rows.append((i, len(toks), " ".join(toks)))
+    vals = ", ".join(f"({i}, {n}, '{t}')" for i, n, t in rows)
+    return f"""
+    SELECT CAST(doc_id AS INT) AS doc_id, CAST(n AS INT) AS n_tokens,
+           token_str
+    FROM (VALUES {vals}) t(doc_id, n, token_str)
+    """
+
+
 def _bpe_oracle() -> str:
     from geotrellis_server_spark.operators.bpe import reference_bpe
 
@@ -2405,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_1h": _q_sessionize,
         "sketch_cms_source_counts": _q_cms_counts,
         "pipeline_bpe_merges": _q_bpe_merges,
+        "pipeline_bpe_encode": _q_bpe_encode,
         "geo_reproject_points_utm33": _q_reproject_points,
         "geo_reproject_proj4_lcc": _q_reproject_proj4_lcc,
         "pipeline_curation_v2": _q_curation_v2,
@@ -2653,6 +2713,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_temporal_mean_z2": _temporal_mean_oracle(),
         "pipeline_decontaminate": _decontaminate_oracle(),
         "pipeline_bpe_merges": _bpe_oracle(),
+        "pipeline_bpe_encode": _bpe_encode_oracle(),
         "sketch_kmv_distinct": _kmv_sketch_oracle(),
         "sketch_quantile_sample": _quantile_sketch_oracle(),
         "join_asof_purchase_view": _asof_join_oracle(),

@@ -19,9 +19,8 @@ Each merge round then:
 
 State is localCheckpoint()ed per round (flat lineage — same recipe as
 dedup.connected_components). ``learn_bpe_merges`` returns the ordered
-merge list; ``bpe_encode_sql`` is intentionally NOT provided — encoding
-with a learned merge table is the cheap map-side part and lives with
-the serving stack.
+merge list; ``bpe_encode`` applies it (shuffle-free scan → mapInPandas
+with a per-batch word cache).
 """
 
 from __future__ import annotations
@@ -135,3 +134,52 @@ def reference_bpe(word_freqs: dict[str, int], n_merges: int,
                     i += 1
             vocab[w] = res
     return merges
+
+
+def bpe_encode(
+    docs: DataFrame, merges: list, text_col: str = "text",
+    id_col: str = "doc_id", end_mark: str = "</w>",
+) -> DataFrame:
+    """Apply a learned merge table to the corpus: (id, tokens, n_tokens)
+    — REAL BPE token counts, not the regex estimate in operators/text.
+
+    100-TB shape: the merge table is tiny (broadcast in the closure,
+    rank dict = O(merges)); encoding is embarrassingly row-local over
+    ``mapInPandas`` Arrow batches with a per-batch WORD CACHE — natural
+    text re-uses words heavily, so each distinct word is merged once per
+    batch, not once per occurrence. No shuffle at all: the plan is scan
+    → mapInPandas."""
+    ranks = {(a, b): i for i, (a, b, *_) in enumerate(merges)}
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        if word in cache:
+            return cache[word]
+        syms = list(word) + [end_mark]
+        while len(syms) >= 2:
+            best_i, best_r = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[word] = syms
+        return syms
+
+    def run(batches):
+        for pdf in batches:
+            cache: dict = {}
+            toks = [
+                [t for w in str(txt).split() if w
+                 for t in encode_word(w, cache)]
+                for txt in pdf[text_col]
+            ]
+            out = pdf[[id_col]].copy()
+            out["tokens"] = toks
+            out["n_tokens"] = [len(t) for t in toks]
+            yield out
+
+    return docs.mapInPandas(
+        run, f"{id_col} STRING, tokens ARRAY<STRING>, n_tokens INT"
+    )

@@ -36,3 +36,37 @@ def test_bpe_stops_when_exhausted(spark):
     merges = learn_bpe_merges(docs, n_merges=50)
     # 'ab</w>' fully merges in 2 steps; trainer must stop, not loop
     assert 1 <= len(merges) <= 3
+
+
+def test_bpe_encode_matches_greedy_reference(spark):
+    from geotrellis_server_spark.operators.bpe import (
+        bpe_encode,
+        learn_bpe_merges,
+        reference_bpe,
+    )
+
+    texts = ["low lower lowest", "new newer newest low", "wide wider new"]
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id STRING, text STRING")
+    merges = learn_bpe_merges(docs, 10)
+    got = {r.doc_id: (list(r.tokens), r.n_tokens)
+           for r in bpe_encode(docs, merges).collect()}
+
+    # independent scalar greedy application of the same table
+    ranks = {m: i for i, m in enumerate(merges)}
+    def enc(word):
+        syms = list(word) + ["</w>"]
+        while True:
+            pairs = [(ranks[(syms[i], syms[i+1])], i)
+                     for i in range(len(syms)-1) if (syms[i], syms[i+1]) in ranks]
+            if not pairs:
+                return syms
+            _, i = min(pairs)
+            syms[i:i+2] = [syms[i] + syms[i+1]]
+    for i, t in enumerate(texts):
+        want = [s for w in t.split() for s in enc(w)]
+        assert got[str(i)][0] == want and got[str(i)][1] == len(want)
+    # encoding is partition-invariant
+    a = {r.doc_id: list(r.tokens)
+         for r in bpe_encode(docs.repartition(4), merges).collect()}
+    assert a == {k: v[0] for k, v in got.items()}
