@@ -266,7 +266,8 @@ def run_bench(cores: int) -> dict:
     from geotrellis_server_spark.maml.eval import eval_expr
 
     any_z6 = any(wanted(n) for n in
-                 ("q9_focal_fmean_z6", "q11_mask_polygon_z6", "q14_pyramid_up_z6to5"))
+                 ("q9_focal_fmean_z6", "q11_mask_polygon_z6",
+                  "q14_pyramid_up_z6to5", "q18_focal_cold_bucketed"))
     tiles_z6 = None
     if any_z6:
         # partitioned BY THE HALO KEY before caching — the strips-only
@@ -305,6 +306,24 @@ def run_bench(cores: int) -> dict:
         lambda: tiling.pyramid_up(tiles_z6, agg="sum")
         .write.mode("overwrite").format("noop").save(),
     )
+    # q18 — focal fmean served from COLD bucketed storage (no cache):
+    # the pyramid table is bucketed by the halo key, so the join-back's
+    # body side is the file scan itself (plan-asserted in
+    # test_bucketed.py) — the 100-TB serving shape, where the pyramid
+    # lives in object storage, not executor memory
+    if wanted("q18_focal_cold_bucketed") and tiles_z6 is not None:
+        from geotrellis_server_spark.sources import bucketed as _bucketed
+
+        tbl = "bench_pyr_z6"
+        if not spark.catalog.tableExists(tbl):
+            _bucketed.materialize_tile_pyramid(tiles_z6, tbl,
+                                               n_buckets=cores)
+        timed(
+            "q18_focal_cold_bucketed",
+            lambda: eval_expr(M.focal("fmean", M.var("d"), radius=1),
+                              {"d": spark.table(tbl)})
+            .write.mode("overwrite").format("noop").save(),
+        )
     if tiles_z6 is not None:
         tiles_z6.unpersist()
 
