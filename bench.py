@@ -316,6 +316,12 @@ def run_bench(cores: int) -> dict:
 
         tbl = "bench_pyr_z6"
         if not spark.catalog.tableExists(tbl):
+            # fresh sessions use an in-memory catalog: an orphaned
+            # warehouse dir from a previous run blocks CREATE
+            import shutil
+
+            shutil.rmtree(os.path.join("spark-warehouse", tbl),
+                          ignore_errors=True)
             _bucketed.materialize_tile_pyramid(tiles_z6, tbl,
                                                n_buckets=cores)
         timed(
