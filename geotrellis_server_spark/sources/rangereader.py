@@ -72,9 +72,10 @@ class FileRangeReader:
 class HttpRangeReader:
     """Range reader over HTTP(S) using ``Range:`` headers.
 
-    Public-protocol implementation (RFC 7233 byte ranges via urllib).
-    This container has no network access, so the class is construct-only
-    here; gate tests exercise it if a deployment provides connectivity.
+    Public-protocol implementation (RFC 7233 byte ranges via urllib),
+    tested against a live localhost range server including the full
+    CogReader windowed-read path (test_rangereader.py) — windowed reads
+    verifiably fetch byte ranges, not whole files.
     """
 
     def __init__(self, url: str, timeout: float = 30.0):
