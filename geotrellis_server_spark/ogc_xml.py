@@ -1,0 +1,153 @@
+"""OGC capabilities XML rendering — WMS 1.3.0 + WMTS 1.0.0 documents
+built from ``Engine.describe()``.
+
+Reference parity: ogc/src/main/scala/geotrellis/server/ogc/wms/
+CapabilitiesView.scala:50-137 (WMS_Capabilities via scalaxb) and
+wmts/CapabilitiesView.scala (tile matrix sets). SURVEY §2.1 S11 chose
+``describe()`` dicts as the primary metadata surface; this module is
+the XML SERIALIZATION of that same data for clients that speak the OGC
+protocols (QGIS, Leaflet WMS plugins, anything pointing at
+GetCapabilities), built with stdlib ElementTree — schema-shaped per the
+public OGC specs (WMS 1.3.0 ch. 7.2.4, WMTS 1.0 ch. 7.1.1), no JVM XML
+stack."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+WMS_NS = "http://www.opengis.net/wms"
+XLINK_NS = "http://www.w3.org/1999/xlink"
+OWS_NS = "http://www.opengis.net/ows/1.1"
+WMTS_NS = "http://www.opengis.net/wmts/1.0"
+
+
+def _sub(parent, tag, text=None, **attrs):
+    el = ET.SubElement(parent, tag, attrs)
+    if text is not None:
+        el.text = str(text)
+    return el
+
+
+def _crs_strings(request_crs: list) -> list[str]:
+    out = []
+    for c in request_crs:
+        if isinstance(c, int):
+            out.append(f"EPSG:{c}")
+        elif str(c).startswith("utm:"):
+            # range marker: advertise the zones compactly per WMS's flat
+            # CRS list by expanding the first/last of each hemisphere
+            out.append("EPSG:32601-32660")
+            out.append("EPSG:32701-32760")
+    return out
+
+
+def wms_capabilities(
+    describe_entries: list[dict], service_url: str = "http://localhost/wms",
+    title: str = "geotrellis_server_spark",
+) -> str:
+    """WMS 1.3.0 GetCapabilities XML from Engine.describe() output."""
+    ET.register_namespace("", WMS_NS)
+    ET.register_namespace("xlink", XLINK_NS)
+    root = ET.Element(f"{{{WMS_NS}}}WMS_Capabilities", {"version": "1.3.0"})
+
+    svc = _sub(root, f"{{{WMS_NS}}}Service")
+    _sub(svc, f"{{{WMS_NS}}}Name", "WMS")
+    _sub(svc, f"{{{WMS_NS}}}Title", title)
+    _sub(svc, f"{{{WMS_NS}}}OnlineResource",
+         **{f"{{{XLINK_NS}}}href": service_url})
+
+    cap = _sub(root, f"{{{WMS_NS}}}Capability")
+    req = _sub(cap, f"{{{WMS_NS}}}Request")
+    for op, formats in (
+        ("GetCapabilities", ["text/xml"]),
+        ("GetMap", ["image/png", "image/jpeg", "image/geotiff"]),
+        ("GetFeatureInfo", ["application/json", "text/xml"]),
+    ):
+        o = _sub(req, f"{{{WMS_NS}}}{op}")
+        for f in formats:
+            _sub(o, f"{{{WMS_NS}}}Format", f)
+        dcp = _sub(_sub(_sub(o, f"{{{WMS_NS}}}DCPType"),
+                        f"{{{WMS_NS}}}HTTP"), f"{{{WMS_NS}}}Get")
+        _sub(dcp, f"{{{WMS_NS}}}OnlineResource",
+             **{f"{{{XLINK_NS}}}href": service_url})
+    exc = _sub(cap, f"{{{WMS_NS}}}Exception")
+    for code in ("XML", "INIMAGE", "BLANK", "JSON"):
+        _sub(exc, f"{{{WMS_NS}}}Format", code)
+
+    parent = _sub(cap, f"{{{WMS_NS}}}Layer")
+    _sub(parent, f"{{{WMS_NS}}}Title", title)
+    for e in describe_entries:
+        lay = _sub(parent, f"{{{WMS_NS}}}Layer", queryable="1")
+        _sub(lay, f"{{{WMS_NS}}}Name", e["name"])
+        _sub(lay, f"{{{WMS_NS}}}Title", e["name"])
+        for crs in _crs_strings(e.get("request_crs", [])):
+            _sub(lay, f"{{{WMS_NS}}}CRS", crs)
+        xmin, ymin, xmax, ymax = e["extent"]
+        bb = _sub(lay, f"{{{WMS_NS}}}EX_GeographicBoundingBox")
+        _sub(bb, f"{{{WMS_NS}}}westBoundLongitude", xmin)
+        _sub(bb, f"{{{WMS_NS}}}eastBoundLongitude", xmax)
+        _sub(bb, f"{{{WMS_NS}}}southBoundLatitude", ymin)
+        _sub(bb, f"{{{WMS_NS}}}northBoundLatitude", ymax)
+        if e.get("legend"):
+            st = _sub(lay, f"{{{WMS_NS}}}Style")
+            _sub(st, f"{{{WMS_NS}}}Name", "default")
+            leg = e["legend"]
+            lg = _sub(st, f"{{{WMS_NS}}}LegendURL",
+                      width=str(leg["width"]), height=str(leg["height"]))
+            _sub(lg, f"{{{WMS_NS}}}Format", leg["format"])
+            _sub(lg, f"{{{WMS_NS}}}OnlineResource",
+                 **{f"{{{XLINK_NS}}}href": leg["online_resource"]})
+    return ET.tostring(root, encoding="unicode", xml_declaration=True)
+
+
+def wmts_capabilities(
+    describe_entries: list[dict], service_url: str = "http://localhost/wmts",
+    title: str = "geotrellis_server_spark",
+) -> str:
+    """WMTS 1.0.0 GetCapabilities XML: layers + TileMatrixSet blocks
+    from the ``matrix_set`` metadata (GeotrellisTileMatrix analog)."""
+    ET.register_namespace("", WMTS_NS)
+    ET.register_namespace("ows", OWS_NS)
+    ET.register_namespace("xlink", XLINK_NS)
+    root = ET.Element(f"{{{WMTS_NS}}}Capabilities", {"version": "1.0.0"})
+    ident = _sub(root, f"{{{OWS_NS}}}ServiceIdentification")
+    _sub(ident, f"{{{OWS_NS}}}Title", title)
+    _sub(ident, f"{{{OWS_NS}}}ServiceType", "OGC WMTS")
+
+    contents = _sub(root, f"{{{WMTS_NS}}}Contents")
+    matrix_sets = {}
+    for e in describe_entries:
+        lay = _sub(contents, f"{{{WMTS_NS}}}Layer")
+        _sub(lay, f"{{{OWS_NS}}}Title", e["name"])
+        _sub(lay, f"{{{OWS_NS}}}Identifier", e["name"])
+        xmin, ymin, xmax, ymax = e["extent"]
+        bb = _sub(lay, f"{{{OWS_NS}}}WGS84BoundingBox")
+        _sub(bb, f"{{{OWS_NS}}}LowerCorner", f"{xmin} {ymin}")
+        _sub(bb, f"{{{OWS_NS}}}UpperCorner", f"{xmax} {ymax}")
+        for fmt in e.get("formats", ["image/png"]):
+            if fmt.startswith("image/"):
+                _sub(lay, f"{{{WMTS_NS}}}Format", fmt)
+        ms = e.get("matrix_set")
+        ms_id = (f"custom_{ms['crs_epsg']}" if ms
+                 else "GoogleMapsCompatible")
+        _sub(_sub(lay, f"{{{WMTS_NS}}}TileMatrixSetLink"),
+             f"{{{WMTS_NS}}}TileMatrixSet", ms_id)
+        if ms and ms_id not in matrix_sets:
+            matrix_sets[ms_id] = ms
+    for ms_id, ms in matrix_sets.items():
+        tms = _sub(contents, f"{{{WMTS_NS}}}TileMatrixSet")
+        _sub(tms, f"{{{OWS_NS}}}Identifier", ms_id)
+        _sub(tms, f"{{{OWS_NS}}}SupportedCRS",
+             f"urn:ogc:def:crs:EPSG::{ms['crs_epsg']}")
+        for lvl in ms.get("matrices", []):
+            tm = _sub(tms, f"{{{WMTS_NS}}}TileMatrix")
+            _sub(tm, f"{{{OWS_NS}}}Identifier", lvl["zoom"])
+            _sub(tm, f"{{{WMTS_NS}}}ScaleDenominator",
+                 lvl["scale_denominator"])
+            _sub(tm, f"{{{WMTS_NS}}}TopLeftCorner",
+                 f"{ms['extent'][0]} {ms['extent'][3]}")
+            _sub(tm, f"{{{WMTS_NS}}}TileWidth", ms["tile_size"])
+            _sub(tm, f"{{{WMTS_NS}}}TileHeight", ms["tile_size"])
+            _sub(tm, f"{{{WMTS_NS}}}MatrixWidth", lvl["cols"])
+            _sub(tm, f"{{{WMTS_NS}}}MatrixHeight", lvl["rows"])
+    return ET.tostring(root, encoding="unicode", xml_declaration=True)
