@@ -499,13 +499,15 @@ def main() -> None:
         # owns noise handling
         print(json.dumps(run_bench(args.cores)))
         return
-    # retry-if-loaded: the host carries external tenants (observed load
-    # swings 1-17 with nothing of ours running). A suite that STARTS in
-    # a burst gets re-run and the per-query minima are merged (noise is
-    # strictly additive, so min-merge estimates the quiet window); every
-    # attempt's [start, end] load is recorded for provenance. Only the
-    # START load gates the retry — the END load is dominated by our own
-    # 32-core run and would force a pointless second pass every time.
+    # noise armor: the host carries external tenants (load swings 1-17
+    # with nothing of ours running), and bursts arrive MID-RUN — a
+    # quiet start does not protect a suite (observed: 0.49-start run
+    # with every query 1.7x slower than the same-day quiet ledger). So
+    # the suite always runs SPARK_GRAFT_BENCH_RETRIES times (default 2)
+    # and per-query minima are min-merged: noise is strictly additive,
+    # so the merge estimates the quiet window. A burst visible at start
+    # (> LOAD_MAX) buys one extra attempt. Every attempt's [start, end]
+    # load is recorded for provenance.
     max_tries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
     load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "8"))
     attempts = []
@@ -514,7 +516,7 @@ def main() -> None:
         r = run_bench(args.cores)
         r["load_at_start"] = start_load
         attempts.append(r)
-        if len(attempts) >= max_tries or start_load <= load_max:
+        if len(attempts) >= max_tries + (1 if start_load > load_max else 0):
             break
     out = dict(attempts[-1])
     if len(attempts) > 1:

@@ -172,3 +172,64 @@ def test_ups_worked_example_and_proj4():
     xs, ys = proj.transform(-63.0, -75.0, 4326, 32761)
     lo, la = proj.transform(xs, ys, 32761, 4326)
     assert abs(float(lo) + 63.0) < 1e-9 and abs(float(la) + 75.0) < 1e-9
+
+
+def test_proj4_fuzz_roundtrip():
+    """Property: any syntactically-valid supported proj4 definition
+    mints a CRS whose forward/inverse round-trips interior points to
+    1e-8 degrees (hypothesis-style deterministic sweep — fixed seed,
+    many parameter combos)."""
+    rng = np.random.default_rng(42)
+    kinds = ["tmerc", "lcc", "laea", "aea", "stere", "eqc"]
+    for trial in range(60):
+        kind = kinds[trial % len(kinds)]
+        lon0 = float(rng.uniform(-170, 170))
+        lat0 = float(rng.uniform(-60, 60))
+        fe = float(rng.choice([0.0, 100000.0, 500000.0]))
+        fn = float(rng.choice([0.0, 100000.0]))
+        ellps = ["WGS84", "GRS80", "intl", "krass"][trial % 4]
+        if kind == "tmerc":
+            s = (f"+proj=tmerc +lat_0={lat0} +lon_0={lon0} +k_0=0.9996 "
+                 f"+x_0={fe} +y_0={fn} +ellps={ellps}")
+        elif kind == "lcc":
+            l1, l2 = sorted(rng.uniform(15, 65, 2))
+            if abs(l2 - l1) < 0.5:
+                l2 = l1 + 0.5
+            s = (f"+proj=lcc +lat_1={l1} +lat_2={l2} +lat_0={(l1+l2)/2} "
+                 f"+lon_0={lon0} +x_0={fe} +y_0={fn} +ellps={ellps}")
+        elif kind == "laea":
+            s = (f"+proj=laea +lat_0={lat0} +lon_0={lon0} "
+                 f"+x_0={fe} +y_0={fn} +ellps={ellps}")
+        elif kind == "aea":
+            l1, l2 = sorted(rng.uniform(-60, -10, 2))
+            if abs(l2 - l1) < 0.5:
+                l2 = l1 - 0.5
+            s = (f"+proj=aea +lat_1={l1} +lat_2={l2} +lat_0={lat0} "
+                 f"+lon_0={lon0} +x_0={fe} +y_0={fn} +ellps={ellps}")
+        elif kind == "stere":
+            pole = 90.0 if trial % 2 else -90.0
+            s = (f"+proj=stere +lat_0={pole} +lat_ts={pole * 0.8} "
+                 f"+lon_0={lon0} +x_0={fe} +y_0={fn} +ellps={ellps}")
+        else:
+            s = (f"+proj=eqc +lat_ts={abs(lat0) / 2} +lon_0={lon0} "
+                 f"+x_0={fe} +y_0={fn} +ellps={ellps}")
+        code = proj4.crs_from_proj4(s)
+        # interior probe points near the projection origin
+        if kind == "stere":
+            pole = 90.0 if trial % 2 else -90.0
+            lats = np.clip(pole * rng.uniform(0.75, 0.95, 5), -89.5, 89.5)
+            lons = rng.uniform(-180, 180, 5)
+        elif kind == "lcc":
+            lats = rng.uniform(20, 60, 5)
+            lons = lon0 + rng.uniform(-15, 15, 5)
+        elif kind == "aea":
+            lats = rng.uniform(-55, -15, 5)
+            lons = lon0 + rng.uniform(-15, 15, 5)
+        else:
+            lats = np.clip(lat0 + rng.uniform(-10, 10, 5), -75, 75)
+            lons = lon0 + rng.uniform(-6, 6, 5)
+        x, y = proj.transform(lons, lats, 4326, code)
+        lo, la = proj.transform(x, y, code, 4326)
+        lo = (lo - lons + 180.0) % 360.0 - 180.0
+        assert np.abs(lo).max() < 1e-8, (s, np.abs(lo).max())
+        assert np.abs(la - lats).max() < 1e-8, (s, np.abs(la - lats).max())
