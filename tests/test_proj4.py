@@ -233,3 +233,42 @@ def test_proj4_fuzz_roundtrip():
         lo = (lo - lons + 180.0) % 360.0 - 180.0
         assert np.abs(lo).max() < 1e-8, (s, np.abs(lo).max())
         assert np.abs(la - lats).max() < 1e-8, (s, np.abs(la - lats).max())
+
+
+def test_reproject_tiles_through_minted_crs(spark):
+    """The warp operator's pandas UDF runs on executor worker processes
+    that re-import proj fresh — reproject through a proj4-MINTED code
+    proves the registry_snapshot closure replay end-to-end."""
+    from geotrellis_server_spark.operators.reproject import reproject_tiles
+    from geotrellis_server_spark.sources import synth
+
+    code = proj4.crs_from_proj4(
+        "+proj=lcc +lat_1=38 +lat_2=42 +lat_0=40 +lon_0=-75 "
+        "+x_0=0 +y_0=0 +ellps=GRS80")
+    h = w = 16
+    ext = (-78.0, 36.0, -72.0, 44.0)
+    lat_centers = ext[3] - (np.arange(h) + 0.5) * (ext[3] - ext[1]) / h
+    cells = np.tile(lat_centers[:, None], (1, w)).ravel()
+    rows = [("src", 0, 0, 0, 0, w, h, ext[0], ext[1], ext[2], ext[3],
+             "float64", float("nan"), [float(v) for v in cells])]
+    tiles = spark.createDataFrame(rows, synth.TILE_SCHEMA)
+    out = reproject_tiles(tiles, 4326, code).collect()[0]
+    env = proj.reproject_extent(ext, 4326, code)
+    assert np.allclose([out.xmin, out.ymin, out.xmax, out.ymax], env)
+    got = np.array([np.nan if v is None else v
+                    for v in out.cells]).reshape(h, w)
+    cx = env[0] + 8.5 * (env[2] - env[0]) / w
+    cy = env[3] - 8.5 * (env[3] - env[1]) / h
+    _, exp_lat = proj.transform(np.array([cx]), np.array([cy]), code, 4326)
+    assert abs(got[8, 8] - exp_lat[0]) < 0.05
+    # the distributed point projector over the same minted code
+    pts = spark.range(50).selectExpr(
+        "CAST(-78 + (id % 10) * 0.6 AS DOUBLE) AS lon",
+        "CAST(36 + (id DIV 10) * 1.6 AS DOUBLE) AS lat")
+    from geotrellis_server_spark.operators.tiling import project_to_epsg
+
+    prj = project_to_epsg(pts.repartition(4), code).collect()
+    lons = np.array([r.lon for r in prj]); lats = np.array([r.lat for r in prj])
+    xs = np.array([r.x for r in prj]); ys = np.array([r.y for r in prj])
+    ex, ey = proj.transform(lons, lats, 4326, code)
+    assert np.abs(xs - ex).max() < 1e-9 and np.abs(ys - ey).max() < 1e-9

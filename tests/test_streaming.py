@@ -276,3 +276,47 @@ def test_streaming_ivf_ingest_probe_equals_batch(spark, tmp_path):
     plan = probe_topk(spark, str(tmp_path / "idx"), cent, qvec, 10, nprobe=4) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_streaming_tile_ingest_equals_batch_rasterize(spark, tmp_path):
+    """Per-pixel raster ingest: two waves of points -> serving view
+    row-for-row identical to rasterize_count over the full history;
+    compaction preserves it."""
+    import numpy as np
+
+    from geotrellis_server_spark.streaming import tile_ingest as TI
+
+    src = str(tmp_path / "pts")
+    deltas = str(tmp_path / "deltas")
+    ck = str(tmp_path / "ck2")
+
+    def pts(n, lo):
+        return synth.extract_geometry(synth.docs(spark, n)).select(
+            "doc_id", "lon", "lat"
+        ).filter(f"doc_id >= 'doc-{lo:012d}'")
+
+    pts(800, 0).write.mode("append").parquet(src)
+    TI.start_tile_ingest(spark, src, deltas, ck, zoom=4,
+                         tile_size=16).awaitTermination()
+    pts(1200, 800).write.mode("append").parquet(src)
+    TI.start_tile_ingest(spark, src, deltas, ck, zoom=4,
+                         tile_size=16).awaitTermination()
+
+    want = {
+        (r.tile_x, r.tile_y): r.cells
+        for r in tiling.rasterize_count(
+            synth.extract_geometry(synth.docs(spark, 1200)), 4, tile_size=16
+        ).collect()
+    }
+    got = {(r.tile_x, r.tile_y): r.cells
+           for r in TI.read_tiles(spark, deltas, 4, tile_size=16).collect()}
+    assert want.keys() == got.keys() and len(want) > 10
+    for k in want:
+        assert want[k] == got[k]
+
+    # offline compaction: plain scan serves the same rows
+    compacted = str(tmp_path / "compacted")
+    TI.compact_tile_deltas(spark, deltas, compacted, 4, tile_size=16)
+    comp = {(r.tile_x, r.tile_y): r.cells
+            for r in spark.read.parquet(compacted).collect()}
+    assert comp == got
