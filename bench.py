@@ -83,7 +83,7 @@ class _MhzSampler:
                     top = mhz[: self.n]
                     self.samples.append(sum(top) / len(top))
             except (OSError, ValueError, IndexError):
-                return
+                continue  # skip the bad sample, keep the thread alive
 
     def stop(self) -> float | None:
         self._stop.set()

@@ -370,11 +370,13 @@ class Engine:
                             "application/geo+json"],
                 "request_crs": _supported_epsg(),
             }
-            if layer.style is not None:
+            if layer.style is not None and "poles" in layer.style:
                 # LegendModel parity (ogc/.../style/LegendModel.scala:
                 # format/width/height/onlineResource) — and unlike the
                 # reference, which only ADVERTISES the URL, the engine
-                # also renders it (get_legend_png)
+                # also renders it (get_legend_png). Gated on the same
+                # 'poles' condition the renderer requires, so a
+                # LegendURL is never advertised that 404s.
                 entry["legend"] = {
                     "format": "image/png",
                     "width": 20,

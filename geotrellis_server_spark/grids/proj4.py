@@ -162,7 +162,10 @@ def params_from_proj4(proj4: str) -> tuple[str, dict]:
                           "lat0": _fl(toks, "lat_0", 0.0), "lon0": lon0,
                           "fe": fe, "fn": fn}
     elif kind_in == "stere":
-        lat0 = _fl(toks, "lat_0", 90.0)
+        # PROJ's default lat_0 is 0 (EQUATORIAL stereographic) — an
+        # omitted lat_0 must reach the oblique rejection below, not be
+        # silently minted as polar
+        lat0 = _fl(toks, "lat_0", 0.0)
         if abs(lat0) != 90.0:
             raise NotImplementedError("oblique stereographic (polar only)")
         if "lat_ts" not in toks:

@@ -34,10 +34,11 @@ def _crs_strings(request_crs: list) -> list[str]:
         if isinstance(c, int):
             out.append(f"EPSG:{c}")
         elif str(c).startswith("utm:"):
-            # range marker: advertise the zones compactly per WMS's flat
-            # CRS list by expanding the first/last of each hemisphere
-            out.append("EPSG:32601-32660")
-            out.append("EPSG:32701-32760")
+            # WMS 1.3.0 requires one CRS identifier per <CRS> element —
+            # enumerate every UTM zone the engine serves (range strings
+            # are not matchable by real clients)
+            out.extend(f"EPSG:{z}" for z in range(32601, 32661))
+            out.extend(f"EPSG:{z}" for z in range(32701, 32761))
     return out
 
 

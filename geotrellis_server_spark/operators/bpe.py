@@ -180,6 +180,7 @@ def bpe_encode(
             out["n_tokens"] = [len(t) for t in toks]
             yield out
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.mapInPandas(
-        run, f"{id_col} STRING, tokens ARRAY<STRING>, n_tokens INT"
+        run, f"{id_col} {id_type}, tokens ARRAY<STRING>, n_tokens INT"
     )

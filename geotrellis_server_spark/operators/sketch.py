@@ -57,7 +57,12 @@ def kmv_estimate(
         raise ValueError("k must be >= 2")
     from pyspark.sql import Window
 
-    distinct_h = df.select(
+    # NULLs never enter the sketch: a NULL md5 would sort FIRST in the
+    # ascending min-k, displace a real k-th hash, then vanish in
+    # collect_list — size(_h) = k-1 silently flips the CASE into the
+    # "exact" branch (review r4 finding; the old collect_set path
+    # dropped NULLs implicitly)
+    distinct_h = df.where(F.col(col).isNotNull()).select(
         *(group_by or []), F.expr(f"md5(CAST({col} AS STRING))").alias("_h1")
     ).distinct()
     if group_by:

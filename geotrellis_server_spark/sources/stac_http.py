@@ -74,7 +74,7 @@ def load_stac_items(
 ) -> DataFrame:
     """Fetch a STAC item collection (with ``rel=next`` paging) into the
     engine catalog DataFrame."""
-    rows, seen = [], set()
+    rows, seen = [], {url}
     for _ in range(max_pages):
         doc = _fetch_json(url, timeout)
         items = (doc if isinstance(doc, list)

@@ -76,8 +76,12 @@ def start_tile_ingest(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         deltas = _pixel_deltas(batch_df, zoom, tile_size)
+        # the batch segment carries the zoom so two ingest streams
+        # sharing one delta_dir (one per zoom, each with its own
+        # checkpoint and thus its own batch_id=0) can never clobber
+        # each other's subtree
         deltas.write.mode("overwrite").partitionBy("zoom").parquet(
-            os.path.join(delta_dir, f"batch_id={batch_id}")
+            os.path.join(delta_dir, f"batch_id=z{zoom}_{batch_id}")
         )
 
     return (

@@ -70,3 +70,14 @@ def test_bpe_encode_matches_greedy_reference(spark):
     a = {r.doc_id: list(r.tokens)
          for r in bpe_encode(docs.repartition(4), merges).collect()}
     assert a == {k: v[0] for k, v in got.items()}
+
+
+def test_bpe_encode_nonstring_id(spark):
+    from geotrellis_server_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(7, "low low lower"), (8, "new lower")],
+        "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r.n_tokens
+           for r in bpe_encode(docs, [("l", "o"), ("lo", "w")]).collect()}
+    assert set(got) == {7, 8} and got[7] > 0  # bigint ids survive

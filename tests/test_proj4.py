@@ -98,6 +98,10 @@ def test_proj4_rejections():
     with pytest.raises(NotImplementedError):
         proj4.crs_from_proj4("+proj=omerc +lat_0=4 +lonc=102")
     with pytest.raises(NotImplementedError):
+        # omitted lat_0 means EQUATORIAL stereographic in PROJ — must
+        # reject, not silently mint a polar CRS
+        proj4.crs_from_proj4("+proj=stere +lon_0=10 +ellps=WGS84")
+    with pytest.raises(NotImplementedError):
         proj4.crs_from_proj4("+proj=utm +zone=15 +units=us-ft")
     with pytest.raises(NotImplementedError):
         proj4.crs_from_proj4("+proj=tmerc +lat_0=0 +lon_0=9 "

@@ -181,3 +181,16 @@ def test_weighted_sample_rejects_nonpositive(spark):
     df = spark.range(100).selectExpr("id", "CASE WHEN id = 0 THEN 0.0 ELSE 1.0 END AS w")
     got = {r.id for r in weighted_sample(df, "w", ["id"], 99).collect()}
     assert 0 not in got and len(got) == 99
+
+
+def test_kmv_ignores_nulls(spark):
+    """Review r4 regression guard: a NULL value must not displace a real
+    k-th hash (NULL md5 sorts first, then vanishes in collect_list,
+    silently flipping the estimate into the 'exact' branch)."""
+    df = spark.range(100).selectExpr(
+        "CASE WHEN id = 0 THEN NULL ELSE CAST(id AS STRING) END AS v")
+    r = kmv_estimate(df, "v", k=64).collect()[0]
+    clean = spark.range(1, 100).selectExpr("CAST(id AS STRING) AS v")
+    want = kmv_estimate(clean, "v", k=64).collect()[0]
+    assert r.n_seen_hashes == want.n_seen_hashes == 64
+    assert r.distinct_est == want.distinct_est  # NULL contributes nothing

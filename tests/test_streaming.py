@@ -320,3 +320,21 @@ def test_streaming_tile_ingest_equals_batch_rasterize(spark, tmp_path):
     comp = {(r.tile_x, r.tile_y): r.cells
             for r in spark.read.parquet(compacted).collect()}
     assert comp == got
+
+
+def test_streaming_tile_ingest_two_zooms_share_dir(spark, tmp_path):
+    """Two ingest streams (own checkpoints, both batch 0) sharing one
+    delta_dir must not clobber each other (zoom-scoped batch subtrees)."""
+    from geotrellis_server_spark.streaming import tile_ingest as TI
+
+    src = str(tmp_path / "pts")
+    deltas = str(tmp_path / "deltas")
+    synth.extract_geometry(synth.docs(spark, 600)).select(
+        "doc_id", "lon", "lat").write.mode("append").parquet(src)
+    TI.start_tile_ingest(spark, src, deltas, str(tmp_path / "ck3"),
+                         zoom=3, tile_size=8).awaitTermination()
+    TI.start_tile_ingest(spark, src, deltas, str(tmp_path / "ck4"),
+                         zoom=4, tile_size=8).awaitTermination()
+    n3 = TI.read_tile_counts(spark, deltas, 3).count()
+    n4 = TI.read_tile_counts(spark, deltas, 4).count()
+    assert n3 > 0 and n4 > 0  # the second stream did not wipe the first
