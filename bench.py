@@ -341,12 +341,15 @@ def run_bench(cores: int) -> dict:
         "CAST((id * 4391) % 174080 AS DOUBLE) / 1024.0 - 85.0 AS qlat",
     )
     timed(
-        # res 6 (4096 cells): a ring-1 disk covers ~0.2% of the world, so
-        # the windowed top-k shuffles ~9M candidate rows for 1,000 queries
-        # instead of ~140M at the default res 4 (measured 19s → see
-        # BENCH/BASELINE.md ledger)
+        # density-proportional resolution (knn.auto_res: ring-1 disk ≈
+        # 2k candidate docs/query). At 4M docs that is res 7 — measured
+        # res 6/7/8 = 10.3/5.5/9.1 s: coarser floods the per-query
+        # window, finer re-rings extra rounds. The rule scales with the
+        # corpus, not a constant (res 4's 140M candidate rows was r1's
+        # 19 s scale-killer).
         "q10_knn_bulk_1k",
-        lambda: knn_op.knn_join_bulk(load(), bulk_q, k=10, res=6).count(),
+        lambda: knn_op.knn_join_bulk(load(), bulk_q, k=10,
+                                     res=knn_op.auto_res(n)).count(),
     )
 
     docs_per_sec = round(n / queries["q1_pip_tile_pipeline"], 1) if "q1_pip_tile_pipeline" in queries else None

@@ -89,3 +89,12 @@ def test_knn_bulk_plan_broadcasts_queries(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_auto_res_density_rule():
+    from geotrellis_server_spark.operators.knn import auto_res
+
+    assert auto_res(4_000_000) == 7   # the measured sweet spot at 4M
+    assert auto_res(60_000) == 4
+    assert auto_res(1_000_000_000) == 11  # deepens with the corpus
+    assert 2 <= auto_res(1) <= 12
