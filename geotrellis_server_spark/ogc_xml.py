@@ -28,6 +28,18 @@ def _sub(parent, tag, text=None, **attrs):
     return el
 
 
+def _geographic_extent(e: dict) -> tuple:
+    """Layer extent (native CRS — 3857 for standard pyramids, the
+    matrix set's CRS otherwise) -> lon/lat for the WGS84/geographic
+    bounding-box elements all three services require."""
+    from .grids.proj import reproject_extent
+
+    epsg = (e.get("matrix_set") or {}).get("crs_epsg", 3857)
+    if epsg == 4326:
+        return tuple(e["extent"])
+    return reproject_extent(tuple(e["extent"]), epsg, 4326)
+
+
 def _crs_strings(request_crs: list) -> list[str]:
     out = []
     for c in request_crs:
@@ -83,7 +95,7 @@ def wms_capabilities(
         _sub(lay, f"{{{WMS_NS}}}Title", e["name"])
         for crs in _crs_strings(e.get("request_crs", [])):
             _sub(lay, f"{{{WMS_NS}}}CRS", crs)
-        xmin, ymin, xmax, ymax = e["extent"]
+        xmin, ymin, xmax, ymax = _geographic_extent(e)
         bb = _sub(lay, f"{{{WMS_NS}}}EX_GeographicBoundingBox")
         _sub(bb, f"{{{WMS_NS}}}westBoundLongitude", xmin)
         _sub(bb, f"{{{WMS_NS}}}eastBoundLongitude", xmax)
@@ -121,7 +133,7 @@ def wmts_capabilities(
         lay = _sub(contents, f"{{{WMTS_NS}}}Layer")
         _sub(lay, f"{{{OWS_NS}}}Title", e["name"])
         _sub(lay, f"{{{OWS_NS}}}Identifier", e["name"])
-        xmin, ymin, xmax, ymax = e["extent"]
+        xmin, ymin, xmax, ymax = _geographic_extent(e)
         bb = _sub(lay, f"{{{OWS_NS}}}WGS84BoundingBox")
         _sub(bb, f"{{{OWS_NS}}}LowerCorner", f"{xmin} {ymin}")
         _sub(bb, f"{{{OWS_NS}}}UpperCorner", f"{xmax} {ymax}")
@@ -151,4 +163,70 @@ def wmts_capabilities(
             _sub(tm, f"{{{WMTS_NS}}}TileHeight", ms["tile_size"])
             _sub(tm, f"{{{WMTS_NS}}}MatrixWidth", lvl["cols"])
             _sub(tm, f"{{{WMTS_NS}}}MatrixHeight", lvl["rows"])
+    return ET.tostring(root, encoding="unicode", xml_declaration=True)
+
+
+WCS_NS = "http://www.opengis.net/wcs/1.1.1"
+
+
+def wcs_capabilities(
+    describe_entries: list[dict], service_url: str = "http://localhost/wcs",
+    title: str = "geotrellis_server_spark",
+) -> str:
+    """WCS 1.1.1 GetCapabilities XML (reference wcs/CapabilitiesView
+    .scala: OperationsMetadata for GetCapabilities / DescribeCoverage /
+    GetCoverage + a CoverageSummary per layer)."""
+    ET.register_namespace("", WCS_NS)
+    ET.register_namespace("ows", OWS_NS)
+    ET.register_namespace("xlink", XLINK_NS)
+    root = ET.Element(f"{{{WCS_NS}}}Capabilities", {"version": "1.1.1"})
+    ident = _sub(root, f"{{{OWS_NS}}}ServiceIdentification")
+    _sub(ident, f"{{{OWS_NS}}}Title", title)
+    _sub(ident, f"{{{OWS_NS}}}ServiceType", "OGC WCS")
+    ops = _sub(root, f"{{{OWS_NS}}}OperationsMetadata")
+    for op in ("GetCapabilities", "DescribeCoverage", "GetCoverage"):
+        o = _sub(ops, f"{{{OWS_NS}}}Operation", name=op)
+        get = _sub(_sub(_sub(o, f"{{{OWS_NS}}}DCP"), f"{{{OWS_NS}}}HTTP"),
+                   f"{{{OWS_NS}}}Get")
+        get.set(f"{{{XLINK_NS}}}href", service_url)
+    contents = _sub(root, f"{{{WCS_NS}}}Contents")
+    for e in describe_entries:
+        cov = _sub(contents, f"{{{WCS_NS}}}CoverageSummary")
+        _sub(cov, f"{{{OWS_NS}}}Title", e["name"])
+        _sub(cov, f"{{{WCS_NS}}}Identifier", e["name"])
+        xmin, ymin, xmax, ymax = _geographic_extent(e)
+        bb = _sub(cov, f"{{{OWS_NS}}}WGS84BoundingBox")
+        _sub(bb, f"{{{OWS_NS}}}LowerCorner", f"{xmin} {ymin}")
+        _sub(bb, f"{{{OWS_NS}}}UpperCorner", f"{xmax} {ymax}")
+    return ET.tostring(root, encoding="unicode", xml_declaration=True)
+
+
+def wcs_describe_coverage(
+    describe_entries: list[dict], identifiers: list[str] | None = None,
+) -> str:
+    """WCS 1.1.1 DescribeCoverage XML (reference wcs/CoverageView.scala:
+    per-coverage domain + supported CRS/format blocks)."""
+    ET.register_namespace("", WCS_NS)
+    ET.register_namespace("ows", OWS_NS)
+    root = ET.Element(f"{{{WCS_NS}}}CoverageDescriptions",
+                      {"version": "1.1.1"})
+    wanted = set(identifiers) if identifiers else None
+    for e in describe_entries:
+        if wanted is not None and e["name"] not in wanted:
+            continue
+        cd = _sub(root, f"{{{WCS_NS}}}CoverageDescription")
+        _sub(cd, f"{{{OWS_NS}}}Title", e["name"])
+        _sub(cd, f"{{{WCS_NS}}}Identifier", e["name"])
+        dom = _sub(cd, f"{{{WCS_NS}}}Domain")
+        sp = _sub(dom, f"{{{WCS_NS}}}SpatialDomain")
+        xmin, ymin, xmax, ymax = _geographic_extent(e)
+        bb = _sub(sp, f"{{{OWS_NS}}}BoundingBox",
+                  crs="urn:ogc:def:crs:EPSG::4326")
+        _sub(bb, f"{{{OWS_NS}}}LowerCorner", f"{ymin} {xmin}")
+        _sub(bb, f"{{{OWS_NS}}}UpperCorner", f"{ymax} {xmax}")
+        for crs in _crs_strings(e.get("request_crs", [])):
+            _sub(cd, f"{{{WCS_NS}}}SupportedCRS", crs)
+        for fmt in e.get("formats", []):
+            if fmt.startswith("image/"):
+                _sub(cd, f"{{{WCS_NS}}}SupportedFormat", fmt)
     return ET.tostring(root, encoding="unicode", xml_declaration=True)

@@ -44,10 +44,11 @@ def test_wms_capabilities_round_trips(spark):
     # CRS list carries the registry (spot-check hub + a registry code)
     crs = {c.text for c in by_name["density"].findall(f"{WMS}CRS")}
     assert {"EPSG:4326", "EPSG:3857", "EPSG:3035"} <= crs
-    # geographic bbox is the layer extent
+    # geographic bbox is the layer extent REPROJECTED to lon/lat
     bb = by_name["density"].find(f"{WMS}EX_GeographicBoundingBox")
-    assert float(bb.find(f"{WMS}westBoundLongitude").text) < float(
-        bb.find(f"{WMS}eastBoundLongitude").text)
+    w = float(bb.find(f"{WMS}westBoundLongitude").text)
+    e = float(bb.find(f"{WMS}eastBoundLongitude").text)
+    assert -180.001 <= w < e <= 180.001
     # styled layer advertises its LegendURL; unstyled does not
     assert by_name["density"].find(f"{WMS}Style") is None
     leg = by_name["styled"].find(f"{WMS}Style/{WMS}LegendURL")
@@ -80,3 +81,27 @@ def test_wmts_capabilities_matrix_set(spark):
     # matrix dims are positive ints
     assert int(one.find(f"{WMTS}MatrixWidth").text) >= 1
     assert int(one.find(f"{WMTS}MatrixHeight").text) >= 1
+
+
+def test_wcs_capabilities_and_describe_coverage(spark):
+    xml = ogc_xml.wcs_capabilities(_engine(spark).describe())
+    WCS = "{http://www.opengis.net/wcs/1.1.1}"
+    root = ET.fromstring(xml)
+    ops = {o.get("name") for o in root.findall(
+        f"{OWS}OperationsMetadata/{OWS}Operation")}
+    assert ops == {"GetCapabilities", "DescribeCoverage", "GetCoverage"}
+    ids = {c.find(f"{WCS}Identifier").text for c in root.findall(
+        f"{WCS}Contents/{WCS}CoverageSummary")}
+    assert ids == {"density", "styled"}
+
+    desc = ET.fromstring(ogc_xml.wcs_describe_coverage(
+        _engine(spark).describe(), identifiers=["density"]))
+    cds = desc.findall(f"{WCS}CoverageDescription")
+    assert len(cds) == 1 and cds[0].find(f"{WCS}Identifier").text == "density"
+    # axis order: WCS 1.1 EPSG:4326 bbox is lat/lon
+    low = cds[0].find(
+        f"{WCS}Domain/{WCS}SpatialDomain/{OWS}BoundingBox/{OWS}LowerCorner")
+    lat, lon = (float(v) for v in low.text.split())
+    assert -90 <= lat <= 90 and -180 <= lon <= 180
+    crs = {c.text for c in cds[0].findall(f"{WCS}SupportedCRS")}
+    assert "EPSG:4326" in crs and "EPSG:32633" in crs  # enumerated UTM
