@@ -154,6 +154,27 @@ def run_bench(cores: int) -> dict:
         .format("noop")
         .save(),
     )
+    # q19 — the same flagship aggregation served from the BUCKETED
+    # pre-keyed layout (sources/bucketed.py): extraction + join + keying
+    # were paid once at ingest, the bucketing is recognized by the
+    # planner, and the agg runs with ZERO Exchange — the amortized
+    # steady-state cost of the headline query on a 100-TB lake
+    if wanted("q19_flagship_bucketed"):
+        from geotrellis_server_spark.sources import bucketed as _bk
+
+        tbl = "bench_keyed_z12"
+        if not spark.catalog.tableExists(tbl):
+            import shutil
+
+            shutil.rmtree(os.path.join("spark-warehouse", tbl),
+                          ignore_errors=True)
+            _bk.materialize_keyed_table(spark, load(), tbl, zoom=12,
+                                        n_buckets=cores)
+        timed(
+            "q19_flagship_bucketed",
+            lambda: _bk.tile_counts_from_keyed(spark, tbl)
+            .write.mode("overwrite").format("noop").save(),
+        )
     timed(
         "q2_tile_counts_z8",
         lambda: tiling.tile_counts(load(), 8).write.mode("overwrite").format("noop").save(),
