@@ -30,9 +30,11 @@ from ..sources.media_codecs import (
     avi_info,
     decode_avi_frame,
     decode_wav,
-    encode_mjpeg_avi,
+    decode_wav_adpcm,
     decode_y4m_frame,
+    encode_mjpeg_avi,
     encode_wav,
+    encode_wav_adpcm,
     encode_y4m,
     y4m_info,
 )
@@ -77,13 +79,19 @@ def synth_media(spark, docs: DataFrame) -> DataFrame:
                     payload = encode_png(px)
                     meta = {"bytes": str(len(payload)), "codec": "image/png"}
                 elif kind == "audio":
-                    # REAL PCM16 WAV payload: deterministic tone mix
+                    # REAL audio payload: deterministic tone mix, half
+                    # PCM16 and half COMPRESSED IMA ADPCM (fmt 0x11)
                     n = 128 + seed[1] % 128
                     t = np.arange(n, dtype=np.float64)
                     wave = 0.5 * np.sin(t * (0.05 + seed[2] / 512.0)) \
                         + 0.25 * np.sin(t * (0.11 + seed[3] / 512.0))
-                    payload = encode_wav(wave, sample_rate=8000)
-                    meta = {"bytes": str(len(payload)), "codec": "audio/wav"}
+                    if seed[3] % 2:
+                        payload = encode_wav(wave, sample_rate=8000)
+                        codec = "audio/wav"
+                    else:
+                        payload = encode_wav_adpcm(wave, sample_rate=8000)
+                        codec = "audio/adpcm"
+                    meta = {"bytes": str(len(payload)), "codec": codec}
                 elif seed[2] % 2:
                     # REAL YUV4MPEG2 payload: deterministic luma frames
                     nf = 6 + seed[1] % 10
@@ -149,10 +157,13 @@ def _fake_decode_audio(payload: bytes) -> np.ndarray:
 
 
 def _decode_audio(payload: bytes) -> np.ndarray:
-    """REAL for PCM16 WAV (sources/media_codecs.py); deterministic stub
-    for compressed codecs."""
+    """REAL for PCM16 WAV and COMPRESSED IMA ADPCM WAV (4-bit, fmt
+    0x11 — sources/media_codecs.py); deterministic stub for mp3/aac."""
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
-        samples, _ = decode_wav(payload)
+        try:
+            samples, _ = decode_wav(payload)
+        except ValueError:
+            samples, _ = decode_wav_adpcm(payload)
         return samples if samples.ndim == 1 else samples.mean(axis=1)
     return _fake_decode_audio(payload)
 

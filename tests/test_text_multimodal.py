@@ -559,7 +559,8 @@ def test_synth_media_payloads_are_real_codecs(spark):
         if r.kind == "image":
             assert p[:8] == b"\x89PNG\r\n\x1a\n"
         elif r.kind == "audio":
-            assert p[:4] == b"RIFF" and r.meta["codec"] == "audio/wav"
+            assert p[:4] == b"RIFF"
+            assert r.meta["codec"] in ("audio/wav", "audio/adpcm")
         elif r.meta["codec"] == "video/y4m":
             assert p.startswith(b"YUV4MPEG2 ")
         else:
@@ -567,6 +568,7 @@ def test_synth_media_payloads_are_real_codecs(spark):
             assert r.meta["codec"] == "video/x-motion-jpeg"
     codecs = {r.meta["codec"] for r in media}
     assert {"video/y4m", "video/x-motion-jpeg"} <= codecs  # both video paths
+    assert {"audio/wav", "audio/adpcm"} <= codecs  # both audio paths
 
 
 def test_mjpeg_avi_roundtrip():
@@ -619,3 +621,29 @@ def test_sample_frames_real_mjpeg_avi(spark):
         got = np.array(r.pixels, dtype=np.float64)
         # flat frames survive JPEG almost exactly
         assert abs(got.mean() - (40 + 25 * fno)) < 2.0
+
+
+def test_ima_adpcm_roundtrip_and_decode_path():
+    """IMA ADPCM: a COMPRESSED audio format real both ways (4-bit,
+    ~4x smaller than PCM16, zero external libs)."""
+    import numpy as np
+
+    from geotrellis_server_spark.operators.multimodal import _decode_audio
+    from geotrellis_server_spark.sources.media_codecs import (
+        decode_wav_adpcm,
+        encode_wav,
+        encode_wav_adpcm,
+    )
+
+    t = np.arange(5000, dtype=np.float64)
+    wave = 0.6 * np.sin(t * 0.07) + 0.25 * np.sin(t * 0.19)
+    blob = encode_wav_adpcm(wave, sample_rate=8000)
+    assert len(blob) < len(encode_wav(wave)) / 3  # genuinely compressed
+    dec, rate = decode_wav_adpcm(blob)
+    assert rate == 8000 and len(dec) == 5000
+    err = dec.astype(np.float64) - wave
+    snr = 10 * np.log10(np.mean(wave**2) / np.mean(err**2))
+    assert snr > 25.0, snr  # near-transparent for smooth tones
+    # the multimodal decode dispatcher picks the ADPCM path by fmt tag
+    via_dispatch = _decode_audio(blob)
+    assert np.allclose(via_dispatch, dec)
