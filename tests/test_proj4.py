@@ -276,3 +276,27 @@ def test_reproject_tiles_through_minted_crs(spark):
     xs = np.array([r.x for r in prj]); ys = np.array([r.y for r in prj])
     ex, ey = proj.transform(lons, lats, 4326, code)
     assert np.abs(xs - ex).max() < 1e-9 and np.abs(ys - ey).max() < 1e-9
+
+
+def test_engine_getmap_in_minted_crs(spark):
+    """Full service surface in a proj4-minted CRS: GetMap
+    (get_extent_reprojected) warps onto a request grid whose CRS exists
+    nowhere in the static registry."""
+    from geotrellis_server_spark.engine import Engine, Layer
+    from geotrellis_server_spark.operators import tiling
+    from geotrellis_server_spark.sources import synth
+
+    code = proj4.crs_from_proj4(
+        "+proj=aea +lat_1=20 +lat_2=60 +lat_0=40 +lon_0=0 +ellps=GRS80")
+    docs = synth.extract_geometry(synth.docs(spark, 2000))
+    tiles = tiling.rasterize_count(docs, 3, tile_size=16)
+    eng = Engine(spark, {"density": Layer("density", tiles)})
+    # a mid-latitude window in the minted CRS
+    x0, y0 = proj.transform(-10.0, 35.0, 4326, code)
+    x1, y1 = proj.transform(10.0, 50.0, 4326, code)
+    arr, ext = eng.get_extent_reprojected(
+        "density", (float(x0), float(y0), float(x1), float(y1)), code,
+        out_w=32, out_h=32)
+    assert arr.shape == (32, 32)
+    assert np.isfinite(arr).any()  # real densities landed in the window
+    assert ext == (float(x0), float(y0), float(x1), float(y1))
