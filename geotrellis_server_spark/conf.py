@@ -59,15 +59,27 @@ def _load_style(style: dict | None) -> dict | None:
 
 
 def _load_source(spark: SparkSession, name: str, src: dict):
+    """(tiles DataFrame, native crs_epsg | None). A GeoTIFF source
+    keeps its file CRS so capabilities bboxes reproject correctly;
+    parquet/table tile tables follow the engine's 3857 convention
+    unless the config says otherwise via ``crs_epsg``."""
     kind = src.get("type", "parquet")
+    declared = src.get("crs_epsg")
     if kind == "parquet":
-        return spark.read.parquet(src["path"])
+        return spark.read.parquet(src["path"]), declared
     if kind == "geotiff":
-        from .sources.gtiff import load_geotiff
+        from .sources.gtiff import load_geotiff, read_geotiff_path
 
-        return load_geotiff(spark, src["path"], layer=name)
+        _, _, file_epsg = read_geotiff_path(src["path"])
+        return (load_geotiff(spark, src["path"], layer=name),
+                declared or file_epsg)
     if kind == "table":
-        return spark.table(src["table"])
+        ref = src.get("table") or src.get("path")
+        if not ref:
+            raise ValueError(
+                f"layer {name!r}: source type 'table' needs a 'table'"
+                " (or 'path') key naming the saved Spark table")
+        return spark.table(ref), declared
     raise ValueError(f"unknown source type {kind!r} for layer {name!r}")
 
 
@@ -86,27 +98,49 @@ def engine_from_config(
         style = _load_style(spec.get("style"))
         if "algebra" in spec:
             params = spec.get("parameters", {})
-            sources = {}
+            expr = Expr.from_dict(spec["algebra"])
+            sources, subst = {}, {}
             for var, ref in params.items():
                 if ref not in layers:
                     raise ValueError(
                         f"layer {name!r} references undefined layer {ref!r}"
                         " (map-algebra layers may only use layers defined"
                         " before them)")
-                sources[var] = layers[ref].tiles
-            expr = Expr.from_dict(spec["algebra"])
+                ref_layer = layers[ref]
+                if ref_layer.expression is not None:
+                    # composing onto another algebra layer: substitute
+                    # its expression tree for the var (bind_params) and
+                    # inherit its raster sources — binding the raw
+                    # tiles would silently drop the referenced math
+                    subst[var] = ref_layer.expression
+                    for sv, sdf in ref_layer.sources.items():
+                        if sv in sources and sources[sv] is not sdf:
+                            raise ValueError(
+                                f"layer {name!r}: raster var {sv!r} is"
+                                f" bound by two different layers")
+                        sources[sv] = sdf
+                else:
+                    sources[var] = ref_layer.tiles
+            if subst:
+                expr = expr.bind_params(subst)
             missing = sorted(set(expr.var_names()) - set(sources))
             if missing:
                 raise ValueError(
                     f"layer {name!r}: algebra vars {missing} missing from"
                     " parameters")
+            if not sources:
+                raise ValueError(
+                    f"layer {name!r}: a map-algebra layer needs at least"
+                    " one raster parameter (a constant expression has no"
+                    " tile grid to evaluate over)")
             # single-var convention: the engine evaluates over .tiles
-            first = next(iter(sources.values())) if sources else None
+            first = next(iter(sources.values()))
             layers[name] = Layer(name, first, expression=expr,
                                  sources=sources, style=style)
         else:
-            tiles = _load_source(spark, name, spec["source"])
-            layers[name] = Layer(name, tiles, style=style)
+            tiles, crs = _load_source(spark, name, spec["source"])
+            layers[name] = Layer(name, tiles, style=style,
+                                 crs_epsg=crs or 3857)
     catalog = None
     cat = config.get("catalog")
     if cat:

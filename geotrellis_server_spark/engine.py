@@ -46,6 +46,10 @@ class Layer:
     # the layer a custom (CRS, extent, tile size) matrix set — request
     # validation + layout math follow it (GeotrellisTileMatrix parity)
     scheme: object | None = None
+    # CRS of the tile table's extents for SCHEME-LESS layers (a GeoTIFF
+    # source keeps its file CRS, e.g. 4326); the scheme's crs_epsg wins
+    # when present. Capabilities bboxes reproject FROM this.
+    crs_epsg: int = 3857
     # monotone generation stamp: unique per Layer instance FOREVER (unlike
     # id(), which CPython reuses after GC) — cache keys hang off this;
     # init=False so even dataclasses.replace() mints a fresh one
@@ -364,6 +368,8 @@ class Engine:
                 "extent": tuple(ext),
                 "expression": layer.expression.to_dict() if layer.expression else None,
                 "styled": layer.style is not None,
+                "crs_epsg": (getattr(layer.scheme, "crs_epsg", None)
+                             or layer.crs_epsg),
                 # capabilities advertisement (CapabilitiesView analog):
                 # always-available formats + every registered request CRS
                 "formats": ["image/png", "image/jpeg", "image/geotiff",

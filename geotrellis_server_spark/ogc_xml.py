@@ -29,12 +29,14 @@ def _sub(parent, tag, text=None, **attrs):
 
 
 def _geographic_extent(e: dict) -> tuple:
-    """Layer extent (native CRS — 3857 for standard pyramids, the
-    matrix set's CRS otherwise) -> lon/lat for the WGS84/geographic
+    """Layer extent (in the layer's native CRS — describe()'s
+    ``crs_epsg``: 3857 for standard pyramids, a GeoTIFF source's file
+    CRS, or the matrix set's) -> lon/lat for the WGS84/geographic
     bounding-box elements all three services require."""
     from .grids.proj import reproject_extent
 
-    epsg = (e.get("matrix_set") or {}).get("crs_epsg", 3857)
+    epsg = e.get("crs_epsg") or (e.get("matrix_set") or {}).get(
+        "crs_epsg", 3857)
     if epsg == 4326:
         return tuple(e["extent"])
     return reproject_extent(tuple(e["extent"]), epsg, 4326)

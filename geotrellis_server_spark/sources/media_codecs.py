@@ -24,6 +24,21 @@ WAV_MAGIC = b"RIFF"
 Y4M_MAGIC = b"YUV4MPEG2 "
 
 
+def _riff_chunks(payload: bytes, form: bytes = b"WAVE"):
+    """Yield (chunk id, body) from a flat RIFF container (WAV) —
+    word-aligned advance, truncated-size clamp; raises ValueError for a
+    non-RIFF payload. (The AVI walkers keep their own loops: LIST
+    nesting needs the raw offsets.)"""
+    if payload[:4] != b"RIFF" or payload[8:12] != form:
+        raise ValueError(f"not a RIFF/{form.decode().strip()} payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        yield cid, payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+
+
 # --------------------------------------------------------------------- WAV
 
 
@@ -49,20 +64,17 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM16 WAV bytes → (float32 samples in [-1, 1], sample_rate).
     Mono returns (n,); multi-channel (n, ch). Walks RIFF chunks, so
     extra chunks (LIST/fact) before ``data`` are handled."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    pos, n_ch, bits, rate, data = 12, None, None, None, None
-    while pos + 8 <= len(payload):
-        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
-        body = payload[pos + 8 : pos + 8 + size]
+    n_ch, rate, data = None, None, None
+    for cid, body in _riff_chunks(payload):
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("malformed WAV fmt chunk")
             fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if fmt != 1 or bits != 16:
                 raise ValueError(f"stdlib WAV decoder reads PCM16 only (fmt={fmt}, bits={bits})")
         elif cid == b"data":
             data = body
-        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
     if data is None or n_ch is None:
         raise ValueError("malformed WAV: missing fmt/data chunk")
     pcm = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0
@@ -330,23 +342,19 @@ def encode_wav_adpcm(
 
 def decode_wav_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
     """IMA ADPCM WAV → (float32 mono samples in [-1, 1], rate)."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, block_align, data, total = 12, None, None, None, None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        size = struct.unpack_from("<I", payload, pos + 4)[0]
-        body = payload[pos + 8 : pos + 8 + size]
+    rate, block_align, data, total = None, None, None, None
+    for cid, body in _riff_chunks(payload):
         if cid == b"fmt ":
+            if len(body) < 14:
+                raise ValueError("malformed ADPCM fmt chunk")
             fmt, ch, rate = struct.unpack_from("<HHI", body, 0)
             block_align = struct.unpack_from("<H", body, 12)[0]
             if fmt != 0x11 or ch != 1:
                 raise ValueError(f"not mono IMA ADPCM (fmt={fmt}, ch={ch})")
-        elif cid == b"fact":
+        elif cid == b"fact" and len(body) >= 4:
             total = struct.unpack_from("<I", body, 0)[0]
         elif cid == b"data":
             data = body
-        pos += 8 + size + (size % 2)
     if data is None or block_align is None:
         raise ValueError("malformed ADPCM WAV: missing fmt/data")
     out = []
@@ -355,6 +363,9 @@ def decode_wav_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
         if len(block) < 4:
             break
         pred, index, _ = struct.unpack_from("<hBB", block, 0)
+        # malformed input keeps the ValueError contract of decode_wav
+        # (a corrupt index byte must not escape as IndexError)
+        index = max(0, min(88, index))
         out.append(pred)
         for byte in block[4:]:
             for code in (byte & 0xF, byte >> 4):
