@@ -36,6 +36,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # JIT code cache: whole-stage codegen emits one large class per
+        # query plan; a long session (a bench suite, a notebook) fills
+        # the default 240MB ReservedCodeCacheSize and late queries with
+        # BIG generated methods (pyramid_up's quadrant assembly) drop to
+        # the interpreter — measured ~5x on q14 when it runs late in a
+        # full suite vs ~1s fresh/isolated. In local mode the driver JVM
+        # hosts the executors, so the driver option covers both.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=768m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # Default 128MB splits pack local-scale inputs into fewer tasks
