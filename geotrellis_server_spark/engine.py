@@ -342,6 +342,36 @@ class Engine:
             F.expr("cells[CAST(py * width + px AS INT)]").alias("value"),
         )
 
+    def get_feature_info(
+        self, layer_name: str, points: list[tuple[float, float]], zoom: int,
+        info_format: str = "application/json",
+    ) -> str:
+        """GetFeatureInfo with an InfoFormat switch (reference
+        InfoFormat.scala: text/xml | application/json; wms/package.scala
+        :97-100 routes XML through WfsFeatureCollection). The response
+        is request-sized (≤ len(points) rows) — the collect here is the
+        service boundary, not a data-scale operation."""
+        rows = self.get_values(layer_name, points, zoom).collect()
+        if info_format == "text/xml":
+            from .ogc_xml import get_feature_info_xml
+
+            w = self.layers[layer_name].meta()[0]
+            return get_feature_info_xml(rows, zoom, tile_size=w)
+        if info_format == "application/json":
+            feats = [
+                {"type": "Feature",
+                 "geometry": {"type": "Point",
+                              "coordinates": [r["lon"], r["lat"]]},
+                 "properties": {"point_id": r["point_id"],
+                                "value": r["value"]}}
+                for r in rows
+            ]
+            import json as _json
+
+            return _json.dumps(
+                {"type": "FeatureCollection", "features": feats})
+        raise ValueError(f"unsupported InfoFormat: {info_format!r}")
+
     # -- E5: GetCapabilities / DescribeCoverage ------------------------------
     def describe(self) -> list[dict]:
         out = []

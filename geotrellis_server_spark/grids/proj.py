@@ -602,6 +602,89 @@ def eqc_inverse(x, y, p: dict):
     return p["lon0"] + np.degrees(lam), lat
 
 
+# --- oblique stereographic (EPSG method 9809, "double" stereographic) ------
+#
+# The Roussilhe formulation EPSG Guidance 7-2 §1.3.7.1 specifies: ellipsoid
+# -> conformal sphere of radius R = sqrt(rho0*nu0), then the spherical
+# stereographic projection about the conformal origin. The RD New
+# (Amersfoort, 28992) family uses this method; the registry entry below is
+# validated against the EPSG worked example (phi=53N lam=6E ->
+# 196105.283 E, 557057.739 N).
+
+
+def _sto_constants(p: dict):
+    a, e2 = p["a"], p["e2"]
+    e = np.sqrt(e2)
+    phi0 = np.radians(p["lat0"])
+    s0 = np.sin(phi0)
+    rho0 = a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+    nu0 = a / np.sqrt(1.0 - e2 * s0 * s0)
+    big_r = np.sqrt(rho0 * nu0)
+    n = np.sqrt(1.0 + e2 * np.cos(phi0) ** 4 / (1.0 - e2))
+    s1 = (1.0 + s0) / (1.0 - s0)
+    s2 = (1.0 - e * s0) / (1.0 + e * s0)
+    w1 = (s1 * s2**e) ** n
+    sin_chi0 = (w1 - 1.0) / (w1 + 1.0)
+    c = (n + s0) * (1.0 - sin_chi0) / ((n - s0) * (1.0 + sin_chi0))
+    w2 = c * w1
+    chi0 = np.arcsin((w2 - 1.0) / (w2 + 1.0))
+    lam0 = np.radians(p["lon0"])
+    return e, big_r, n, c, chi0, lam0
+
+
+def _sto_conformal(lat, e: float, n: float, c: float):
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    sphi = np.sin(phi)
+    sa = (1.0 + sphi) / (1.0 - sphi)
+    sb = (1.0 - e * sphi) / (1.0 + e * sphi)
+    w = c * (sa * sb**e) ** n
+    return np.arcsin((w - 1.0) / (w + 1.0))
+
+
+def stere_oblique_forward(lon, lat, p: dict):
+    """Oblique/equatorial stereographic forward (EPSG 9809)."""
+    e, big_r, n, c, chi0, lam0 = _sto_constants(p)
+    k0 = p.get("k0", 1.0)
+    lam = n * (np.radians(np.asarray(lon, dtype=np.float64)) - lam0) + lam0
+    chi = _sto_conformal(lat, e, n, c)
+    dlam = lam - lam0
+    b = 1.0 + np.sin(chi) * np.sin(chi0) + np.cos(chi) * np.cos(chi0) * np.cos(dlam)
+    x = p["fe"] + 2.0 * big_r * k0 * np.cos(chi) * np.sin(dlam) / b
+    y = p["fn"] + 2.0 * big_r * k0 * (
+        np.sin(chi) * np.cos(chi0) - np.cos(chi) * np.sin(chi0) * np.cos(dlam)) / b
+    return x, y
+
+
+def stere_oblique_inverse(x, y, p: dict):
+    """Oblique stereographic inverse: spherical de-projection to the
+    conformal (chi, Lambda), then Newton-free fixed-point recovery of
+    the geodetic latitude via the isometric latitude (EPSG 7-2 §1.3.7.1
+    reverse formulas)."""
+    e, big_r, n, c, chi0, lam0 = _sto_constants(p)
+    k0 = p.get("k0", 1.0)
+    xp = np.asarray(x, dtype=np.float64) - p["fe"]
+    yp = np.asarray(y, dtype=np.float64) - p["fn"]
+    g = 2.0 * big_r * k0 * np.tan(np.pi / 4.0 - chi0 / 2.0)
+    h = 4.0 * big_r * k0 * np.tan(chi0) + g
+    i = np.arctan2(xp, h + yp)
+    j = np.arctan2(xp, g - yp) - i
+    chi = chi0 + 2.0 * np.arctan((yp - xp * np.tan(j / 2.0)) / (2.0 * big_r * k0))
+    lam = j + 2.0 * i + lam0
+    lon = np.degrees((lam - lam0) / n + lam0)
+    # isometric latitude of the conformal sphere -> geodetic latitude
+    psi = 0.5 * np.log((1.0 + np.sin(chi)) / (c * (1.0 - np.sin(chi)))) / n
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    for _ in range(8):
+        sphi = np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2.0 + np.pi / 4.0)
+                       * ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0))
+        dphi = (psi - psi_i) * np.cos(phi) * (1.0 - e * e * sphi * sphi) / (1.0 - e * e)
+        phi = phi + dphi
+        if np.all(np.abs(dphi) < 1e-14):
+            break
+    return lon, np.degrees(phi)
+
+
 # --- datum shift (7-parameter Helmert, EPSG method 1033) --------------------
 #
 # The hub CRS is WGS84 lon/lat. Registry entries on a datum that is NOT
@@ -769,17 +852,51 @@ CRS_REGISTRY: dict[int, tuple[str, dict]] = {
                    "lon0": 0.0, "fe": 2000000.0, "fn": 2000000.0}),
     32761: ("ps", {"a": A_WGS84, "e2": E2, "lat_ts": -90.0, "k0": 0.994,
                    "lon0": 0.0, "fe": 2000000.0, "fn": 2000000.0}),
+    # Amersfoort / RD New — oblique ("double") stereographic on Bessel
+    # 1841, EPSG method 9809; towgs84 per EPSG tfm 15934 (Amersfoort ->
+    # WGS84 ~0.5 m). Worked example EPSG 7-2: 53N 6E (Amersfoort
+    # geographic) -> 196105.283 E, 557057.739 N.
+    28992: ("sto", {"a": 6377397.155, "e2": None, "lat0": 52.0 + 9.0 / 60 + 22.178 / 3600,
+                    "lon0": 5.0 + 23.0 / 60 + 15.5 / 3600, "k0": 0.9999079,
+                    "fe": 155000.0, "fn": 463000.0,
+                    "towgs84": (565.417, 50.3319, 465.552,
+                                -0.398957, 0.343988, -1.87740, 4.0725)}),
 }
+# Bessel 1841 e2 from 1/f = 299.1528128 (kept exact in one place)
+_BESSEL_F = 1.0 / 299.1528128
+CRS_REGISTRY[28992][1]["e2"] = _BESSEL_F * (2.0 - _BESSEL_F)
 
 _KIND_FWD = {"laea": laea_forward, "ps": ps_forward, "lcc": lcc_forward,
              "tm": tm_forward_generic, "aea": aea_forward, "eqc": eqc_forward,
-             "laea_polar": laea_polar_forward, "moll": mollweide_forward}
+             "laea_polar": laea_polar_forward, "moll": mollweide_forward,
+             "sto": stere_oblique_forward}
 _KIND_INV = {"laea": laea_inverse, "ps": ps_inverse, "lcc": lcc_inverse,
              "tm": tm_inverse_generic, "aea": aea_inverse, "eqc": eqc_inverse,
-             "laea_polar": laea_polar_inverse, "moll": mollweide_inverse}
+             "laea_polar": laea_polar_inverse, "moll": mollweide_inverse,
+             "sto": stere_oblique_inverse}
 
 
 # --- CRS registry / generic transform --------------------------------------
+
+
+def _kernel_fwd(lon, lat, kind: str, p: dict):
+    """Forward kernel dispatch + the optional non-metre unit scaling
+    (proj4 +units / +to_meter: E_unit = E_m / to_m, PROJ semantics —
+    false easting is metres, the conversion applies to the output)."""
+    x, y = _KIND_FWD[kind](lon, lat, p)
+    to_m = p.get("to_m")
+    if to_m:
+        return np.asarray(x, dtype=np.float64) / to_m, \
+            np.asarray(y, dtype=np.float64) / to_m
+    return x, y
+
+
+def _kernel_inv(x, y, kind: str, p: dict):
+    to_m = p.get("to_m")
+    if to_m:
+        x = np.asarray(x, dtype=np.float64) * to_m
+        y = np.asarray(y, dtype=np.float64) * to_m
+    return _KIND_INV[kind](x, y, p)
 
 
 def _to_lonlat(x, y, epsg: int):
@@ -791,7 +908,7 @@ def _to_lonlat(x, y, epsg: int):
         return mercator_to_lonlat(x, y)
     if epsg in CRS_REGISTRY:
         kind, p = CRS_REGISTRY[epsg]
-        lon, lat = _KIND_INV[kind](x, y, p)
+        lon, lat = _kernel_inv(x, y, kind, p)
         if "towgs84" in p:
             lon, lat = _datum_to_wgs84(lon, lat, kind, p)
         return lon, lat
@@ -810,7 +927,7 @@ def _from_lonlat(lon, lat, epsg: int):
         kind, p = CRS_REGISTRY[epsg]
         if "towgs84" in p:
             lon, lat = _datum_from_wgs84(lon, lat, kind, p)
-        return _KIND_FWD[kind](lon, lat, p)
+        return _kernel_fwd(lon, lat, kind, p)
     lon0, fn = _utm_params(epsg)
     return tm_forward(lon, lat, lon0, fn)
 
@@ -839,7 +956,7 @@ def project_geodetic(lon, lat, epsg: int):
     shift. :func:`transform` from 4326 is the datum-aware path."""
     if epsg in CRS_REGISTRY:
         kind, p = CRS_REGISTRY[epsg]
-        return _KIND_FWD[kind](lon, lat, p)
+        return _kernel_fwd(lon, lat, kind, p)
     return _from_lonlat(lon, lat, epsg)
 
 
@@ -848,7 +965,7 @@ def inverse_geodetic(x, y, epsg: int):
     coordinates (no datum shift)."""
     if epsg in CRS_REGISTRY:
         kind, p = CRS_REGISTRY[epsg]
-        return _KIND_INV[kind](x, y, p)
+        return _kernel_inv(x, y, kind, p)
     return _to_lonlat(x, y, epsg)
 
 

@@ -65,13 +65,14 @@ def _parse_tokens(proj4: str) -> dict[str, str | bool]:
 def _ellipsoid_of(toks: dict) -> tuple[float, float, tuple | None]:
     """(a, f, towgs84|None) from +datum / +ellps / +a +b|+rf / +R."""
     towgs84 = None
-    if "towgs84" in toks:
+    towgs84_present = "towgs84" in toks
+    if towgs84_present:
         parts = [float(v) for v in str(toks["towgs84"]).split(",")]
         if len(parts) == 3:
             parts += [0.0, 0.0, 0.0, 0.0]
         if len(parts) != 7:
             raise ValueError(f"towgs84 needs 3 or 7 values: {toks['towgs84']}")
-        if any(parts):  # all-zero shift = WGS84-equivalent, drop it
+        if any(parts):  # all-zero shift = WGS84-equivalent identity
             towgs84 = tuple(parts)
     if "datum" in toks:
         name = str(toks["datum"])
@@ -79,7 +80,11 @@ def _ellipsoid_of(toks: dict) -> tuple[float, float, tuple | None]:
             raise NotImplementedError(f"unknown +datum={name}")
         ellps, datum_shift = DATUMS[name]
         a, rf = ELLIPSOIDS[ellps]
-        return a, (1.0 / rf if rf else 0.0), towgs84 or datum_shift
+        # an EXPLICIT +towgs84 (even all-zero) overrides the +datum
+        # default shift — '+datum=OSGB36 +towgs84=0,0,0' means "no
+        # transform", not "apply the OSGB36 Helmert anyway"
+        return a, (1.0 / rf if rf else 0.0), (
+            towgs84 if towgs84_present else datum_shift)
     if "a" in toks:
         a = float(toks["a"])
         if "b" in toks:
@@ -99,6 +104,30 @@ def _ellipsoid_of(toks: dict) -> tuple[float, float, tuple | None]:
     return a, (1.0 / rf if rf else 0.0), towgs84
 
 
+# PROJ's standard linear-unit catalog (proj -lu), metres per unit
+UNITS_TO_M = {
+    "m": 1.0, "km": 1000.0, "dm": 0.1, "cm": 0.01, "mm": 0.001,
+    "ft": 0.3048, "us-ft": 1200.0 / 3937.0, "ind-ft": 0.30479841,
+    "yd": 0.9144, "us-yd": 3600.0 / 3937.0, "mi": 1609.344,
+    "us-mi": 6336000.0 / 3937.0, "kmi": 1852.0, "fath": 1.8288,
+    "ch": 20.1168, "us-ch": 79200.0 / 3937.0, "link": 0.201168,
+}
+
+
+def _unit_to_m(toks: dict) -> float:
+    """Metres per projected-coordinate unit from +to_meter / +units
+    (+to_meter wins when both are present, matching PROJ)."""
+    if "to_meter" in toks:
+        return float(toks["to_meter"])
+    if "units" in toks:
+        name = str(toks["units"])
+        if name not in UNITS_TO_M:
+            raise NotImplementedError(f"+units={name} (known: "
+                                      f"{sorted(UNITS_TO_M)})")
+        return UNITS_TO_M[name]
+    return 1.0
+
+
 def _fl(toks: dict, key: str, default: float | None = None) -> float:
     if key in toks:
         return float(toks[key])
@@ -113,10 +142,7 @@ def params_from_proj4(proj4: str) -> tuple[str, dict]:
     NotImplementedError for projections/options outside the kernel set
     (oblique stereographic, non-metre units, grid-shift datums)."""
     toks = _parse_tokens(proj4)
-    if "units" in toks and toks["units"] != "m":
-        raise NotImplementedError(f"+units={toks['units']} (metres only)")
-    if "to_meter" in toks and float(toks["to_meter"]) != 1.0:
-        raise NotImplementedError("+to_meter scaling")
+    to_m = _unit_to_m(toks)
     if "nadgrids" in toks:
         raise NotImplementedError("+nadgrids grid-shift datums")
     kind_in = str(toks.get("proj", ""))
@@ -161,13 +187,23 @@ def params_from_proj4(proj4: str) -> tuple[str, dict]:
                           "lat2": _fl(toks, "lat_2"),
                           "lat0": _fl(toks, "lat_0", 0.0), "lon0": lon0,
                           "fe": fe, "fn": fn}
+    elif kind_in == "sterea":
+        # Oblique ("double") stereographic, EPSG method 9809 — the RD
+        # New / Dutch family. PROJ distinguishes sterea (Roussilhe, via
+        # a conformal sphere at the origin) from stere's oblique aspect
+        # (conformal-latitude mapping); only the former is EPSG 9809.
+        kind, p = "sto", {"a": a, "e2": e2, "lat0": _fl(toks, "lat_0", 0.0),
+                          "lon0": lon0, "k0": _fl(toks, "k_0", 1.0),
+                          "fe": fe, "fn": fn}
     elif kind_in == "stere":
         # PROJ's default lat_0 is 0 (EQUATORIAL stereographic) — an
         # omitted lat_0 must reach the oblique rejection below, not be
         # silently minted as polar
         lat0 = _fl(toks, "lat_0", 0.0)
         if abs(lat0) != 90.0:
-            raise NotImplementedError("oblique stereographic (polar only)")
+            raise NotImplementedError(
+                "oblique +proj=stere (conformal-latitude formulation); "
+                "the EPSG 9809 double stereographic is +proj=sterea")
         if "lat_ts" not in toks:
             # variant A (method 9810: scale defined AT the pole, e.g. UPS)
             lat_ts = lat0
@@ -192,6 +228,10 @@ def params_from_proj4(proj4: str) -> tuple[str, dict]:
                                   "stere eqc moll)")
     if towgs84 is not None:
         p["towgs84"] = towgs84
+    if to_m != 1.0:
+        # PROJ semantics: +x_0/+y_0 are metres; the unit conversion
+        # applies to the FULL projected output (E_unit = E_m / to_meter)
+        p["to_m"] = to_m
     return kind, p
 
 
@@ -224,6 +264,15 @@ def crs_from_proj4(proj4: str) -> int:
         if towgs84 is not None:
             raise NotImplementedError("datum-shifted geographic CRS "
                                       "(only WGS84 longlat)")
+        # the 4326 shortcut is only valid on a WGS84/GRS80-equivalent
+        # ellipsoid — '+proj=longlat +ellps=bessel' is a DIFFERENT
+        # geographic CRS (native-datum lon/lat), and silently treating
+        # it as WGS84 would hide a ~100 m datum error
+        if abs(a - proj.A_WGS84) > 1e-3 or not (
+                f and abs(1.0 / f - 298.2572) < 0.01):
+            raise NotImplementedError(
+                "non-WGS84-ellipsoid geographic CRS (add +towgs84 or "
+                "use a WGS84/GRS80 ellipsoid)")
         return 4326
     if kind_in == "merc":
         a, f, _ = _ellipsoid_of(toks)

@@ -103,9 +103,12 @@ def wms_capabilities(
         _sub(bb, f"{{{WMS_NS}}}eastBoundLongitude", xmax)
         _sub(bb, f"{{{WMS_NS}}}southBoundLatitude", ymin)
         _sub(bb, f"{{{WMS_NS}}}northBoundLatitude", ymax)
+        # WMS 1.3.0 7.2.4.6.12: Style requires Name AND Title children
+        # (reference wms/CapabilitiesView.scala:173 emits both)
+        st = _sub(lay, f"{{{WMS_NS}}}Style")
+        _sub(st, f"{{{WMS_NS}}}Name", "default")
+        _sub(st, f"{{{WMS_NS}}}Title", "default")
         if e.get("legend"):
-            st = _sub(lay, f"{{{WMS_NS}}}Style")
-            _sub(st, f"{{{WMS_NS}}}Name", "default")
             leg = e["legend"]
             lg = _sub(st, f"{{{WMS_NS}}}LegendURL",
                       width=str(leg["width"]), height=str(leg["height"]))
@@ -134,11 +137,16 @@ def wmts_capabilities(
     for e in describe_entries:
         lay = _sub(contents, f"{{{WMTS_NS}}}Layer")
         _sub(lay, f"{{{OWS_NS}}}Title", e["name"])
-        _sub(lay, f"{{{OWS_NS}}}Identifier", e["name"])
+        # wmtsGetCapabilities_response.xsd DatasetDescriptionSummary
+        # ordering: WGS84BoundingBox BEFORE Identifier; a Style element
+        # is mandatory (reference wmts/CapabilitiesView.scala:208-214)
         xmin, ymin, xmax, ymax = _geographic_extent(e)
         bb = _sub(lay, f"{{{OWS_NS}}}WGS84BoundingBox")
         _sub(bb, f"{{{OWS_NS}}}LowerCorner", f"{xmin} {ymin}")
         _sub(bb, f"{{{OWS_NS}}}UpperCorner", f"{xmax} {ymax}")
+        _sub(lay, f"{{{OWS_NS}}}Identifier", e["name"])
+        st = _sub(lay, f"{{{WMTS_NS}}}Style", isDefault="true")
+        _sub(st, f"{{{OWS_NS}}}Identifier", "default")
         for fmt in e.get("formats", ["image/png"]):
             if fmt.startswith("image/"):
                 _sub(lay, f"{{{WMTS_NS}}}Format", fmt)
@@ -232,3 +240,94 @@ def wcs_describe_coverage(
             if fmt.startswith("image/"):
                 _sub(cd, f"{{{WCS_NS}}}SupportedFormat", fmt)
     return ET.tostring(root, encoding="unicode", xml_declaration=True)
+
+
+# -- WFS FeatureCollection / GetFeatureInfo XML InfoFormat -------------------
+
+WFS_NS = "http://www.opengis.net/wfs"
+GML_NS = "http://www.opengis.net/gml"
+
+
+def _coords_text(ring: list[tuple]) -> str:
+    """GML <coordinates> payload: cs="," between x,y, ts=" " between
+    points (the attribute values the reference emits,
+    ogc/.../wfs/WfsFeatureCollection.scala:121-139)."""
+    return " ".join(f"{float(x):g},{float(y):g}" for x, y in ring)
+
+
+def _feature_polygons(geom, cell_w: float, cell_h: float) -> list[list[tuple]]:
+    """Normalize a feature geometry to exterior rings.
+
+    Accepts ``{"point": (x, y)}`` (expanded to a cell-size rectangle, the
+    reference's GetFeatureInfo pixel footprint), ``{"polygon": ring}`` or
+    ``{"multipolygon": [ring, ...]}`` — reference
+    WfsFeatureCollection.scala:82-97 (Point/Polygon/MultiPolygon cases)."""
+    if "point" in geom:
+        x, y = (float(v) for v in geom["point"])
+        w, h = cell_w, cell_h
+        return [[(x - w, y - h), (x + w, y - h), (x + w, y + h),
+                 (x - w, y + h), (x - w, y - h)]]
+    if "polygon" in geom:
+        return [list(geom["polygon"])]
+    if "multipolygon" in geom:
+        return [list(r) for r in geom["multipolygon"]]
+    return []
+
+
+def wfs_feature_collection(
+    features: list[dict], crs_epsg: int,
+    cell_size: tuple[float, float] = (0.0, 0.0),
+) -> str:
+    """WFS 1.1 FeatureCollection XML (reference
+    ogc/.../wfs/WfsFeatureCollection.scala:46-153).
+
+    Each feature is ``{"geom": {...}, "properties": {...}}``; every
+    geometry is wrapped in a gml:MultiPolygon whose srsName is the EPSG
+    URN, points expanded by ``cell_size`` — matching the reference's
+    PixelPerBandFeature shape. Property values render as
+    ``<key>value</key>`` children (the reference's jsonXML flattening);
+    nested dicts flatten recursively."""
+    ET.register_namespace("", WFS_NS)
+    ET.register_namespace("gml", GML_NS)
+    ET.register_namespace("ows", OWS_NS)
+    ET.register_namespace("xlink", XLINK_NS)
+    root = ET.Element(f"{{{WFS_NS}}}FeatureCollection")
+    cw, ch = cell_size
+
+    def _props(parent, data: dict):
+        for k, v in data.items():
+            if isinstance(v, dict):
+                _props(parent, v)
+            else:
+                _sub(parent, str(k), "" if v is None else v)
+
+    for f in features:
+        member = _sub(root, f"{{{GML_NS}}}featureMember")
+        feat = _sub(member, "PixelPerBandFeature")
+        geo = _sub(feat, "Geometry")
+        mp = _sub(geo, f"{{{GML_NS}}}MultiPolygon",
+                  srsName=f"urn:ogc:def:crs:EPSG::{crs_epsg}")
+        for ring in _feature_polygons(f.get("geom", {}), cw, ch):
+            pm = _sub(mp, f"{{{GML_NS}}}polygonMember")
+            poly = _sub(pm, f"{{{GML_NS}}}Polygon")
+            ext = _sub(poly, f"{{{GML_NS}}}exterior")
+            lr = _sub(ext, f"{{{GML_NS}}}LinearRing")
+            _sub(lr, f"{{{GML_NS}}}coordinates", _coords_text(ring),
+                 decimal=".", cs=",", ts=" ")
+        _props(feat, f.get("properties", {}))
+    return ET.tostring(root, encoding="unicode", xml_declaration=True)
+
+
+def get_feature_info_xml(rows: list, zoom: int, tile_size: int = 256) -> str:
+    """GetFeatureInfo InfoFormat=text/xml: Engine.get_values() rows →
+    WFS FeatureCollection (reference InfoFormat.scala XML case routed
+    through WfsFeatureCollection, wms/package.scala:97-100). The pixel
+    footprint half-width is the cell size at this zoom on the lon/lat
+    grid the sampler answers in."""
+    cell = 360.0 / ((1 << zoom) * tile_size)
+    feats = [
+        {"geom": {"point": (r["lon"], r["lat"])},
+         "properties": {"point_id": r["point_id"], "value": r["value"]}}
+        for r in rows
+    ]
+    return wfs_feature_collection(feats, 4326, (cell, cell))

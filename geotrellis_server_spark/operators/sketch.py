@@ -52,7 +52,13 @@ def kmv_estimate(
     (external sort, spills to disk). Global: ``orderBy().limit(k)`` =
     TakeOrderedAndProject (per-partition bottom-k, no global sort).
     Only the ≤k winners reach the final collect, so aggregation-buffer
-    state is O(k) — a high-cardinality group can spill, not OOM."""
+    state is O(k) — a high-cardinality group can spill, not OOM.
+
+    Groups whose ``col`` is entirely NULL produce NO output row (the
+    NULL pre-filter removes them before the groupBy; their true distinct
+    count is 0). Callers that need every group key present should
+    left-join this result onto ``df.select(group_by).distinct()`` and
+    coalesce the counts to 0."""
     if k < 2:
         raise ValueError("k must be >= 2")
     from pyspark.sql import Window
@@ -240,8 +246,13 @@ def weighted_sample(
     tiebreaker. A cross-engine flip now needs ln() to land on the other
     side of a 2^-24 grid line — ~10^6 ULP away — and
     test_weighted_sample_ulp_margin proves the gate corpus keeps a wide
-    margin from every boundary. Plans as TakeOrderedAndProject; the
-    classic op behind quality-weighted corpus subsetting."""
+    margin from every boundary. Weight-scale assumption: the quantized
+    key magnitude is ≤ |ln(u)|/w_min · 2^24 ≈ 37·2^24/w_min, which must
+    stay below 2^53 for adjacent integers to remain representable — so
+    the guarantee holds for weights ≳ 1e-7 (normalize smaller weights
+    by their max before sampling; selection is scale-invariant). Plans
+    as TakeOrderedAndProject; the classic op behind quality-weighted
+    corpus subsetting."""
     if k < 1:
         raise ValueError("k must be >= 1")
     ident = ", ".join(f"CAST({c} AS STRING)" for c in identity_cols)

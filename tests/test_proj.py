@@ -610,3 +610,29 @@ def test_registry_additions_roundtrip(epsg, lon_rng, lat_rng):
     dl = (lo - lons + 180.0) % 360.0 - 180.0
     assert np.abs(dl).max() < 1e-9
     assert np.abs(la - lats).max() < 1e-9
+
+
+def test_oblique_stereographic_epsg_worked_example():
+    # EPSG Guidance 7-2 method 9809 worked example (Amersfoort / RD
+    # New): native-datum 53N 6E -> 196105.283 E, 557057.739 N
+    x, y = proj.project_geodetic(6.0, 53.0, 28992)
+    assert abs(float(x) - 196105.283) < 1e-2
+    assert abs(float(y) - 557057.739) < 1e-2
+    lon, lat = proj.inverse_geodetic(x, y, 28992)
+    assert abs(float(lon) - 6.0) < 1e-12 and abs(float(lat) - 53.0) < 1e-12
+
+
+def test_rd_new_datum_aware_roundtrip_and_plausibility():
+    # datum-aware: WGS84 Amsterdam lands inside the RD New bounds
+    # (x 0-290km, y 290-630km) and round-trips through the Helmert
+    x, y = proj.transform(4.9, 52.37, 4326, 28992)
+    assert 0 < float(x) < 290000 and 290000 < float(y) < 630000
+    lo, la = proj.transform(x, y, 28992, 4326)
+    assert abs(float(lo) - 4.9) < 5e-8 and abs(float(la) - 52.37) < 5e-8
+    rng = np.random.default_rng(7)
+    lons = rng.uniform(3.3, 7.2, 200)
+    lats = rng.uniform(50.7, 53.6, 200)
+    xs, ys = proj.transform(lons, lats, 4326, 28992)
+    lo2, la2 = proj.transform(xs, ys, 28992, 4326)
+    assert np.abs(lo2 - lons).max() < 5e-8
+    assert np.abs(la2 - lats).max() < 5e-8

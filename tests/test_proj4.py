@@ -102,7 +102,8 @@ def test_proj4_rejections():
         # reject, not silently mint a polar CRS
         proj4.crs_from_proj4("+proj=stere +lon_0=10 +ellps=WGS84")
     with pytest.raises(NotImplementedError):
-        proj4.crs_from_proj4("+proj=utm +zone=15 +units=us-ft")
+        # linear units outside PROJ's catalog reject (known ones work)
+        proj4.crs_from_proj4("+proj=utm +zone=15 +units=smoot")
     with pytest.raises(NotImplementedError):
         proj4.crs_from_proj4("+proj=tmerc +lat_0=0 +lon_0=9 "
                              "+nadgrids=@BETA2007.gsb")
@@ -300,3 +301,67 @@ def test_engine_getmap_in_minted_crs(spark):
     assert arr.shape == (32, 32)
     assert np.isfinite(arr).any()  # real densities landed in the window
     assert ext == (float(x0), float(y0), float(x1), float(y1))
+
+
+def test_towgs84_explicit_zero_overrides_datum_default():
+    # '+datum=OSGB36 +towgs84=0,0,0' = airy ellipsoid, NO datum shift
+    # (the user explicitly zeroed the transform); it must differ from
+    # the +datum default (which applies the OSGB36 Helmert) and agree
+    # with the bare-ellipsoid spelling
+    base = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 "
+            "+x_0=400000 +y_0=-100000 ")
+    zeroed = proj4.crs_from_proj4(base + "+datum=OSGB36 +towgs84=0,0,0")
+    shifted = proj4.crs_from_proj4(base + "+datum=OSGB36")
+    bare = proj4.crs_from_proj4(base + "+ellps=airy")
+    xz, yz = proj.transform(-0.12, 51.5, 4326, zeroed)
+    xs, ys = proj.transform(-0.12, 51.5, 4326, shifted)
+    xb, yb = proj.transform(-0.12, 51.5, 4326, bare)
+    assert abs(float(xz - xb)) < 1e-9 and abs(float(yz - yb)) < 1e-9
+    assert abs(float(xz - xs)) > 10  # the Helmert shift is ~100 m here
+
+
+def test_longlat_non_wgs84_ellipsoid_rejected():
+    # +proj=longlat on bessel/airy is a NATIVE-datum geographic CRS,
+    # not WGS84 lon/lat — mapping it to 4326 would hide ~100 m error
+    for bad in ("+proj=longlat +ellps=bessel", "+proj=longlat +ellps=airy",
+                "+proj=longlat +a=6377397.155 +rf=299.1528128"):
+        with pytest.raises(NotImplementedError):
+            proj4.crs_from_proj4(bad)
+    # GRS80 is WGS84-equivalent (sub-mm flattening difference): allowed
+    assert proj4.crs_from_proj4("+proj=longlat +ellps=GRS80") == 4326
+    assert proj4.crs_from_proj4(
+        "+proj=longlat +datum=WGS84 +towgs84=0,0,0") == 4326
+
+
+def test_sterea_matches_rd_new_registry():
+    code = proj4.crs_from_proj4(
+        "+proj=sterea +lat_0=52.1561605555556 +lon_0=5.38763888888889 "
+        "+k_0=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel")
+    x1, y1 = proj.project_geodetic(6.0, 53.0, code)
+    x2, y2 = proj.project_geodetic(6.0, 53.0, 28992)
+    assert abs(float(x1 - x2)) < 1e-4 and abs(float(y1 - y2)) < 1e-4
+    # oblique +proj=stere (conformal-latitude formulation) still rejects
+    with pytest.raises(NotImplementedError):
+        proj4.crs_from_proj4("+proj=stere +lat_0=52.15 +lon_0=5.38")
+
+
+def test_units_and_to_meter_scaling():
+    base = ("+proj=lcc +lat_1=34.0333333333333 +lat_2=35.4666666666667 "
+            "+lat_0=33.5 +lon_0=-118 +x_0=2000000 +y_0=500000 +ellps=GRS80")
+    m = proj4.crs_from_proj4(base)
+    ft = proj4.crs_from_proj4(base + " +units=us-ft")
+    xm, ym = proj.transform(-117.0, 34.5, 4326, m)
+    xf, yf = proj.transform(-117.0, 34.5, 4326, ft)
+    usft = 1200.0 / 3937.0
+    assert abs(float(xm / xf) - usft) < 1e-12
+    assert abs(float(ym / yf) - usft) < 1e-12
+    # +to_meter spells the same unit, wins over +units, round-trips
+    tm = proj4.crs_from_proj4(
+        base + f" +to_meter={usft!r} +units=km")
+    xt, yt = proj.transform(-117.0, 34.5, 4326, tm)
+    assert abs(float(xt - xf)) < 1e-9
+    lo, la = proj.transform(xt, yt, tm, 4326)
+    assert abs(float(lo) + 117.0) < 1e-10 and abs(float(la) - 34.5) < 1e-10
+    # unknown unit name rejects
+    with pytest.raises(NotImplementedError):
+        proj4.crs_from_proj4(base + " +units=parsec")
