@@ -2390,6 +2390,254 @@ def _classify_breaks_oracle() -> str:
     return f"SELECT doc_id, {', '.join(chans)} FROM documents"
 
 
+def _pix_cte(zoom: int, ts: int) -> str:
+    """Shared oracle fragment: rasterized per-pixel counts at (zoom, ts)
+    over the synthetic doc lattice (the DuckDB mirror of
+    tiling.rasterize_count's keying)."""
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", zoom, ts)
+    pts = f"SELECT {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    return (f"SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px, "
+            f"count(*) AS cnt FROM ({pts}) GROUP BY 1, 2, 3, 4")
+
+
+def _q_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/E4 GetFeatureInfo point sampling through the ENGINE surface
+    (Engine.get_values: points → tile-key broadcast join → in-tile pixel
+    index; reference ogc/.../wms/GetFeatureInfoExtended.scala:57-105).
+    200 deterministic query points on the exact 1/1024° lattice; points
+    over tiles the layer does not materialize drop out of the inner tile
+    join, mirrored by the oracle's tile semi-join."""
+    from geotrellis_server_spark.engine import Engine, Layer
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 3, tile_size=16)
+    eng = Engine(spark, {"density": Layer("density", tiles)})
+    pts = [((i * 7349 % 368640) / 1024.0 - 180.0,
+            (i * 4391 % 174080) / 1024.0 - 85.0) for i in range(200)]
+    out = eng.get_values("density", pts, zoom=3)
+    return out.select("point_id", "lon", "lat",
+                      F.col("value").cast("double").alias("value"))
+
+
+def _point_sample_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 3, 16)
+    return f"""
+    WITH pix AS ({_pix_cte(3, 16)}),
+    tl AS (SELECT DISTINCT tx, ty FROM pix),
+    q AS (SELECT CAST(i AS INT) AS point_id,
+                 CAST((i * 7349) % 368640 AS DOUBLE) / 1024.0 - 180.0 AS lon,
+                 CAST((i * 4391) % 174080 AS DOUBLE) / 1024.0 - 85.0 AS lat
+          FROM range(200) r(i)),
+    k AS (SELECT point_id, lon, lat, {tx} AS tx, {ty} AS ty,
+                 ({py}) AS py, ({px}) AS px FROM q)
+    SELECT k.point_id, k.lon, k.lat,
+           CAST(COALESCE(p.cnt, 0) AS DOUBLE) AS value
+    FROM k JOIN tl ON tl.tx = k.tx AND tl.ty = k.ty
+    LEFT JOIN pix p ON p.tx = k.tx AND p.ty = k.ty
+                   AND p.py = k.py AND p.px = k.px
+    """
+
+
+def _q_stitch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 stitch: assemble the z3 tiles of a bounded request window
+    (tile_x 4-5, tile_y 2-3) into one mosaic (reference
+    core/.../gtlayer/GTLayerNode.scala:150-157), then re-emit the
+    request-sized numpy array as (pixel_y, pixel_x, value) rows. The
+    mosaic spans the PRESENT tiles' bounding box (stitch semantics), NaN
+    → NULL where no tile covers a bounding-box slot."""
+    import numpy as np
+
+    from geotrellis_server_spark.operators.stitch import stitch
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 3, tile_size=16).where(
+        "tile_x BETWEEN 4 AND 5 AND tile_y BETWEEN 2 AND 3")
+    arr, _ext = stitch(tiles, zoom=3)
+    rows = [
+        (int(y), int(x),
+         None if np.isnan(arr[y, x]) else float(arr[y, x]))
+        for y in range(arr.shape[0]) for x in range(arr.shape[1])
+    ]
+    return spark.createDataFrame(rows, "pixel_y INT, pixel_x INT, value DOUBLE")
+
+
+def _stitch_window_oracle() -> str:
+    return f"""
+    WITH pix AS ({_pix_cte(3, 16)}),
+    tl AS (SELECT tx, ty FROM (SELECT DISTINCT tx, ty FROM pix)
+           WHERE tx BETWEEN 4 AND 5 AND ty BETWEEN 2 AND 3),
+    b AS (SELECT min(tx) AS tx0, max(tx) AS tx1,
+                 min(ty) AS ty0, max(ty) AS ty1 FROM tl),
+    rect AS (SELECT b.tx0 + ux.u AS tx, b.ty0 + uy.v AS ty, b.tx0, b.ty0
+             FROM b CROSS JOIN range(8) ux(u) CROSS JOIN range(8) uy(v)
+             WHERE b.tx0 + ux.u <= b.tx1 AND b.ty0 + uy.v <= b.ty1)
+    SELECT CAST((r.ty - r.ty0) * 16 + i.i AS INT) AS pixel_y,
+           CAST((r.tx - r.tx0) * 16 + j.j AS INT) AS pixel_x,
+           CASE WHEN t.tx IS NOT NULL
+                THEN CAST(COALESCE(p.cnt, 0) AS DOUBLE) END AS value
+    FROM rect r CROSS JOIN range(16) i(i) CROSS JOIN range(16) j(j)
+    LEFT JOIN tl t ON t.tx = r.tx AND t.ty = r.ty
+    LEFT JOIN pix p ON p.tx = r.tx AND p.ty = r.ty
+                   AND p.py = i.i AND p.px = j.j
+    """
+
+
+def _q_corner_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 corner sampling (SampleUtils.sampleRasterExtent:29-48): the 4
+    corner sample extents of the docs' uber extent under a 40,000-cell
+    budget at cell size 0.25° — side = sqrt(10000)·0.25 = 25.0 exactly,
+    so every extent bound is an exact IEEE sum of lattice values and the
+    per-corner doc counts match the oracle bit-for-bit. The uber-extent
+    collect is a 4-scalar catalog fold (documented driver-side
+    boundary, same class as engine.describe)."""
+    from geotrellis_server_spark.grids.layout import Extent
+    from geotrellis_server_spark.operators.histogram import corner_sample_extents
+
+    d = _docs(spark, sf_dir)
+    mm = d.agg(F.min("lon"), F.min("lat"), F.max("lon"), F.max("lat")).collect()[0]
+    uber = Extent(float(mm[0]), float(mm[1]), float(mm[2]), float(mm[3]))
+    exts = corner_sample_extents(uber, 0.25, 40000)
+    parts = []
+    for name, e in zip(("NW", "NE", "SW", "SE"), exts):
+        parts.append(
+            d.where((F.col("lon") >= e.xmin) & (F.col("lon") <= e.xmax)
+                    & (F.col("lat") >= e.ymin) & (F.col("lat") <= e.ymax))
+            .agg(F.count("*").alias("n_docs"))
+            .selectExpr(f"'{name}' AS corner", "n_docs"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _corner_sampling_oracle() -> str:
+    pts = f"SELECT {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    return f"""
+    WITH p AS ({pts}),
+    u AS (SELECT min(lon) AS xmin, min(lat) AS ymin,
+                 max(lon) AS xmax, max(lat) AS ymax FROM p),
+    h AS (SELECT xmin, ymin, xmax, ymax,
+                 least(sqrt(40000.0 / 4.0) * 0.25, (xmax - xmin) / 2.0) AS hw,
+                 least(sqrt(40000.0 / 4.0) * 0.25, (ymax - ymin) / 2.0) AS hh
+          FROM u),
+    c AS (      SELECT 'NW' AS corner, xmin AS x0, xmin + hw AS x1,
+                       ymax - hh AS y0, ymax AS y1 FROM h
+      UNION ALL SELECT 'NE', xmax - hw, xmax, ymax - hh, ymax FROM h
+      UNION ALL SELECT 'SW', xmin, xmin + hw, ymin, ymin + hh FROM h
+      UNION ALL SELECT 'SE', xmax - hw, xmax, ymin, ymin + hh FROM h)
+    SELECT c.corner,
+           (SELECT count(*) FROM p
+            WHERE lon >= c.x0 AND lon <= c.x1
+              AND lat >= c.y0 AND lat <= c.y1) AS n_docs
+    FROM c
+    """
+
+
+def _q_resample_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 cubic-convolution: 2× upsample of the z2 count raster (16→32
+    px). At a 2× upsample every source offset is an exact quarter (frac
+    ∈ {0.25, 0.75}), so the 4 Keys taps (a = −0.5) are the exact binary
+    constants ∓9/128, 111/128, 29/128, ∓3/128 (which sum to exactly
+    1.0 — the edge renormalization divides by 1.0), every product and
+    partial sum is exact in double, and the oracle's separable two-pass
+    convolution with per-phase constant weights matches hash-exactly."""
+    from geotrellis_server_spark.operators.resample import resample_tiles
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 2, tile_size=16)
+    out = resample_tiles(tiles, 32, 32, "cubic-convolution")
+    return out.selectExpr(
+        "tile_x", "tile_y", "posexplode(cells) AS (idx, value)"
+    ).selectExpr("tile_x", "tile_y", "idx", "CAST(value AS DOUBLE) AS value")
+
+
+def _resample_cubic_oracle() -> str:
+    # per-phase Keys(a=-0.5) tap weights at quarter offsets: the kernel
+    # polynomial evaluates to these exact binary constants
+    return f"""
+    WITH pix AS ({_pix_cte(2, 16)}),
+    tiles AS (SELECT DISTINCT tx, ty FROM pix),
+    gval AS (
+      SELECT d.tx, d.ty, d.py, d.px, CAST(COALESCE(p.cnt, 0) AS DOUBLE) AS v
+      FROM (SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py,
+                   CAST(j.j AS BIGINT) AS px
+            FROM tiles t CROSS JOIN range(16) i(i) CROSS JOIN range(16) j(j)) d
+      LEFT JOIN pix p
+        ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px),
+    w AS (
+      SELECT CAST(i.i AS BIGINT) AS o,
+             CAST(floor((CAST(i.i AS DOUBLE) + 0.5) / 2.0 - 0.5) AS BIGINT) AS b,
+             CASE WHEN i.i % 2 = 1 THEN -0.0703125 ELSE -0.0234375 END AS wm1,
+             CASE WHEN i.i % 2 = 1 THEN 0.8671875 ELSE 0.2265625 END AS w0,
+             CASE WHEN i.i % 2 = 1 THEN 0.2265625 ELSE 0.8671875 END AS w1,
+             CASE WHEN i.i % 2 = 1 THEN -0.0234375 ELSE -0.0703125 END AS w2
+      FROM range(32) i(i)),
+    pass1 AS (
+      SELECT t.tx, t.ty, w.o AS oy, CAST(x.x AS BIGINT) AS px,
+             ((w.wm1 * a.v + w.w0 * b2.v) + w.w1 * c.v) + w.w2 * d.v AS v
+      FROM tiles t CROSS JOIN w CROSS JOIN range(16) x(x)
+      JOIN gval a  ON a.tx = t.tx AND a.ty = t.ty AND a.px = x.x
+                  AND a.py = greatest(least(w.b - 1, 15), 0)
+      JOIN gval b2 ON b2.tx = t.tx AND b2.ty = t.ty AND b2.px = x.x
+                  AND b2.py = greatest(least(w.b, 15), 0)
+      JOIN gval c  ON c.tx = t.tx AND c.ty = t.ty AND c.px = x.x
+                  AND c.py = greatest(least(w.b + 1, 15), 0)
+      JOIN gval d  ON d.tx = t.tx AND d.ty = t.ty AND d.px = x.x
+                  AND d.py = greatest(least(w.b + 2, 15), 0)),
+    pass2 AS (
+      SELECT t.tx, t.ty, oys.oy,  w.o AS ox,
+             ((w.wm1 * a.v + w.w0 * b2.v) + w.w1 * c.v) + w.w2 * d.v AS v
+      FROM tiles t CROSS JOIN (SELECT DISTINCT oy FROM pass1) oys CROSS JOIN w
+      JOIN pass1 a  ON a.tx = t.tx AND a.ty = t.ty AND a.oy = oys.oy
+                   AND a.px = greatest(least(w.b - 1, 15), 0)
+      JOIN pass1 b2 ON b2.tx = t.tx AND b2.ty = t.ty AND b2.oy = oys.oy
+                   AND b2.px = greatest(least(w.b, 15), 0)
+      JOIN pass1 c  ON c.tx = t.tx AND c.ty = t.ty AND c.oy = oys.oy
+                   AND c.px = greatest(least(w.b + 1, 15), 0)
+      JOIN pass1 d  ON d.tx = t.tx AND d.ty = t.ty AND d.oy = oys.oy
+                   AND d.px = greatest(least(w.b + 2, 15), 0))
+    SELECT tx AS tile_x, ty AS tile_y,
+           CAST(oy * 32 + ox AS INT) AS idx, v AS value
+    FROM pass2
+    """
+
+
+def _q_mosaic_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 cell-size folds + celltype union (mosaic_metadata: union
+    extent, FINEST cell size wins, float64 beats int when any source is
+    float — reference MosaicRasterSource metadata combine) over a
+    deterministic 40-source catalog."""
+    from geotrellis_server_spark.operators.mosaic import mosaic_metadata
+
+    cat = spark.range(40).selectExpr(
+        "CAST((id * 37) % 100 AS DOUBLE) - 50.0 AS xmin",
+        "CAST((id * 53) % 80 AS DOUBLE) - 40.0 AS ymin",
+        "CAST((id * 37) % 100 AS DOUBLE) - 50.0 + 10.0 AS xmax",
+        "CAST((id * 53) % 80 AS DOUBLE) - 40.0 + 8.0 AS ymax",
+        "CAST(1 + (id * 7) % 13 AS DOUBLE) / 16.0 AS cell_size",
+        "CASE WHEN id % 3 = 0 THEN 'float32' ELSE 'int16' END AS celltype",
+    )
+    return mosaic_metadata(cat)
+
+
+def _mosaic_metadata_oracle() -> str:
+    return """
+    WITH c AS (
+      SELECT CAST((i * 37) % 100 AS DOUBLE) - 50.0 AS xmin,
+             CAST((i * 53) % 80 AS DOUBLE) - 40.0 AS ymin,
+             CAST((i * 37) % 100 AS DOUBLE) - 50.0 + 10.0 AS xmax,
+             CAST((i * 53) % 80 AS DOUBLE) - 40.0 + 8.0 AS ymax,
+             CAST(1 + (i * 7) % 13 AS DOUBLE) / 16.0 AS cell_size,
+             CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS isf
+      FROM range(40) r(i))
+    SELECT min(xmin) AS xmin, min(ymin) AS ymin,
+           max(xmax) AS xmax, max(ymax) AS ymax,
+           min(cell_size) AS cell_size,
+           CASE WHEN max(isf) = 1 THEN 'float64' ELSE 'int32' END AS celltype
+    FROM c
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -2471,6 +2719,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_zonal_histogram_z4": _q_zonal_histogram,
         "sketch_weighted_sample50": _q_weighted_sample,
         "join_range_value_bands": _q_range_join,
+        "geo_point_sample_z3": _q_point_sample,
+        "raster_stitch_window_z3": _q_stitch_window,
+        "agg_corner_sampling": _q_corner_sampling,
+        "raster_resample_cubic2x": _q_resample_cubic,
+        "agg_mosaic_metadata": _q_mosaic_metadata,
     }
 
 
@@ -2737,6 +2990,11 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
               FROM s) WHERE rank <= 20
         """,
+        "geo_point_sample_z3": _point_sample_oracle(),
+        "raster_stitch_window_z3": _stitch_window_oracle(),
+        "agg_corner_sampling": _corner_sampling_oracle(),
+        "raster_resample_cubic2x": _resample_cubic_oracle(),
+        "agg_mosaic_metadata": _mosaic_metadata_oracle(),
     }
 
 
