@@ -29,7 +29,7 @@ from .. import sqlgen
 from ..grids import cells as C
 from ..grids.layout import mercator_to_lonlat, WEBMERCATOR_BOUND
 
-DEFAULT_RES = 4
+DEFAULT_RES = 4  # fallback floor; callers get density-proportional auto_res
 
 
 def _disk_bounds_deg(cell: int, res: int, ring: int) -> tuple[float, float, float, float]:
@@ -74,7 +74,7 @@ def knn_join_bulk(
     docs: DataFrame,
     queries: DataFrame,
     k: int,
-    res: int = DEFAULT_RES,
+    res: int | None = None,
     initial_ring: int = 1,
     max_ring: int | None = None,
     lon: str = "lon",
@@ -103,8 +103,16 @@ def knn_join_bulk(
     scalar) — results stay distributed end-to-end. Each iteration's top-k
     is persisted so the termination check and the final union share one
     computation. Distance: squared euclidean degrees (engine convention,
-    same as knn_join)."""
+    same as knn_join).
+
+    ``res=None`` (the default) picks the cell resolution from corpus
+    density via :func:`auto_res` — one metadata-cheap count() against
+    the docs input. Exactness is resolution-INDEPENDENT (the ring
+    guarantee terminates each query); res only moves the candidate-set
+    size, so callers pin it solely for benchmarking."""
     spark = docs.sparkSession
+    if res is None:
+        res = auto_res(docs.count())
     n = 1 << res
     max_ring = max_ring or n
     docs_c = docs.withColumn("_cell", C.cell_key_col(lon, lat, res))
@@ -206,7 +214,7 @@ def knn_join(
     docs: DataFrame,
     queries: list[tuple[int, float, float]],
     k: int,
-    res: int = DEFAULT_RES,
+    res: int | None = None,
     initial_ring: int = 1,
     max_ring: int | None = None,
     lon: str = "lon",
@@ -214,10 +222,14 @@ def knn_join(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """queries: [(query_id, lon, lat)]. Returns (query_id, doc_id, dist_sq,
-    rank) with exactly min(k, |docs in world|) rows per query."""
+    rank) with exactly min(k, |docs in world|) rows per query.
+    ``res=None`` → density-proportional :func:`auto_res` (same contract
+    as knn_join_bulk)."""
     import numpy as np
 
     spark = docs.sparkSession
+    if res is None:
+        res = auto_res(docs.count())
     n = 1 << res
     max_ring = max_ring or n  # full world fallback
     docs_c = docs.withColumn("_cell", C.cell_key_col(lon, lat, res))
