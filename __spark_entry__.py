@@ -2638,6 +2638,30 @@ def _mosaic_metadata_oracle() -> str:
     """
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters over the documents token stream (two-pass
+    candidate-prune, operators/sketch.py:heavy_hitters): every token
+    appearing at least once per 512 tokens, with its exact count. The
+    threshold compare is integer (n·512 ≥ N) so the oracle's plain
+    GROUP BY ... HAVING matches bit-for-bit."""
+    from geotrellis_server_spark.operators import sketch as sk
+
+    words = _read_documents(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("w"))
+    return sk.heavy_hitters(words, "w", one_in=512)
+
+
+def _heavy_hitters_oracle() -> str:
+    return """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS value FROM documents),
+    t AS (SELECT count(*) AS total FROM w)
+    SELECT value, CAST(count(*) AS BIGINT) AS n
+    FROM w, t
+    GROUP BY value, t.total
+    HAVING count(*) * 512 >= t.total
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -2724,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_corner_sampling": _q_corner_sampling,
         "raster_resample_cubic2x": _q_resample_cubic,
         "agg_mosaic_metadata": _q_mosaic_metadata,
+        "sketch_heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -2995,6 +3020,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_corner_sampling": _corner_sampling_oracle(),
         "raster_resample_cubic2x": _resample_cubic_oracle(),
         "agg_mosaic_metadata": _mosaic_metadata_oracle(),
+        "sketch_heavy_hitters": _heavy_hitters_oracle(),
     }
 
 

@@ -267,3 +267,56 @@ def weighted_sample(
         .limit(int(k))
         .drop("_es_key", "_es_tie")
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, one_in: int = 512) -> DataFrame:
+    """EXACT heavy hitters — every value of string column ``col``
+    appearing at least once per ``one_in`` rows, with its exact count —
+    via the two-pass candidate-prune pattern (Misra-Gries/SpaceSaving
+    family; the reference delegates frequent-term analytics to its
+    engines, this is the Spark-native shape).
+
+    Pass 1 (candidates): per Arrow batch, keep values with batch
+    frequency ≥ n_batch/one_in. The union over batches is a SUPERSET of
+    the global heavy hitters (if freq ≥ N/m globally, some batch has
+    freq_b ≥ N_b/m — contrapositive of summing freq_b < N_b/m), and
+    each batch emits < one_in + 1 rows, so candidate volume is bounded
+    by batches × one_in regardless of column cardinality.
+
+    Pass 2 (exact): broadcast the deduped candidates, hash-join,
+    groupBy-count ONLY the candidates, filter ``n * one_in >= N``
+    (integer compare — no float threshold). At 100 TB this beats a full
+    groupBy when cardinality is huge (web-scale vocab): the shuffle
+    carries only candidate rows; everything else dies map-side at the
+    broadcast join.
+
+    Returns (value, n) — exact counts, complete for the threshold."""
+    if one_in < 1:
+        raise ValueError("one_in must be >= 1")
+    import pandas as _pd
+
+    m = int(one_in)
+
+    def _cands(batches):
+        for pdf in batches:
+            s = pdf[col].dropna()
+            if s.empty:
+                continue
+            vc = s.value_counts()
+            keep = vc[vc * m >= len(s)]
+            yield _pd.DataFrame({"value": keep.index.astype(str)})
+
+    total = df.count()
+    candidates = (
+        df.select(col)
+        .mapInPandas(_cands, "value string")
+        .selectExpr("value AS __hh_cand")
+        .distinct()
+    )
+    return (
+        df.join(F.broadcast(candidates), F.col(col) == F.col("__hh_cand"),
+                "inner")
+        .groupBy(F.col("__hh_cand").alias("value"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") * m >= F.lit(int(total)))
+    )

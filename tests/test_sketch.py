@@ -4,6 +4,7 @@ merge equivalence."""
 import numpy as np
 import pyspark.sql.functions as F
 
+from geotrellis_server_spark.operators import sketch
 from geotrellis_server_spark.operators.sketch import kmv_estimate, kmv_merge_sql
 
 
@@ -194,3 +195,31 @@ def test_kmv_ignores_nulls(spark):
     want = kmv_estimate(clean, "v", k=64).collect()[0]
     assert r.n_seen_hashes == want.n_seen_hashes == 64
     assert r.distinct_est == want.distinct_est  # NULL contributes nothing
+
+
+def test_heavy_hitters_exact_two_pass(spark):
+    # zipf-ish deterministic stream: value v_j appears ~N/2^j times,
+    # plus a long tail of near-unique values
+    df = spark.range(20000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'alpha' "
+        "     WHEN id % 4 = 1 THEN 'beta' "
+        "     WHEN id % 16 = 3 THEN 'gamma' "
+        "     ELSE concat('tail_', CAST(id AS STRING)) END AS w"
+    )
+    got = {r["value"]: r["n"]
+           for r in sketch.heavy_hitters(df, "w", one_in=20).collect()}
+    # exact reference: plain groupBy with the same integer threshold
+    exact = {r["w"]: r["n"] for r in df.groupBy("w")
+             .agg(F.count("*").alias("n"))
+             .where(F.col("n") * 20 >= 20000).collect()}
+    assert got == exact
+    assert set(got) == {"alpha", "beta", "gamma"}
+    assert got["alpha"] == 10000 and got["beta"] == 5000
+
+    # threshold edge: a value at EXACTLY N/one_in survives (>= compare)
+    edge = spark.range(1000).selectExpr(
+        "CASE WHEN id < 10 THEN 'edge' ELSE concat('t', CAST(id AS STRING)) "
+        "END AS w")
+    out = {r["value"] for r in
+           sketch.heavy_hitters(edge, "w", one_in=100).collect()}
+    assert out == {"edge"}
