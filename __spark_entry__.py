@@ -2662,6 +2662,30 @@ def _heavy_hitters_oracle() -> str:
     """
 
 
+def _q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (p=12) over the documents token stream
+    (operators/sketch.py:hll_sketch). The register table — not the float
+    estimate — is the gated output: it is integer-only and a pure
+    function of the input set, so the oracle matches bit-for-bit while
+    the estimator (hll_estimate, pytest-covered) stays float-free here."""
+    from geotrellis_server_spark.operators import sketch as sk
+
+    words = _read_documents(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("w"))
+    return sk.hll_sketch(words, "w", p=12)
+
+
+def _hll_registers_oracle() -> str:
+    from geotrellis_server_spark.operators.sketch import hll_bucket_rho_sql
+
+    bucket, rho = hll_bucket_rho_sql("w", p=12)
+    return f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    SELECT {bucket} AS bucket, CAST(max({rho}) AS INT) AS rho_max
+    FROM w WHERE w IS NOT NULL GROUP BY 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -2749,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_resample_cubic2x": _q_resample_cubic,
         "agg_mosaic_metadata": _q_mosaic_metadata,
         "sketch_heavy_hitters": _q_heavy_hitters,
+        "sketch_hll_registers": _q_hll_registers,
     }
 
 
@@ -3021,6 +3046,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_resample_cubic2x": _resample_cubic_oracle(),
         "agg_mosaic_metadata": _mosaic_metadata_oracle(),
         "sketch_heavy_hitters": _heavy_hitters_oracle(),
+        "sketch_hll_registers": _hll_registers_oracle(),
     }
 
 

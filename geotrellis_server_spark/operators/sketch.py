@@ -320,3 +320,90 @@ def heavy_hitters(df: DataFrame, col: str, one_in: int = 512) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .where(F.col("n") * m >= F.lit(int(total)))
     )
+
+
+def hll_bucket_rho_sql(col: str, p: int = 12) -> tuple[str, str]:
+    """Shared Spark/DuckDB SQL fragments ``(bucket_sql, rho_sql)`` — the
+    two HyperLogLog register coordinates (Flajolet et al. 2007) of a
+    value expression: ``bucket`` = first ``p`` bits of md5 as an integer,
+    ``rho`` = 1 + number of leading zero bits of the next 52 bits (53 if
+    they are all zero).
+
+    Everything is integer arithmetic over the md5 HEX STRING — nibble
+    values via ``instr('0123456789abcdef', c) - 1``, leading-zero nibbles
+    via ``TRIM(LEADING '0' ...)`` — so both engines compute identical
+    registers and the sketch table itself can be oracle-gated exactly
+    (same trick as KMV above; Spark's HLL++ registers are engine-internal
+    and unverifiable). ``p`` must be a multiple of 4 (whole hex chars)."""
+    if p % 4 != 0 or not 4 <= p <= 24:
+        raise ValueError("p must be a multiple of 4 in [4, 24]")
+    nchars = p // 4
+    hx = "0123456789abcdef"
+    h = f"md5(CAST({col} AS STRING))"
+    bucket = " + ".join(
+        f"(instr('{hx}', substring({h}, {i + 1}, 1)) - 1) * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    )
+    tail = f"TRIM(LEADING '0' FROM substring({h}, {nchars + 1}, 13))"
+    first = f"substring({tail}, 1, 1)"
+    rho = (
+        f"CASE WHEN {tail} = '' THEN 53 "
+        f"ELSE (13 - length({tail})) * 4 + 1 + "
+        f"(CASE WHEN {first} = '1' THEN 3 "
+        f"      WHEN {first} IN ('2','3') THEN 2 "
+        f"      WHEN {first} IN ('4','5','6','7') THEN 1 "
+        f"      ELSE 0 END) END"
+    )
+    return f"CAST({bucket} AS INT)", f"CAST({rho} AS INT)"
+
+
+def hll_sketch(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """HyperLogLog register table for ``col``: (bucket INT, rho_max INT),
+    ≤ 2^p rows. One narrow scan → hash groupBy with map-side partial max
+    — the shuffle carries at most 2^p rows PER PARTITION regardless of
+    input size, so at 100 TB the exchange is a few MB. The register
+    table is a pure function of the input SET (dedup-invariant,
+    order-invariant), which is what makes it exactly oracle-checkable;
+    it is also the HLL monoid state (merge = groupBy bucket, max)."""
+    bucket, rho = hll_bucket_rho_sql(col, p)
+    return (
+        df.where(F.col(col).isNotNull())
+        .selectExpr(f"{bucket} AS bucket", f"{rho} AS rho")
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge HLL register tables (same ``p``): union → per-bucket max.
+    Associative + commutative + idempotent, so per-day sketches roll up
+    to per-month estimates without touching raw data."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("rho_max").alias("rho_max"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
+    """HyperLogLog estimate from a register table — the standard
+    bias-corrected harmonic mean with the small-range linear-counting
+    correction (Flajolet et al. 2007 §4). Collects ≤ 2^p integer rows
+    (bounded driver state by construction; 2^12 = 32 KiB)."""
+    import math
+
+    m = 1 << p
+    rows = sketch.collect()
+    if p >= 7:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    z = float(m - len(rows))  # empty buckets contribute 2^-0 = 1
+    for r in rows:
+        z += 2.0 ** (-int(r.rho_max))
+    est = alpha * m * m / z
+    n_empty = m - len(rows)
+    if est <= 2.5 * m and n_empty > 0:
+        est = m * math.log(m / n_empty)
+    return est

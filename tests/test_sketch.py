@@ -223,3 +223,50 @@ def test_heavy_hitters_exact_two_pass(spark):
     out = {r["value"] for r in
            sketch.heavy_hitters(edge, "w", one_in=100).collect()}
     assert out == {"edge"}
+
+
+def test_hll_estimate_accuracy(spark):
+    # 20k distinct values at p=12: standard error 1.04/sqrt(4096) = 1.6%,
+    # assert within 4 sigma
+    df = spark.range(20000).selectExpr("concat('v', CAST(id AS STRING)) AS v")
+    sk = sketch.hll_sketch(df, "v", p=12)
+    est = sketch.hll_estimate(sk, p=12)
+    assert abs(est - 20000) / 20000 < 0.065
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = spark.range(100).selectExpr("concat('x', CAST(id AS STRING)) AS v")
+    est = sketch.hll_estimate(sketch.hll_sketch(df, "v", p=12), p=12)
+    assert abs(est - 100) < 5  # linear counting is near-exact here
+
+
+def test_hll_set_semantics_and_merge(spark):
+    # register table is a pure function of the SET: duplication changes nothing
+    a = spark.range(5000).selectExpr("concat('a', CAST(id % 1000 AS STRING)) AS v")
+    a_once = spark.range(1000).selectExpr("concat('a', CAST(id AS STRING)) AS v")
+    rows = lambda d: sorted((r.bucket, r.rho_max) for r in d.collect())
+    assert rows(sketch.hll_sketch(a, "v")) == rows(sketch.hll_sketch(a_once, "v"))
+
+    # merge monoid: sketch(A union B) == merge(sketch(A), sketch(B)) EXACTLY
+    b = spark.range(1000).selectExpr("concat('b', CAST(id AS STRING)) AS v")
+    both = a_once.unionByName(b)
+    merged = sketch.hll_merge(sketch.hll_sketch(a_once, "v"),
+                              sketch.hll_sketch(b, "v"))
+    assert rows(sketch.hll_sketch(both, "v")) == rows(merged)
+
+
+def test_hll_matches_duckdb_registers(spark, tmp_path):
+    # the portability claim itself: same fragments, same registers in DuckDB
+    import duckdb
+
+    df = spark.range(3000).selectExpr("concat('w', CAST(id AS STRING)) AS v")
+    pdf = df.toPandas()
+    got = sorted((r.bucket, r.rho_max)
+                 for r in sketch.hll_sketch(df, "v", p=8).collect())
+    bucket, rho = sketch.hll_bucket_rho_sql("v", p=8)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(tuple(r) for r in con.execute(
+        f"SELECT {bucket} AS bucket, CAST(max({rho}) AS INT) AS rho_max "
+        f"FROM t WHERE v IS NOT NULL GROUP BY 1").fetchall())
+    assert got == want
