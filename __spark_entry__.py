@@ -2686,6 +2686,61 @@ def _hll_registers_oracle() -> str:
     """
 
 
+def _q_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per source with deterministic tie-break
+    (operators/text.py:top_k_per_group — two-phase: batch-local prune in
+    mapInPandas bounds the exchange at k rows per group per batch, then
+    an exact row_number over the pruned survivors)."""
+    from geotrellis_server_spark.operators.text import top_k_per_group
+
+    d = _read_documents(spark, sf_dir).select(
+        "source", "doc_id", F.length("text").alias("len_chars"))
+    return top_k_per_group(d, ["source"], "len_chars", 3, tie_col="doc_id")
+
+
+def _topk_per_source_oracle() -> str:
+    return """
+    WITH d AS (SELECT source, doc_id, length(text) AS len_chars FROM documents),
+    r AS (SELECT source, doc_id, len_chars,
+                 CAST(row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY len_chars DESC, doc_id ASC) AS INT) AS rank
+          FROM d)
+    SELECT source, doc_id, len_chars, rank FROM r WHERE rank <= 3
+    """
+
+
+_BM25_TERMS = ["scan", "join", "merge"]
+
+
+def _q_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer BM25/tf-idf retrieval statistics for a fixed term set
+    (operators/text.py:bm25_stats): (doc_id, term, tf, dl, df_t). The
+    float Okapi score is bm25_score (pytest-covered against a scalar
+    reference); gating the integer sufficient statistics keeps the
+    oracle exact."""
+    from geotrellis_server_spark.operators.text import bm25_stats
+
+    return bm25_stats(_read_documents(spark, sf_dir), _BM25_TERMS)
+
+
+def _bm25_stats_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    long AS (
+        SELECT doc_id, t.term,
+               CAST(len(list_filter(toks, x -> x = t.term)) AS INT) AS tf,
+               CAST(len(toks) AS INT) AS dl
+        FROM d, (SELECT unnest([{terms}]) AS term) t
+        WHERE len(list_filter(toks, x -> x = t.term)) > 0
+    )
+    SELECT doc_id, term, tf, dl,
+           CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df_t
+    FROM long
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -2774,6 +2829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mosaic_metadata": _q_mosaic_metadata,
         "sketch_heavy_hitters": _q_heavy_hitters,
         "sketch_hll_registers": _q_hll_registers,
+        "curation_topk_per_source": _q_topk_per_source,
+        "text_bm25_stats": _q_bm25_stats,
     }
 
 
@@ -3047,6 +3104,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_mosaic_metadata": _mosaic_metadata_oracle(),
         "sketch_heavy_hitters": _heavy_hitters_oracle(),
         "sketch_hll_registers": _hll_registers_oracle(),
+        "curation_topk_per_source": _topk_per_source_oracle(),
+        "text_bm25_stats": _bm25_stats_oracle(),
     }
 
 

@@ -340,3 +340,116 @@ def extract_urls(
             F.expr("regexp_extract(url, 'https?://([^/\\\\s]+)', 1)"),
         )
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tie_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """The k best rows per group ("keep the top-k highest-quality docs
+    per domain") with a combiner phase so the shuffle is bounded.
+
+    Phase 1 (local prune, mapInPandas): within every Arrow batch, keep
+    only the top-k per group present in that batch. The global top-k is
+    a subset of the union of batch-local top-ks (any row outside a
+    batch top-k has ≥ k better rows in its own batch alone), so this is
+    lossless — and the exchange now carries ≤ k rows per (group, batch)
+    instead of the whole table. This is the map-side-combine shape a
+    plain row_number() window lacks: at 100 TB a hot domain no longer
+    ships every row to one reducer before discarding all but k.
+
+    Phase 2 (exact): row_number() over the pruned set. ``tie_col``
+    (default: first group col is NOT enough — pass the id) makes the
+    order total so results are deterministic and oracle-checkable.
+    Output: input columns + ``rank`` (1..k)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if tie_col is None:
+        raise ValueError("pass tie_col (a unique column) for deterministic ranks")
+    from pyspark.sql import Window
+
+    schema = df.schema
+    gcols = list(group_cols)
+
+    def _prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.sort_values([order_col, tie_col],
+                                ascending=[not descending, True])
+                .groupby(gcols, sort=False, dropna=False)  # NULL group keys are groups too
+                .head(k)
+            )
+
+    pruned = df.mapInPandas(_prune, schema)
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(*gcols).orderBy(oc, F.col(tie_col).asc())
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def bm25_stats(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer retrieval statistics for a fixed query-term set: one row
+    per (doc, matching term) with the term frequency ``tf``, the doc's
+    token length ``dl``, and the term's document frequency ``df_t`` —
+    everything BM25/tf-idf needs, all integers so the driver oracle
+    matches exactly (the float score lives in :func:`bm25_score`).
+
+    Plan: one scan computing tf per term via size(filter(tokens)) —
+    no explode, no join for tf; df_t is a tiny per-term aggregate
+    (≤ len(terms) rows) joined back broadcast. The corpus never
+    shuffles."""
+    toks = f"split({text_col}, ' ')"
+    sel = [F.col(id_col), F.expr(f"size({toks})").alias("dl")]
+    for i, t in enumerate(terms):
+        esc = t.replace("'", "''")
+        sel.append(F.expr(f"size(filter({toks}, x -> x = '{esc}'))").alias(f"_tf{i}"))
+    base = docs.select(*sel)
+    pairs = ", ".join(f"'{t.replace(chr(39), chr(39) * 2)}', _tf{i}"
+                      for i, t in enumerate(terms))
+    long = (
+        base.selectExpr(id_col, "dl", f"stack({len(terms)}, {pairs}) AS (term, tf)")
+        .where(F.col("tf") > 0)
+    )
+    df_t = long.groupBy("term").agg(F.count("*").alias("df_t"))
+    return long.join(F.broadcast(df_t), "term").select(
+        id_col, "term", "tf", "dl", "df_t")
+
+
+def bm25_score(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score): Okapi BM25 over the fixed term set, from
+    :func:`bm25_stats` plus the corpus-level constants (N, avgdl — two
+    broadcast scalars). idf = ln(1 + (N - df + 0.5)/(df + 0.5))."""
+    stats = bm25_stats(docs, terms, text_col, id_col)
+    consts = docs.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
+    )
+    scored = stats.join(F.broadcast(consts)).withColumn(
+        "contrib",
+        F.expr(
+            f"ln(1D + (n_docs - df_t + 0.5D) / (df_t + 0.5D)) * "
+            f"(tf * ({k1!r}D + 1D)) / "
+            f"(tf + {k1!r}D * (1D - {b!r}D + {b!r}D * dl / avgdl))"
+        ),
+    )
+    return scored.groupBy(id_col).agg(F.sum("contrib").alias("score"))

@@ -647,3 +647,79 @@ def test_ima_adpcm_roundtrip_and_decode_path():
     # the multimodal decode dispatcher picks the ADPCM path by fmt tag
     via_dispatch = _decode_audio(blob)
     assert np.allclose(via_dispatch, dec)
+
+
+def test_top_k_per_group_matches_plain_window(spark):
+    from pyspark.sql import Window
+
+    from geotrellis_server_spark.operators.text import top_k_per_group
+
+    df = spark.range(5000).selectExpr(
+        "id",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('g', CAST(id % 13 AS STRING)) END AS grp",
+        "CAST((id * 37) % 101 AS INT) AS score",  # many ties
+    ).repartition(8)
+    got = sorted(
+        ((r.grp, r.id, r.score, r["rank"])
+         for r in top_k_per_group(df, ["grp"], "score", 5, tie_col="id").collect()),
+        key=lambda t: (t[0] or "", t[3]))
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), F.col("id").asc())
+    want = sorted(
+        ((r.grp, r.id, r.score, r["rank"])
+         for r in df.withColumn("rank", F.row_number().over(w))
+         .where(F.col("rank") <= 5).collect()),
+        key=lambda t: (t[0] or "", t[3]))
+    assert got == want
+    assert len(got) == 14 * 5  # 13 groups + the NULL group, all full
+
+
+def test_top_k_per_group_small_groups(spark):
+    from geotrellis_server_spark.operators.text import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 5)], "grp string, id int, score int")
+    out = top_k_per_group(df, ["grp"], "score", 10, tie_col="id").collect()
+    assert len(out) == 3  # k > group size keeps everything
+    ranks = {(r.grp, r.id): r["rank"] for r in out}
+    assert ranks[("a", 2)] == 1 and ranks[("a", 1)] == 2 and ranks[("b", 3)] == 1
+
+
+def test_bm25_score_reference(spark):
+    import math
+
+    from geotrellis_server_spark.operators.text import bm25_score
+
+    corpus = [
+        (0, "scan join scan scan"),
+        (1, "join merge sort"),
+        (2, "window agg part"),
+        (3, "scan the the the the the"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: r.score
+           for r in bm25_score(df, ["scan", "join"]).collect()}
+
+    def ref():
+        docs = {i: t.split(" ") for i, t in corpus}
+        n = len(docs)
+        avgdl = sum(len(t) for t in docs.values()) / n
+        dfq = {q: sum(1 for t in docs.values() if q in t) for q in ("scan", "join")}
+        out = {}
+        for i, t in docs.items():
+            s = 0.0
+            for q in ("scan", "join"):
+                tf = t.count(q)
+                if tf == 0:
+                    continue
+                idf = math.log(1 + (n - dfq[q] + 0.5) / (dfq[q] + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+            if s:
+                out[i] = s
+        return out
+
+    want = ref()
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+    # doc 0 (tf=3, short) must outrank doc 3 (tf=1, long) on 'scan'
+    assert got[0] > got[3]
