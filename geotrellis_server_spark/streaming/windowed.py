@@ -92,3 +92,153 @@ def stateful_tile_totals(stream: DataFrame, zoom: int, ts_col: str = "ts") -> Da
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+# pending sessions as parallel arrays: applyInPandasWithState state rows
+# are fixed-schema, so variable-length pending lists live in ArrayType
+# columns (bounded by sessions-per-user still open within the watermark)
+SESSION_PENDING_STATE = T.StructType(
+    [
+        T.StructField("starts_ms", T.ArrayType(T.LongType())),
+        T.StructField("lasts_ms", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def streaming_session_counts(
+    stream: DataFrame,
+    gap_minutes: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time sessionization the declarative way:
+    ``F.session_window`` — the engine merges overlapping event windows
+    per user, holds only open sessions in state, and emits each closed
+    session exactly once after the watermark passes (append mode). This
+    is the 100-TB path: session merging happens inside the streaming
+    aggregation operator (codegen, RocksDB-spillable state), no Python.
+
+    Output: (user_id, session_start, session_end, n_events) — the same
+    shape as the batch twin operators/asof.py:sessionize, which the
+    equivalence test compares against."""
+    gap = f"{gap_minutes} minutes"
+    return (
+        stream.withWatermark(ts_col, gap)
+        .groupBy(F.col(user_col).alias("user_id"),
+                 F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            # session_window.end = last event + gap; report the LAST
+            # EVENT time like the batch operator does
+            (F.col("sw.end") - F.expr(f"INTERVAL {gap_minutes} MINUTES")
+             ).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap_minutes: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sessionization via ``applyInPandasWithState`` — the custom
+    stateful escape hatch, for when the emitted record needs computation
+    ``session_window`` can't express (per-session features, first/last
+    event payloads, ...). Semantics match :func:`streaming_session_counts`:
+
+    - state per user = the PENDING sessions (start, last, count arrays)
+      still inside the watermark — not raw events, so state stays O(open
+      sessions), and a within-batch gap splits sessions exactly like the
+      batch operator (events are gap-coalesced, not blindly merged);
+    - a pending session is emitted once the watermark passes
+      last + gap (checked on every invocation, plus an event-time
+      timeout wake-up for users with no new events).
+    """
+    gap_ms = gap_minutes * 60_000
+
+    def _update(key: tuple, pdfs: Any, state: GroupState) -> Any:
+        pending: list[list[int]] = []  # [start_ms, last_ms, n]
+        if state.exists:
+            starts, lasts, counts = state.get
+            pending = [[int(s), int(e), int(n)]
+                       for s, e, n in zip(starts, lasts, counts)]
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ms = (pdf[ts_col].astype("int64") // 1_000_000).sort_values()
+            for t in ms:
+                t = int(t)
+                if pending and t - pending[-1][1] <= gap_ms and t >= pending[-1][0]:
+                    pending[-1][1] = max(pending[-1][1], t)
+                    pending[-1][2] += 1
+                elif pending and t < pending[-1][0]:
+                    # out-of-order across batches: merge into whichever
+                    # pending session covers it, else open one in place
+                    placed = False
+                    for sess in pending:
+                        if sess[0] - gap_ms <= t <= sess[1] + gap_ms:
+                            sess[0] = min(sess[0], t)
+                            sess[1] = max(sess[1], t)
+                            sess[2] += 1
+                            placed = True
+                            break
+                    if not placed:
+                        pending.append([t, t, 1])
+                        pending.sort()
+                else:
+                    pending.append([t, t, 1])
+        # coalesce adjacent pending sessions a late event may have bridged
+        pending.sort()
+        merged: list[list[int]] = []
+        for sess in pending:
+            if merged and sess[0] - merged[-1][1] <= gap_ms:
+                merged[-1][1] = max(merged[-1][1], sess[1])
+                merged[-1][2] += sess[2]
+            else:
+                merged.append(sess)
+        wm = state.getCurrentWatermarkMs()
+        closed = [s for s in merged if s[1] + gap_ms <= wm]
+        still = [s for s in merged if s[1] + gap_ms > wm]
+        if still:
+            state.update((
+                [s[0] for s in still],
+                [s[1] for s in still],
+                [s[2] for s in still],
+            ))
+            state.setTimeoutTimestamp(min(s[1] for s in still) + gap_ms)
+        elif state.exists:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s[0], unit="ms") for s in closed],
+                    "session_end": [pd.Timestamp(s[1], unit="ms") for s in closed],
+                    "n_events": [s[2] for s in closed],
+                }
+            )
+
+    keyed = stream.withWatermark(ts_col, f"{gap_minutes} minutes").select(
+        F.col(user_col).alias("user_id"), F.col(ts_col)
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=SESSION_PENDING_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
