@@ -25,13 +25,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.media_codecs import (
+    GIF_MAGICS,
     WAV_MAGIC,
     Y4M_MAGIC,
     avi_info,
     decode_avi_frame,
+    decode_gif,
     decode_wav,
     decode_wav_adpcm,
     decode_y4m_frame,
+    encode_gif,
     encode_mjpeg_avi,
     encode_wav,
     encode_wav_adpcm,
@@ -70,14 +73,20 @@ def synth_media(spark, docs: DataFrame) -> DataFrame:
                 seed = hashlib.md5(ref.encode()).digest()
                 kind = ["image", "audio", "video"][seed[0] % 3]
                 if kind == "image":
-                    # REAL PNG payload: deterministic pixels → encode_png,
-                    # so downstream decode exercises a true codec
+                    # REAL image payload: deterministic pixels → half
+                    # PNG, half COMPRESSED GIF89a (LZW), so downstream
+                    # decode exercises true codecs both ways
                     side = 4 + seed[1] % 5
                     px = np.frombuffer(
                         (seed * (3 * side * side))[: side * side * 3], dtype=np.uint8
                     ).reshape(side, side, 3)
-                    payload = encode_png(px)
-                    meta = {"bytes": str(len(payload)), "codec": "image/png"}
+                    if seed[4] % 2:
+                        payload = encode_png(px)
+                        codec = "image/png"
+                    else:
+                        payload = encode_gif(px)  # <=81 px, always <=256 colors
+                        codec = "image/gif"
+                    meta = {"bytes": str(len(payload)), "codec": codec}
                 elif kind == "audio":
                     # REAL audio payload: deterministic tone mix, half
                     # PCM16 and half COMPRESSED IMA ADPCM (fmt 0x11)
@@ -117,12 +126,15 @@ def synth_media(spark, docs: DataFrame) -> DataFrame:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """REAL for PNG (pure-stdlib decoder, styles/png.py) and baseline
-    JPEG (pure-numpy codec, styles/jpeg.py); Pillow fallback for other
+    """REAL for PNG (pure-stdlib decoder, styles/png.py), GIF87a/89a
+    (pure-numpy LZW, sources/media_codecs.py) and baseline JPEG
+    (pure-numpy codec, styles/jpeg.py); Pillow fallback for other
     formats when installed; deterministic fake otherwise."""
     if payload[:8] == PNG_MAGIC:
         arr = decode_png(payload)
         return arr if arr.ndim == 3 else arr[..., None].repeat(3, axis=-1)
+    if payload[:6] in GIF_MAGICS:
+        return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         from ..styles.jpeg import decode_jpeg
 

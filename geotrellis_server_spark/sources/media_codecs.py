@@ -374,3 +374,213 @@ def decode_wav_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
     if total is not None:
         out = out[:total]
     return np.asarray(out, dtype=np.float32) / 32767.0, int(rate)
+
+
+# --- GIF (GIF89a, CompuServe spec + LZW per Welch 1984 / the GIF
+# application of it) — lossless indexed-color images, pure numpy/stdlib.
+# The reference's media handling delegates decode to JVM ImageIO
+# (SURVEY.md media inventory); here the codec is in-house like
+# PNG/JPEG/ADPCM so compressed IMAGE payloads are real both ways.
+
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_pack_codes(codes: list[int], widths: list[int]) -> bytes:
+    """LSB-first variable-width bit packing into 255-byte sub-blocks."""
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code, w in zip(codes, widths):
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i:i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return bytes(blocks)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace start/step
+
+
+def encode_gif(rgb: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode an RGB uint8 image (≤ 256 distinct colors — GIF is
+    indexed; raise otherwise rather than silently quantize) as GIF89a
+    with a global color table and real LZW compression. Lossless:
+    decode_gif(encode_gif(x)) == x bit-for-bit."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_gif expects (h, w, 3) uint8")
+    h, w = rgb.shape[:2]
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("GIF dimensions out of range")
+    flat = rgb.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} distinct colors > 256; quantize first")
+    # palette size must be a power of two in [2, 256]
+    bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    idx = inverse.astype(np.int32).reshape(h, w)
+    if interlace:
+        rows = [r for start, step in _GIF_PASSES for r in range(start, h, step)]
+        idx = idx[rows]
+    pixels = idx.reshape(-1).tolist()
+
+    min_code = max(2, bits)
+    clear = 1 << min_code
+    eoi = clear + 1
+    codes: list[int] = []
+    widths: list[int] = []
+
+    def emit(code: int, width: int) -> None:
+        codes.append(code)
+        widths.append(width)
+
+    width = min_code + 1
+    emit(clear, width)
+    dict_: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    prefix = pixels[0]
+    for k in pixels[1:]:
+        if (prefix, k) in dict_:
+            prefix = dict_[(prefix, k)]
+            continue
+        emit(prefix, width)
+        dict_[(prefix, k)] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear, width)
+            dict_.clear()
+            next_code = eoi + 1
+            width = min_code + 1
+        prefix = k
+    emit(prefix, width)
+    emit(eoi, width)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | ((bits - 1) & 0x07))  # GCT present, size 2^bits
+    out += b"\x00\x00"
+    out += table.tobytes()
+    out.append(0x2C)
+    out += struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlace else 0x00)
+    out.append(min_code)
+    out += _gif_pack_codes(codes, widths)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the first image of a GIF87a/89a stream to (h, w, 3) uint8
+    — real LZW with variable code widths, clear-code resets, and
+    interlace reordering; extensions (GCE/comment/application) are
+    skipped per spec."""
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF stream")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos)
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+    ipacked = payload[pos + 9]
+    pos += 10
+    table = gct
+    if ipacked & 0x80:  # local color table
+        n = 2 << (ipacked & 0x07)
+        table = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos)
+        table = table.reshape(n, 3)
+        pos += 3 * n
+    if table is None:
+        raise ValueError("GIF image without a color table")
+    interlaced = bool(ipacked & 0x40)
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos] != 0:
+        ln = payload[pos]
+        data += payload[pos + 1: pos + 1 + ln]
+        pos += 1 + ln
+
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    dict_: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    done = False
+    for byte in data:
+        if done:
+            break
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                dict_ = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                done = True
+                break
+            if prev is None:
+                entry = dict_[code]
+            elif code < len(dict_):
+                entry = dict_[code]
+                dict_.append(prev + entry[:1])
+            elif code == len(dict_):  # the KwKwK case
+                entry = prev + prev[:1]
+                dict_.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            prev = entry
+            if len(dict_) == (1 << width) and width < 12:
+                width += 1
+    idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
+    if len(idx) < w * h:
+        raise ValueError("truncated GIF pixel data")
+    img = idx.reshape(h, w)
+    if interlaced:
+        rows = [r for start, step in _GIF_PASSES for r in range(start, h, step)]
+        de = np.empty_like(img)
+        de[rows] = img
+        img = de
+    return table[img]

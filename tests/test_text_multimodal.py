@@ -557,7 +557,8 @@ def test_synth_media_payloads_are_real_codecs(spark):
     for r in media:
         p = bytes(r.payload)
         if r.kind == "image":
-            assert p[:8] == b"\x89PNG\r\n\x1a\n"
+            assert (p[:8] == b"\x89PNG\r\n\x1a\n" or p[:6] == b"GIF89a")
+            assert r.meta["codec"] in ("image/png", "image/gif")
         elif r.kind == "audio":
             assert p[:4] == b"RIFF"
             assert r.meta["codec"] in ("audio/wav", "audio/adpcm")
@@ -569,6 +570,49 @@ def test_synth_media_payloads_are_real_codecs(spark):
     codecs = {r.meta["codec"] for r in media}
     assert {"video/y4m", "video/x-motion-jpeg"} <= codecs  # both video paths
     assert {"audio/wav", "audio/adpcm"} <= codecs  # both audio paths
+    assert {"image/png", "image/gif"} <= codecs  # both image paths
+
+
+def test_gif_roundtrip_lossless():
+    import numpy as np
+
+    from geotrellis_server_spark.sources.media_codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (12, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 12, (17, 33))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    # interlaced encoding decodes to the same pixels
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=True)), img)
+    # 256-color noise big enough to overflow the 12-bit code space:
+    # exercises width growth to 12 bits AND mid-stream clear-code resets
+    pal256 = np.array(
+        [[i, (i * 7) % 256, (i * 13) % 256] for i in range(256)], dtype=np.uint8)
+    big = pal256[rng.integers(0, 256, (120, 150))]
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+    # degenerate shapes
+    one = np.full((1, 1, 3), 9, np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(one)), one)
+    # GIF is indexed: >256 distinct colors must be rejected, not mangled
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="256"):
+        encode_gif(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+
+
+def test_gif_real_decode_path_in_engine():
+    import numpy as np
+
+    from geotrellis_server_spark.operators.multimodal import _decode_image
+    from geotrellis_server_spark.sources.media_codecs import encode_gif
+
+    pal = np.array([[250, 1, 2], [3, 240, 5], [6, 7, 230]], dtype=np.uint8)
+    img = pal[(np.arange(64) % 3).reshape(8, 8)]
+    out = _decode_image(encode_gif(img))
+    np.testing.assert_array_equal(out, img)  # real decode, not the stub
 
 
 def test_mjpeg_avi_roundtrip():
