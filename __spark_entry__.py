@@ -2741,6 +2741,43 @@ def _bm25_stats_oracle() -> str:
     """
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb global line dedup (operators/text.py:
+    line_dedup_keep_first): 10-token lines, each distinct line survives
+    only at its first (doc_id, line_no) occurrence corpus-wide, docs
+    reassembled from surviving lines."""
+    from geotrellis_server_spark.operators.text import line_dedup_keep_first
+
+    return line_dedup_keep_first(
+        _read_documents(spark, sf_dir), tokens_per_line=10)
+
+
+def _line_dedup_oracle() -> str:
+    return """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1) AS nw
+          FROM t),
+    w AS (SELECT doc_id, toks, unnest(range(0, nw)) AS i FROM n),
+    lines AS (SELECT doc_id, CAST(i AS INT) AS line_no,
+                     array_to_string(toks[(i*10+1):((i+1)*10)], ' ') AS line
+              FROM w),
+    ranked AS (SELECT doc_id, line_no, line,
+                      row_number() OVER (PARTITION BY line
+                                         ORDER BY doc_id, line_no) AS rn
+               FROM lines),
+    totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_total
+               FROM lines GROUP BY doc_id)
+    SELECT k.doc_id,
+           string_agg(k.line, ' ' ORDER BY k.line_no) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_lines_kept,
+           t.n_lines_total
+    FROM ranked k JOIN totals t ON k.doc_id = t.doc_id
+    WHERE k.rn = 1
+    GROUP BY k.doc_id, t.n_lines_total
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -2831,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_registers": _q_hll_registers,
         "curation_topk_per_source": _q_topk_per_source,
         "text_bm25_stats": _q_bm25_stats,
+        "pipeline_line_dedup_keep_first": _q_line_dedup,
     }
 
 
@@ -3106,6 +3144,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_registers": _hll_registers_oracle(),
         "curation_topk_per_source": _topk_per_source_oracle(),
         "text_bm25_stats": _bm25_stats_oracle(),
+        "pipeline_line_dedup_keep_first": _line_dedup_oracle(),
     }
 
 

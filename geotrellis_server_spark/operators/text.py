@@ -453,3 +453,53 @@ def bm25_score(
         ),
     )
     return scored.groupBy(id_col).agg(F.sum("contrib").alias("score"))
+
+
+def line_dedup_keep_first(
+    docs: DataFrame,
+    tokens_per_line: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global line-level deduplication, C4/RefinedWeb style: split every
+    document into fixed token-window "lines", keep each distinct line
+    only at its FIRST occurrence corpus-wide (ordered by (doc, line
+    position)), drop every other copy, and reassemble the surviving
+    lines into cleaned documents. Boilerplate that repeats across a
+    crawl (headers, nav text, license blurbs) vanishes everywhere but
+    its first sighting.
+
+    Output: (id, clean_text, n_lines_kept, n_lines_total). Documents
+    whose every line is a duplicate disappear from the output (their
+    clean text would be empty).
+
+    Scale shape: the canonical-occurrence choice is a groupBy(line) →
+    min(struct(doc, pos)) AGGREGATE — map-side partial min makes the
+    hottest line (an empty boilerplate string repeated 10^9 times)
+    collapse to one row per partition before the exchange, so no
+    skew-salting is needed — followed by an equi-join back on the
+    winning (line, doc, pos) triple. Reassembly is a per-doc
+    collect_list bounded by document size."""
+    lines = (
+        chunk_documents(docs, size=tokens_per_line, overlap=0,
+                        text_col=text_col, id_col=id_col)
+        .select(F.col(id_col), F.col("chunk_id").alias("line_no"),
+                F.col("chunk").alias("line"))
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines_total"))
+    winners = lines.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("line_no").alias("p"))
+              ).alias("w")
+    ).select("line", F.col("w.d").alias(id_col), F.col("w.p").alias("line_no"))
+    kept = lines.join(winners, ["line", id_col, "line_no"], "inner")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.expr("array_join(transform(array_sort(collect_list("
+                   "struct(line_no, line))), s -> s.line), ' ')"
+                   ).alias("clean_text"),
+            F.count("*").alias("n_lines_kept"),
+        )
+        .join(totals, id_col)
+        .select(id_col, "clean_text", "n_lines_kept", "n_lines_total")
+    )

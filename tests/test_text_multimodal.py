@@ -767,3 +767,27 @@ def test_bm25_score_reference(spark):
         assert abs(got[k] - want[k]) < 1e-9
     # doc 0 (tf=3, short) must outrank doc 3 (tf=1, long) on 'scan'
     assert got[0] > got[3]
+
+
+def test_line_dedup_keep_first(spark):
+    from geotrellis_server_spark.operators.text import line_dedup_keep_first
+
+    # 4-token lines; doc 0 and doc 1 share a line; doc 2 repeats a line
+    # internally; doc 3 is ALL duplicates of doc 0's content
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),              # lines: "a b c d", "e f g h"
+            (1, "a b c d x y z w"),              # first line duplicates doc 0
+            (2, "p q r s p q r s"),              # internal duplicate
+            (3, "e f g h a b c d"),              # all lines seen in doc 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           line_dedup_keep_first(docs, tokens_per_line=4).collect()}
+    assert out[0].clean_text == "a b c d e f g h"
+    assert out[0].n_lines_kept == 2 and out[0].n_lines_total == 2
+    assert out[1].clean_text == "x y z w"      # shared line removed
+    assert out[1].n_lines_kept == 1 and out[1].n_lines_total == 2
+    assert out[2].clean_text == "p q r s"      # internal repeat removed
+    assert 3 not in out                        # fully-duplicate doc vanishes
