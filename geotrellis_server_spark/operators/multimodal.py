@@ -33,11 +33,13 @@ from ..sources.media_codecs import (
     decode_gif,
     decode_wav,
     decode_wav_adpcm,
+    decode_wav_g711,
     decode_y4m_frame,
     encode_gif,
     encode_mjpeg_avi,
     encode_wav,
     encode_wav_adpcm,
+    encode_wav_g711,
     encode_y4m,
     y4m_info,
 )
@@ -88,18 +90,24 @@ def synth_media(spark, docs: DataFrame) -> DataFrame:
                         codec = "image/gif"
                     meta = {"bytes": str(len(payload)), "codec": codec}
                 elif kind == "audio":
-                    # REAL audio payload: deterministic tone mix, half
-                    # PCM16 and half COMPRESSED IMA ADPCM (fmt 0x11)
+                    # REAL audio payload: deterministic tone mix across
+                    # all four WAV codecs — PCM16 plus the COMPRESSED
+                    # three (IMA ADPCM fmt 0x11, G.711 mu-law 7, A-law 6)
                     n = 128 + seed[1] % 128
                     t = np.arange(n, dtype=np.float64)
                     wave = 0.5 * np.sin(t * (0.05 + seed[2] / 512.0)) \
                         + 0.25 * np.sin(t * (0.11 + seed[3] / 512.0))
-                    if seed[3] % 2:
+                    pick = seed[3] % 4
+                    if pick == 0:
                         payload = encode_wav(wave, sample_rate=8000)
                         codec = "audio/wav"
-                    else:
+                    elif pick == 1:
                         payload = encode_wav_adpcm(wave, sample_rate=8000)
                         codec = "audio/adpcm"
+                    else:
+                        law = "ulaw" if pick == 2 else "alaw"
+                        payload = encode_wav_g711(wave, 8000, law)
+                        codec = f"audio/g711-{law}"
                     meta = {"bytes": str(len(payload)), "codec": codec}
                 elif seed[2] % 2:
                     # REAL YUV4MPEG2 payload: deterministic luma frames
@@ -169,14 +177,17 @@ def _fake_decode_audio(payload: bytes) -> np.ndarray:
 
 
 def _decode_audio(payload: bytes) -> np.ndarray:
-    """REAL for PCM16 WAV and COMPRESSED IMA ADPCM WAV (4-bit, fmt
-    0x11 — sources/media_codecs.py); deterministic stub for mp3/aac."""
+    """REAL for PCM16 WAV and the COMPRESSED WAV codecs — IMA ADPCM
+    (4-bit, fmt 0x11) and G.711 mu-law/A-law (fmt 7/6) — all in
+    sources/media_codecs.py; deterministic stub for mp3/aac."""
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
-        try:
-            samples, _ = decode_wav(payload)
-        except ValueError:
-            samples, _ = decode_wav_adpcm(payload)
-        return samples if samples.ndim == 1 else samples.mean(axis=1)
+        for dec in (decode_wav, decode_wav_adpcm, decode_wav_g711):
+            try:
+                samples, _ = dec(payload)
+            except ValueError:
+                continue
+            return samples if samples.ndim == 1 else samples.mean(axis=1)
+        raise ValueError("unrecognized WAV format tag")
     return _fake_decode_audio(payload)
 
 

@@ -584,3 +584,85 @@ def decode_gif(payload: bytes) -> np.ndarray:
         de[rows] = img
         img = de
     return table[img]
+
+
+# --- G.711 companded audio (ITU-T G.711: mu-law and A-law, the PSTN
+# codecs) carried in WAV fmt tags 7 / 6. Decode is the published
+# segment-expansion formula; encode picks the NEAREST code by binary
+# search over the decoded level table (optimal quantization, immune to
+# the off-by-one conventions that plague hand-rolled segment encoders).
+
+
+def _ulaw_decode_table() -> np.ndarray:
+    """All 256 mu-law codes → linear PCM16 (Sun/G.711 16-bit scaling:
+    mantissa<<3 + bias 0x84, shifted by the 3-bit exponent)."""
+    codes = np.arange(256, dtype=np.int32)
+    u = ~codes & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _alaw_decode_table() -> np.ndarray:
+    """All 256 A-law codes → linear PCM16 (XOR 0x55 toggle, segment
+    expansion with the implicit leading 1 from segment 1 up, <<3 to
+    16-bit range)."""
+    codes = np.arange(256, dtype=np.int32) ^ 0x55
+    exp = (codes >> 4) & 7
+    mant = codes & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    mag = mag << 3
+    return np.where(codes & 0x80, mag, -mag).astype(np.int16)
+
+
+_G711_TABLES = {"ulaw": _ulaw_decode_table(), "alaw": _alaw_decode_table()}
+_G711_FMT = {"ulaw": 7, "alaw": 6}
+
+
+def _g711_encode_samples(pcm: np.ndarray, law: str) -> np.ndarray:
+    table = _G711_TABLES[law].astype(np.int32)
+    order = np.argsort(table, kind="stable")
+    levels = table[order]
+    pos = np.clip(np.searchsorted(levels, pcm), 1, 255)
+    lo, hi = levels[pos - 1], levels[np.minimum(pos, 255)]
+    pick = np.where(np.abs(pcm - lo) <= np.abs(hi - pcm), pos - 1, pos)
+    return order[pick].astype(np.uint8)
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """float [-1, 1] mono → G.711 companded WAV (fmt 7 mu-law / 6 A-law,
+    8 bits per sample — 2x smaller than PCM16 with ~38 dB SNR)."""
+    if law not in _G711_FMT:
+        raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    x = np.asarray(samples, dtype=np.float64).reshape(-1)
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int32)
+    codes = _g711_encode_samples(pcm, law)
+    fmt = struct.pack("<HHIIHH", _G711_FMT[law], 1, sample_rate,
+                      sample_rate, 1, 8)
+    data = codes.tobytes()
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_g711(payload: bytes) -> tuple[np.ndarray, int]:
+    """G.711 WAV (fmt 7/6) → (float32 mono samples, rate)."""
+    fmt_tag, rate, data = None, None, None
+    for cid, body in _riff_chunks(payload):
+        if cid == b"fmt ":
+            fmt_tag, _n_ch, rate = struct.unpack_from("<HHI", body, 0)
+        elif cid == b"data":
+            data = body
+    if data is None or fmt_tag is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    law = {7: "ulaw", 6: "alaw"}.get(fmt_tag)
+    if law is None:
+        raise ValueError(f"not a G.711 WAV (fmt={fmt_tag})")
+    codes = np.frombuffer(data, dtype=np.uint8)
+    pcm = _G711_TABLES[law][codes].astype(np.float32) / 32767.0
+    return pcm, int(rate)

@@ -561,7 +561,9 @@ def test_synth_media_payloads_are_real_codecs(spark):
             assert r.meta["codec"] in ("image/png", "image/gif")
         elif r.kind == "audio":
             assert p[:4] == b"RIFF"
-            assert r.meta["codec"] in ("audio/wav", "audio/adpcm")
+            assert r.meta["codec"] in (
+                "audio/wav", "audio/adpcm",
+                "audio/g711-ulaw", "audio/g711-alaw")
         elif r.meta["codec"] == "video/y4m":
             assert p.startswith(b"YUV4MPEG2 ")
         else:
@@ -569,8 +571,40 @@ def test_synth_media_payloads_are_real_codecs(spark):
             assert r.meta["codec"] == "video/x-motion-jpeg"
     codecs = {r.meta["codec"] for r in media}
     assert {"video/y4m", "video/x-motion-jpeg"} <= codecs  # both video paths
-    assert {"audio/wav", "audio/adpcm"} <= codecs  # both audio paths
+    assert {"audio/wav", "audio/adpcm",
+            "audio/g711-ulaw", "audio/g711-alaw"} <= codecs  # all audio paths
     assert {"image/png", "image/gif"} <= codecs  # both image paths
+
+
+def test_g711_roundtrip_and_decode_path():
+    import numpy as np
+
+    from geotrellis_server_spark.operators.multimodal import _decode_audio
+    from geotrellis_server_spark.sources.media_codecs import (
+        _G711_TABLES,
+        decode_wav_g711,
+        encode_wav_g711,
+    )
+
+    t = np.arange(4000, dtype=np.float64)
+    wave = 0.7 * np.sin(t * 0.07)
+    for law in ("ulaw", "alaw"):
+        payload = encode_wav_g711(wave, 8000, law)
+        back, rate = decode_wav_g711(payload)
+        assert rate == 8000 and back.shape == (4000,)
+        err = back - wave.astype(np.float32)
+        snr = 10 * np.log10(np.mean(wave ** 2) / np.mean(err ** 2))
+        assert snr > 30  # G.711 companding gives ~38 dB on a loud sine
+        # engine decode path reaches the real G.711 branch
+        np.testing.assert_array_equal(_decode_audio(payload), back)
+        # every decode level is a fixed point of the nearest-code encoder
+        from geotrellis_server_spark.sources.media_codecs import (
+            _g711_encode_samples)
+
+        tab = _G711_TABLES[law]
+        assert np.array_equal(
+            tab[_g711_encode_samples(tab.astype(np.int32), law)], tab)
+    assert _G711_TABLES["ulaw"][0xFF] == 0  # published anchor: 0xFF → 0
 
 
 def test_gif_roundtrip_lossless():
