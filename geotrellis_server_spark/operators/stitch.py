@@ -120,15 +120,20 @@ def render_jpg(rgb: np.ndarray, quality: int = 85) -> bytes:
 
 
 def render_geotiff(
-    tiles: DataFrame, zoom: int | None = None, nodata: float | None = None
+    tiles: DataFrame,
+    zoom: int | None = None,
+    nodata: float | None = None,
+    compression: str = "none",
 ) -> bytes:
     """S10 GeoTIFF sink (reference Render.scala:36,47,64): stitch the
-    (request-pruned) tile window and encode one uncompressed float64
-    GeoTIFF in EPSG:3857 via the pure-stdlib encoder (sources/gtiff.py).
+    (request-pruned) tile window and encode one float64 GeoTIFF in
+    EPSG:3857 via the pure-stdlib encoder (sources/gtiff.py); pass
+    ``compression="deflate"|"lzw"|"packbits"`` for compressed strips.
     The collect is request-bounded exactly like ``stitch``."""
     from ..sources.gtiff import encode_geotiff
 
     arr, ext = stitch(tiles, zoom)
     return encode_geotiff(
-        arr, (ext.xmin, ext.ymin, ext.xmax, ext.ymax), epsg=3857, nodata=nodata
+        arr, (ext.xmin, ext.ymin, ext.xmax, ext.ymax), epsg=3857,
+        nodata=nodata, compression=compression,
     )

@@ -22,7 +22,13 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .gtiff import _ASCII, _TYPE_FMT, _TYPE_SIZE, parse_page_tags
+from .gtiff import (
+    _ASCII,
+    _TYPE_FMT,
+    _TYPE_SIZE,
+    decode_strip,
+    parse_page_tags,
+)
 from .rangereader import CachingRangeReader, RangeReader, open_range_reader
 
 
@@ -35,6 +41,8 @@ class CogPage:
     height: int
     bands: int
     dtype: str  # numpy dtype string, endian-qualified
+    compression: int
+    predictor: int
     rows_per_strip: int
     strip_offsets: tuple[int, ...]
     strip_counts: tuple[int, ...]
@@ -133,14 +141,20 @@ class CogReader:
             return np.empty(shape, dtype=p.dtype)
         rps = p.rows_per_strip
         s0, s1 = row0 // rps, (row1 - 1) // rps
-        raw = b"".join(
-            self.reader.read(p.strip_offsets[s], p.strip_counts[s])
+        strips = [
+            decode_strip(
+                self.reader.read(p.strip_offsets[s], p.strip_counts[s]),
+                compression=p.compression,
+                predictor=p.predictor,
+                dtype=p.dtype,
+                width=p.width,
+                bands=p.bands,
+                rows=min(rps, p.height - s * rps),
+            )
             for s in range(s0, s1 + 1)
-        )
+        ]
         first_row = s0 * rps
-        n_rows = min((s1 + 1) * rps, p.height) - first_row
-        shape = (n_rows, p.width) if p.bands == 1 else (n_rows, p.width, p.bands)
-        block = np.frombuffer(raw, dtype=p.dtype).reshape(shape)
+        block = strips[0] if len(strips) == 1 else np.concatenate(strips, axis=0)
         return block[row0 - first_row : row1 - first_row]
 
     def read_rows(self, page_idx: int, row0: int, row1: int) -> np.ndarray:

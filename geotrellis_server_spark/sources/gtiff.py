@@ -11,17 +11,23 @@ a matching strip-decoder built on ``struct``:
   engine's tile celltype) or uint8 1/3-band; one strip; GeoTIFF keys
   ModelPixelScale + ModelTiepoint + GeoKeyDirectory (EPSG:4326
   geographic / EPSG:3857 or any projected code), GDAL_NODATA.
-- ``decode_geotiff``: uncompressed striped TIFFs (everything this module
-  writes, plus plain uncompressed single-plane files from other tools).
+- ``decode_geotiff``: striped TIFFs — uncompressed, Deflate (8 and the
+  legacy 32946, via stdlib zlib), PackBits (32773, TIFF 6.0 "Section 9")
+  and LZW (5, TIFF 6.0 §13: MSB-first codes, early change), with the
+  horizontal-differencing predictor (tag 317 = 2, TIFF 6.0 §14) undone.
+  The same four codecs are available at encode time
+  (``compression="deflate"|"packbits"|"lzw"|"none"``).
 
 When rasterio IS present (optional dependency), ``read_geotiff_path``
-uses it for compressed/tiled/COG inputs and falls back to the stdlib
-decoder otherwise — so the same API upgrades in a full deployment.
+uses it for tiled/exotic inputs (JPEG-in-TIFF, float predictor) and
+falls back to the stdlib decoder otherwise — so the same API upgrades
+in a full deployment.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -38,6 +44,239 @@ _SHORT, _LONG, _ASCII, _DOUBLE = 3, 4, 2, 12
 _TYPE_SIZE = {_SHORT: 2, _LONG: 4, _ASCII: 1, _DOUBLE: 8}
 _TYPE_FMT = {_SHORT: "H", _LONG: "I", _DOUBLE: "d"}
 
+# ---------------------------------------------------------------------------
+# Strip codecs — TIFF 6.0 §13 (LZW), "Section 9" (PackBits), Adobe
+# Deflate (8, plus the legacy 32946 code; both plain zlib streams), and
+# the §14 horizontal-differencing predictor (tag 317 = 2). All pure
+# stdlib/numpy; each strip compresses independently, so the windowed
+# CogReader path keeps its strip-granular range reads.
+
+COMPRESSION_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+_SUPPORTED_COMPRESSION = (1, 5, 8, 32773, 32946)
+
+
+def _packbits_encode(raw: bytes) -> bytes:
+    """TIFF PackBits: runs of >=3 identical bytes become (257-n, byte)
+    repeat packets; everything else literal packets of <=128 bytes."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    lit_start = 0
+
+    def _flush_literals(end: int) -> None:
+        j = lit_start
+        while j < end:
+            k = min(128, end - j)
+            out.append(k - 1)
+            out.extend(raw[j : j + k])
+            j += k
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and raw[i + run] == raw[i]:
+            run += 1
+        if run >= 3:
+            _flush_literals(i)
+            out.append(257 - run)  # == -(run-1) as unsigned byte
+            out.append(raw[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    _flush_literals(n)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:  # h+1 literal bytes
+            out.extend(data[i : i + h + 1])
+            i += h + 1
+        elif h > 128:  # next byte repeated 257-h times
+            out.extend(data[i : i + 1] * (257 - h))
+            i += 1
+        # h == 128: no-op per spec
+    if len(out) < expected:
+        raise ValueError("PackBits strip shorter than expected")
+    return bytes(out[:expected])
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_encode(raw: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first code packing, 9→12 bit
+    codes with EARLY CHANGE (width bumps when the next free code is
+    2^width-1, one code earlier than GIF), ClearCode reset at 4094."""
+    out = bytearray()
+    acc = 0  # bit accumulator, MSB-first
+    nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    width, next_code = 9, 258
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for byte in raw:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # early change: widen when the next free code is 2^width-1
+        # (libtiff convention; the decoder mirrors it one entry behind)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:  # keep within 12 bits: reset the table
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            width, next_code = 9, 258
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(_LZW_EOI, width)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, expected: int, early_change: bool = True) -> bytes:
+    """Early change means the ENCODER widens when its next free code is
+    2^w-1; the decoder's table runs one entry behind (it adds nothing on
+    the first code after a Clear), so it widens at size 2^w-2 —
+    empirically pinned by roundtrip across the 9→10 boundary.
+    ``early_change=False`` decodes the legacy late-change variant (the
+    libtiff LZWDecodeCompat case), one entry later."""
+    out = bytearray()
+    nbits = len(data) * 8
+    bitpos = 0
+    width = 9
+    width_off = 2 if early_change else 1
+    table: list[bytes] = []
+    prev = b""
+
+    while len(out) < expected:
+        if bitpos + width > nbits:
+            break  # truncated stream; length check below
+        b0 = bitpos >> 3
+        chunk = int.from_bytes(data[b0 : b0 + 3].ljust(3, b"\0"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = b""
+            continue
+        if not table:
+            raise ValueError("LZW stream does not start with ClearCode")
+        if prev:
+            if code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream (code beyond table)")
+            if len(table) == (1 << width) - width_off and width < 12:
+                width += 1
+        else:
+            entry = table[code]
+        out.extend(entry)
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("LZW strip shorter than expected")
+    return bytes(out[:expected])
+
+
+def _decompress_strip(data: bytes, compression: int, expected: int) -> bytes:
+    if compression == 1:
+        return data
+    if compression in (8, 32946):
+        return zlib.decompress(data)
+    if compression == 5:
+        try:
+            return _lzw_decode(data, expected)
+        except ValueError:
+            # legacy late-change writers (pre-spec-clarification files)
+            return _lzw_decode(data, expected, early_change=False)
+    if compression == 32773:
+        return _packbits_decode(data, expected)
+    raise ValueError(f"unsupported TIFF compression {compression}")
+
+
+def _compress_strip(raw: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return raw
+    if compression in (8, 32946):
+        return zlib.compress(raw, 6)
+    if compression == 5:
+        return _lzw_encode(raw)
+    if compression == 32773:
+        return _packbits_encode(raw)
+    raise ValueError(f"unsupported TIFF compression {compression}")
+
+
+def _predictor2_encode(block: np.ndarray) -> np.ndarray:
+    """Horizontal differencing (§14): store d[r,0]=v[r,0], d[r,c]=v[r,c]
+    -v[r,c-1] per band, mod 2^bits. ``block`` is (rows, width[, bands])
+    integer; returns same shape/dtype."""
+    u = block.view(np.dtype(block.dtype.str.replace("i", "u")))
+    d = u.copy()
+    d[:, 1:] = u[:, 1:] - u[:, :-1]  # unsigned wraparound == mod 2^bits
+    return d.view(block.dtype)
+
+
+def _predictor2_decode(block: np.ndarray) -> np.ndarray:
+    u = block.view(np.dtype(block.dtype.str.replace("i", "u")))
+    # cumsum in the SAME unsigned dtype wraps mod 2^bits (the accumulator
+    # stays in-dtype when dtype= is pinned)
+    v = np.cumsum(u, axis=1, dtype=u.dtype)
+    return v.view(block.dtype)
+
+
+def decode_strip(
+    raw: bytes,
+    *,
+    compression: int,
+    predictor: int,
+    dtype: str,
+    width: int,
+    bands: int,
+    rows: int,
+) -> np.ndarray:
+    """One strip's stored bytes → pixel array (rows, width[, bands]) —
+    the ONE decode path shared by the whole-file decoder and the ranged
+    CogReader, so every codec works identically on both."""
+    dt = np.dtype(dtype)
+    expected = rows * width * bands * dt.itemsize
+    buf = _decompress_strip(raw, compression, expected)
+    if len(buf) < expected:
+        raise ValueError("strip shorter than expected")
+    a = np.frombuffer(buf, dtype=dt, count=rows * width * bands).reshape(
+        (rows, width) if bands == 1 else (rows, width, bands)
+    )
+    if predictor == 2:
+        a = _predictor2_decode(a)
+    return a
+
 
 def _page_block(
     a: np.ndarray,
@@ -47,6 +286,8 @@ def _page_block(
     base_offset: int,
     overview: bool,
     rows_per_strip: int | None = None,
+    compression: int = 1,
+    predictor: int = 1,
 ) -> tuple[bytes, int]:
     """One IFD + out-of-line values + strip data, with all offsets
     absolute from ``base_offset``. Returns (block bytes, offset of the
@@ -64,17 +305,22 @@ def _page_block(
 
     if a.dtype == np.uint8:
         bits, sample_format = 8, 1  # unsigned int
-        pixel_bytes = a.astype("<u1").tobytes()
+        px = a.astype("<u1")
     else:
-        a = a.astype("<f8")
+        px = a.astype("<f8")
         bits, sample_format = 64, 3  # IEEE float
-        pixel_bytes = a.tobytes()
+    if predictor == 2 and sample_format == 3:
+        raise ValueError("predictor 2 is integer-only (TIFF 6.0 §14)")
 
     rps = h if rows_per_strip is None else max(1, min(int(rows_per_strip), h))
-    row_bytes = w * bands * (bits // 8)
-    strip_counts = [
-        min(rps, h - r0) * row_bytes for r0 in range(0, h, rps)
-    ]
+    strips = []
+    for r0 in range(0, h, rps):
+        sub = px[r0 : r0 + rps]
+        if predictor == 2:
+            sub = _predictor2_encode(sub)
+        strips.append(_compress_strip(sub.tobytes(), compression))
+    strip_counts = [len(s) for s in strips]
+    pixel_bytes = b"".join(strips)
     n_strips = len(strip_counts)
 
     xmin, ymin, xmax, ymax = (float(v) for v in extent)
@@ -95,7 +341,7 @@ def _page_block(
         (256, _LONG, [w]),
         (257, _LONG, [h]),
         (258, _SHORT, [bits] * bands),
-        (259, _SHORT, [1]),  # no compression
+        (259, _SHORT, [compression]),
         (262, _SHORT, [2 if bands == 3 else 1]),  # RGB / BlackIsZero
         (273, _LONG, [0] * n_strips),  # StripOffsets — patched in pass 2
         (277, _SHORT, [bands]),
@@ -107,6 +353,8 @@ def _page_block(
         (33922, _DOUBLE, [0.0, 0.0, 0.0, xmin, ymax, 0.0]),  # ModelTiepoint
         (34735, _SHORT, geo_dir),  # GeoKeyDirectory
     ]
+    if predictor == 2:
+        entries.append((317, _SHORT, [2]))  # horizontal differencing
     if overview:
         entries.append((254, _LONG, [1]))  # NewSubfileType: reduced-resolution
     if nodata is not None:
@@ -182,16 +430,26 @@ def encode_geotiff_pyramid(
     epsg: int = 3857,
     nodata: float | None = None,
     rows_per_strip: int | None = None,
+    compression: str | int = "none",
+    predictor: int = 1,
 ) -> bytes:
     """COG-style multi-page GeoTIFF: page 0 = full resolution, following
     pages = overviews (NewSubfileType = reduced-resolution) chained
     through the next-IFD pointers — the overview structure
     GeoTiffRasterSource's Auto(n) strategy selects from
     (CogUtils.scala:55-70). All pages share the extent (each page's pixel
-    scale derives from its own dims); strips stay uncompressed so the
-    stdlib decoder reads every page."""
+    scale derives from its own dims). ``compression`` is one of
+    none/lzw/deflate/packbits (or a numeric TIFF code); strips compress
+    independently, so the windowed CogReader still fetches only the
+    strips a request intersects. ``predictor=2`` applies horizontal
+    differencing before compression (uint8 pages only)."""
     if not arrays:
         raise ValueError("need at least one page")
+    comp = (
+        COMPRESSION_CODES[compression]
+        if isinstance(compression, str)
+        else int(compression)
+    )
     pages = [_check_shape(a) for a in arrays]
     header = struct.pack("<2sHI", b"II", 42, 8)
     blocks: list[bytes] = []
@@ -201,6 +459,7 @@ def encode_geotiff_pyramid(
         block, ptr_at = _page_block(
             a, extent, epsg, nodata, offset, overview=i > 0,
             rows_per_strip=rows_per_strip,
+            compression=comp, predictor=predictor,
         )
         blocks.append(block)
         ptrs.append(offset + ptr_at)
@@ -222,10 +481,15 @@ def encode_geotiff(
     extent: tuple[float, float, float, float],
     epsg: int = 3857,
     nodata: float | None = None,
+    compression: str | int = "none",
+    predictor: int = 1,
 ) -> bytes:
     """array: float64 (h, w) single band, or uint8 (h, w) / (h, w, 3).
     extent: (xmin, ymin, xmax, ymax) in the CRS given by ``epsg``."""
-    return encode_geotiff_pyramid([array], extent, epsg, nodata)
+    return encode_geotiff_pyramid(
+        [array], extent, epsg, nodata,
+        compression=compression, predictor=predictor,
+    )
 
 
 def build_overviews(a: np.ndarray, min_size: int = 32) -> list[np.ndarray]:
@@ -285,9 +549,10 @@ def decode_geotiff_pages(data: bytes):
 
 
 def decode_geotiff(data: bytes):
-    """Uncompressed striped TIFF → (array, (xmin, ymin, xmax, ymax), epsg)
-    of the FULL-RESOLUTION page. Single-band float/int or chunky 3-band
-    uint8; use decode_geotiff_pages for the overview chain."""
+    """Striped TIFF (uncompressed/LZW/Deflate/PackBits, predictor 1/2) →
+    (array, (xmin, ymin, xmax, ymax), epsg) of the FULL-RESOLUTION page.
+    Single-band float/int or chunky 3-band uint8; use
+    decode_geotiff_pages for the overview chain."""
     arr, extent, epsg, _ = decode_geotiff_pages(data)[0]
     return arr, extent, epsg
 
@@ -298,10 +563,16 @@ def parse_page_tags(tags: dict[int, list], e: str) -> dict:
     the whole-file decoder below and the ranged CogReader in cog.py)."""
     w, h = int(tags[256][0]), int(tags[257][0])
     compression = int(tags.get(259, [1])[0])
-    if compression != 1:
+    if compression not in _SUPPORTED_COMPRESSION:
         raise ValueError(
-            "stdlib TIFF decoder handles uncompressed strips only; "
-            f"install rasterio for compression={compression}"
+            "stdlib TIFF decoder handles uncompressed/LZW/Deflate/"
+            f"PackBits strips; install rasterio for compression={compression}"
+        )
+    predictor = int(tags.get(317, [1])[0])
+    if predictor not in (1, 2):
+        raise ValueError(
+            f"unsupported TIFF predictor {predictor} (floating-point "
+            "predictor needs rasterio)"
         )
     bands = int(tags.get(277, [1])[0])
     bits = int(tags.get(258, [8])[0])
@@ -328,6 +599,8 @@ def parse_page_tags(tags: dict[int, list], e: str) -> dict:
         "height": h,
         "bands": bands,
         "dtype": dtype,
+        "compression": compression,
+        "predictor": predictor,
         "rows_per_strip": int(tags.get(278, [h])[0]),
         "strip_offsets": tuple(int(v) for v in tags[273]),
         "strip_counts": tuple(int(v) for v in tags[279]),
@@ -339,13 +612,21 @@ def parse_page_tags(tags: dict[int, list], e: str) -> dict:
 
 def _decode_page(data: bytes, e: str, tags: dict[int, list]):
     m = parse_page_tags(tags, e)
-    raw = b"".join(
-        data[o : o + c] for o, c in zip(m["strip_offsets"], m["strip_counts"])
-    )
     w, h, bands = m["width"], m["height"], m["bands"]
-    arr = np.frombuffer(raw, dtype=m["dtype"]).reshape(
-        (h, w) if bands == 1 else (h, w, bands)
-    )
+    rps = m["rows_per_strip"]
+    strips = [
+        decode_strip(
+            data[o : o + c],
+            compression=m["compression"],
+            predictor=m["predictor"],
+            dtype=m["dtype"],
+            width=w,
+            bands=bands,
+            rows=min(rps, h - s * rps),
+        )
+        for s, (o, c) in enumerate(zip(m["strip_offsets"], m["strip_counts"]))
+    ]
+    arr = strips[0] if len(strips) == 1 else np.concatenate(strips, axis=0)
     return arr.copy(), m["extent"], m["epsg"], m["is_overview"]
 
 

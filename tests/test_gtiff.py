@@ -67,15 +67,16 @@ def test_render_geotiff_stitched_window(spark):
     assert math.isclose(ext[0], exp_nw.xmin) and math.isclose(ext[3], exp_nw.ymax)
 
 
-def test_decoder_rejects_compressed():
+def test_decoder_rejects_unsupported_compression():
     data = bytearray(encode_geotiff(np.zeros((2, 2)), (0, 0, 1, 1)))
-    # flip the Compression tag value to 5 (LZW) in place
+    # flip the Compression tag to 7 (JPEG-in-TIFF — not a strip codec we
+    # implement; LZW/Deflate/PackBits ARE handled natively now)
     (n,) = struct.unpack_from("<H", data, 8)
     for i in range(n):
         off = 8 + 2 + i * 12
         tag = struct.unpack_from("<H", data, off)[0]
         if tag == 259:
-            struct.pack_into("<H", data, off + 8, 5)
+            struct.pack_into("<H", data, off + 8, 7)
     with pytest.raises(ValueError, match="rasterio"):
         decode_geotiff(bytes(data))
 

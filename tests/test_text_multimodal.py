@@ -135,18 +135,26 @@ def test_media_image_payloads_are_real_png(spark):
 
     from geotrellis_server_spark.operators import multimodal as MM
     from geotrellis_server_spark.sources import synth
+    from geotrellis_server_spark.sources.media_codecs import decode_gif
     from geotrellis_server_spark.styles.png import decode_png
 
     docs = synth.docs(spark, 300)
     media = MM.synth_media(spark, docs)
-    imgs = media.filter("kind = 'image'").limit(5).collect()
+    imgs = media.filter("kind = 'image'").limit(8).collect()
     assert imgs
+    seen = set()
     for r in imgs:
         payload = bytes(r.payload)
-        assert payload[:8] == MM.PNG_MAGIC
-        arr = decode_png(payload)
+        # half the payloads are PNG, half compressed GIF89a — both REAL
+        if payload[:8] == MM.PNG_MAGIC:
+            arr = decode_png(payload)
+            assert r.meta["codec"] == "image/png"
+        else:
+            assert payload[:6] in MM.GIF_MAGICS
+            arr = decode_gif(payload)
+            assert r.meta["codec"] == "image/gif"
+        seen.add(r.meta["codec"])
         assert arr.ndim == 3 and arr.shape[2] == 3
-        assert r.meta["codec"] == "image/png"
     # feature extraction consumes the REAL decoded pixels
     feats = MM.extract_features(media.filter("kind = 'image'").limit(3)).collect()
     for f in feats:
