@@ -43,6 +43,7 @@ from ..sources.media_codecs import (
     encode_y4m,
     y4m_info,
 )
+from ..sources.flac import FLAC_MAGIC, decode_flac, encode_flac
 from ..styles.png import decode_png, encode_png
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -91,19 +92,23 @@ def synth_media(spark, docs: DataFrame) -> DataFrame:
                     meta = {"bytes": str(len(payload)), "codec": codec}
                 elif kind == "audio":
                     # REAL audio payload: deterministic tone mix across
-                    # all four WAV codecs — PCM16 plus the COMPRESSED
-                    # three (IMA ADPCM fmt 0x11, G.711 mu-law 7, A-law 6)
+                    # all five codecs — PCM16 WAV plus the COMPRESSED
+                    # four (IMA ADPCM fmt 0x11, G.711 mu-law 7, A-law 6,
+                    # and FLAC — lossless Rice/fixed-predictor)
                     n = 128 + seed[1] % 128
                     t = np.arange(n, dtype=np.float64)
                     wave = 0.5 * np.sin(t * (0.05 + seed[2] / 512.0)) \
                         + 0.25 * np.sin(t * (0.11 + seed[3] / 512.0))
-                    pick = seed[3] % 4
+                    pick = seed[3] % 5
                     if pick == 0:
                         payload = encode_wav(wave, sample_rate=8000)
                         codec = "audio/wav"
                     elif pick == 1:
                         payload = encode_wav_adpcm(wave, sample_rate=8000)
                         codec = "audio/adpcm"
+                    elif pick == 4:
+                        payload = encode_flac(wave, sample_rate=8000)
+                        codec = "audio/flac"
                     else:
                         law = "ulaw" if pick == 2 else "alaw"
                         payload = encode_wav_g711(wave, 8000, law)
@@ -177,9 +182,10 @@ def _fake_decode_audio(payload: bytes) -> np.ndarray:
 
 
 def _decode_audio(payload: bytes) -> np.ndarray:
-    """REAL for PCM16 WAV and the COMPRESSED WAV codecs — IMA ADPCM
-    (4-bit, fmt 0x11) and G.711 mu-law/A-law (fmt 7/6) — all in
-    sources/media_codecs.py; deterministic stub for mp3/aac."""
+    """REAL for PCM16 WAV, the COMPRESSED WAV codecs — IMA ADPCM
+    (4-bit, fmt 0x11) and G.711 mu-law/A-law (fmt 7/6, both in
+    sources/media_codecs.py) — and FLAC (lossless compressed,
+    sources/flac.py); deterministic stub for mp3/aac."""
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
         for dec in (decode_wav, decode_wav_adpcm, decode_wav_g711):
             try:
@@ -188,6 +194,9 @@ def _decode_audio(payload: bytes) -> np.ndarray:
                 continue
             return samples if samples.ndim == 1 else samples.mean(axis=1)
         raise ValueError("unrecognized WAV format tag")
+    if payload[:4] == FLAC_MAGIC:
+        samples, _ = decode_flac(payload)
+        return samples if samples.ndim == 1 else samples.mean(axis=1)
     return _fake_decode_audio(payload)
 
 

@@ -1,0 +1,479 @@
+"""FLAC codec — real compressed (lossless) audio, pure numpy/stdlib.
+
+The reference delegates media decode to JVM codec libraries; this
+container has none, so the engine ships its own implementation of the
+public FLAC format (https://xiph.org/flac/format.html — an IETF draft /
+RFC 9639 format). FLAC is fully ALGORITHMIC: unlike MP2/MP3/AAC there
+are no spec constant tables (bit-allocation, synthesis windows) to
+transcribe — the whole format is sync codes, UTF-8-style numbers,
+fixed/LPC predictors, Rice-coded residuals and CRCs — so a from-scratch
+implementation can be exact, and lossless roundtrip is bit-exact by
+construction (verified against the STREAMINFO MD5 of the raw samples).
+
+- ``encode_flac``: int samples → fLaC stream. Per-channel best fixed
+  predictor (order 0-4), per-partition optimal Rice parameter,
+  independent channels, 4096-sample frames, CRC-8/CRC-16 + MD5 written.
+- ``decode_flac``: fLaC stream → (samples, sample_rate). Handles
+  constant/verbatim/fixed/LPC subframes, RICE and RICE2 residuals with
+  partition escapes, wasted bits, and left-side/right-side/mid-side
+  stereo decorrelation (everything a mainstream encoder emits for
+  8/16/24-bit fixed-blocksize streams), verifying both CRCs and the MD5.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+FLAC_MAGIC = b"fLaC"
+_BLOCK = 4096
+
+# fixed-predictor residual: residual = order-th difference of the signal
+_FIXED_COEF = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0, MSB-first (frame header)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0, MSB-first (frame)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits:
+            self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+            self.n += bits
+            while self.n >= 8:
+                self.n -= 8
+                self.out.append((self.acc >> self.n) & 0xFF)
+        # keep the accumulator bounded
+        self.acc &= (1 << self.n) - 1 if self.n else 0
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def getvalue(self) -> bytes:
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos_bits: int = 0) -> None:
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, bits: int) -> int:
+        if bits == 0:
+            return 0
+        end = self.pos + bits
+        if end > len(self.data) * 8:
+            raise ValueError("FLAC bitstream truncated")
+        b0, b1 = self.pos >> 3, (end + 7) >> 3
+        chunk = int.from_bytes(self.data[b0:b1], "big")
+        val = (chunk >> ((b1 << 3) - end)) & ((1 << bits) - 1)
+        self.pos = end
+        return val
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _write_coded_number(w: _BitWriter, n: int) -> None:
+    """UTF-8-style variable-length number (frame numbers, up to 36 bits)."""
+    if n < 0x80:
+        w.write(n, 8)
+        return
+    for total in range(2, 8):
+        if n < (1 << (1 + 5 * total)):
+            break
+    lead = (0xFF00 >> total) & 0xFF
+    w.write(lead | (n >> (6 * (total - 1))), 8)
+    for i in range(total - 2, -1, -1):
+        w.write(0x80 | ((n >> (6 * i)) & 0x3F), 8)
+
+
+def _read_coded_number(r: _BitReader) -> int:
+    b = r.read(8)
+    if b < 0x80:
+        return b
+    total = 0
+    mask = 0x80
+    while b & mask:
+        total += 1
+        mask >>= 1
+    if total < 2 or total > 7:
+        raise ValueError("bad coded number")
+    n = b & (mask - 1)
+    for _ in range(total - 1):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad coded-number continuation")
+        n = (n << 6) | (c & 0x3F)
+    return n
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    """Rice folding: 0,-1,1,-2,2… → 0,1,2,3,4…"""
+    v = v.astype(np.int64)
+    return np.where(v >= 0, v << 1, (-v << 1) - 1)
+
+
+def _best_rice_param(u: np.ndarray) -> tuple[int, int]:
+    """(k, total bits) minimizing unary(q)+1+k per value, k in 0..30."""
+    best_k, best_bits = 0, None
+    n = len(u)
+    for k in range(31):
+        bits = int((u >> k).sum()) + n * (k + 1)
+        if best_bits is None or bits < best_bits:
+            best_k, best_bits = k, bits
+        elif k - best_k > 2:
+            break  # cost is convex in k; past the minimum it only grows
+    return best_k, best_bits
+
+
+def _encode_residual(w: _BitWriter, res: np.ndarray) -> None:
+    """One partition (order 0), optimal Rice parameter, RICE or RICE2."""
+    u = _zigzag(res)
+    k, _ = _best_rice_param(u)
+    method, pbits = (0, 4) if k <= 14 else (1, 5)
+    w.write(method, 2)
+    w.write(0, 4)  # partition order 0 → a single partition
+    w.write(k, pbits)
+    for q, low in zip((u >> k).tolist(), (u & ((1 << k) - 1)).tolist()):
+        w.write_unary(q)
+        w.write(low, k)
+
+
+def _decode_residual(r: _BitReader, block: int, order: int) -> np.ndarray:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    po = r.read(4)
+    nparts = 1 << po
+    if block % nparts:
+        raise ValueError("block size not divisible by partition count")
+    out = np.empty(block - order, dtype=np.int64)
+    pos = 0
+    for p in range(nparts):
+        n = block // nparts - (order if p == 0 else 0)
+        k = r.read(pbits)
+        if k == (1 << pbits) - 1:  # escape: raw fixed-width residuals
+            raw_bits = r.read(5)
+            for i in range(n):
+                out[pos + i] = r.read_signed(raw_bits) if raw_bits else 0
+        else:
+            for i in range(n):
+                q = r.read_unary()
+                u = (q << k) | r.read(k)
+                out[pos + i] = (u >> 1) ^ -(u & 1)  # unfold zigzag
+        pos += n
+    return out
+
+
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    r = x.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _restore_fixed(res: np.ndarray, warmup: np.ndarray, order: int) -> np.ndarray:
+    x = warmup.astype(np.int64)
+    if order == 0:
+        return res
+    # invert the order-th difference by iterated cumulative sums
+    seq = res
+    for o in range(order, 0, -1):
+        head = _fixed_residual(x, o - 1)[-1:]  # last (o-1)-diff of warmup
+        seq = np.concatenate([head, seq]).cumsum()[1:]
+    return np.concatenate([x, seq])
+
+
+def _raw_bytes(a: np.ndarray, bits: int) -> bytes:
+    """Interleaved little-endian raw sample bytes (STREAMINFO MD5 input)."""
+    width = (bits + 7) // 8
+    inter = a.astype("<i8").astype(f"<i{width if width != 3 else 4}")
+    raw = inter.tobytes()
+    if width == 3:  # 24-bit: low 3 bytes of each int32
+        raw = b"".join(raw[i : i + 3] for i in range(0, len(raw), 4))
+    return raw
+
+
+def encode_flac(
+    samples: np.ndarray, sample_rate: int = 8000, bits: int = 16
+) -> bytes:
+    """int samples (n,) mono or (n, ch) in [-2^(bits-1), 2^(bits-1)) →
+    FLAC bytes. Float input in [-1, 1] is quantized to ``bits``."""
+    a = np.asarray(samples)
+    if a.dtype.kind == "f":
+        a = np.clip(np.round(a * (1 << (bits - 1))),
+                    -(1 << (bits - 1)), (1 << (bits - 1)) - 1)
+    a = a.astype(np.int64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    if not 1 <= ch <= 8:
+        raise ValueError("1-8 channels")
+
+    # MD5 over the interleaved little-endian raw samples (STREAMINFO)
+    md5 = hashlib.md5(_raw_bytes(a, bits)).digest()
+
+    frames = bytearray()
+    n_frames = (n + _BLOCK - 1) // _BLOCK
+    sizes = [min(_BLOCK, n - f * _BLOCK) for f in range(n_frames)] or [_BLOCK]
+    for f in range(n_frames):
+        block = a[f * _BLOCK : (f + 1) * _BLOCK]
+        bs = block.shape[0]
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed blocksize
+        w.write(0b0111, 4)  # blocksize: 16-bit value at header end
+        w.write(0, 4)  # sample rate: from STREAMINFO
+        w.write(ch - 1, 4)  # independent channels
+        w.write({8: 0b001, 16: 0b100, 24: 0b110}[bits], 3)
+        w.write(0, 1)  # reserved
+        _write_coded_number(w, f)
+        w.write(bs - 1, 16)
+        header = w.getvalue()
+        w.write(_crc8(header), 8)
+
+        for c in range(ch):
+            x = block[:, c]
+            # subframe header: constant short-circuit, else best fixed
+            if bs and (x == x[0]).all():
+                w.write(0, 1)
+                w.write(0b000000, 6)  # SUBFRAME_CONSTANT
+                w.write(0, 1)  # no wasted bits
+                w.write(int(x[0]), bits)
+                continue
+            best_o, best_cost, best_res = 0, None, None
+            for o in range(min(5, bs)):
+                res = _fixed_residual(x, o)
+                cost = int(np.abs(res).sum())
+                if best_cost is None or cost < best_cost:
+                    best_o, best_cost, best_res = o, cost, res
+            w.write(0, 1)
+            w.write(0b001000 | best_o, 6)  # SUBFRAME_FIXED, order
+            w.write(0, 1)  # no wasted bits
+            for v in x[:best_o].tolist():
+                w.write(int(v), bits)  # warm-up samples
+            _encode_residual(w, best_res)
+
+        w.align()
+        body = w.getvalue()
+        frames += body + struct.pack(">H", _crc16(body))
+
+    # STREAMINFO metadata block
+    si = _BitWriter()
+    si.write(min(sizes), 16)
+    si.write(max(sizes), 16)
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)  # max frame size unknown
+    si.write(sample_rate, 20)
+    si.write(ch - 1, 3)
+    si.write(bits - 1, 5)
+    si.write(n, 36)
+    info = si.getvalue() + md5
+    header = FLAC_MAGIC + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    return header + bytes(frames)
+
+
+def _parse_streaminfo(data: bytes) -> tuple[dict, int]:
+    if data[:4] != FLAC_MAGIC:
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    info = None
+    while True:
+        head = data[pos]
+        btype, last = head & 0x7F, head & 0x80
+        length = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + length]
+        if btype == 0:
+            r = _BitReader(body)
+            info = {
+                "min_block": r.read(16), "max_block": r.read(16),
+                "min_frame": r.read(24), "max_frame": r.read(24),
+                "sample_rate": r.read(20),
+                "channels": r.read(3) + 1,
+                "bits": r.read(5) + 1,
+                "total": r.read(36),
+                "md5": body[18:34],
+            }
+        pos += 4 + length
+        if last:
+            break
+    if info is None:
+        raise ValueError("missing STREAMINFO")
+    return info, pos
+
+
+def _decode_subframe(r: _BitReader, bs: int, bits: int) -> np.ndarray:
+    if r.read(1):
+        raise ValueError("bad subframe padding bit")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):  # wasted-bits flag: unary count - 1... (k = unary + 1)
+        wasted = r.read_unary() + 1
+        bits -= wasted
+    if stype == 0:  # constant
+        x = np.full(bs, r.read_signed(bits), dtype=np.int64)
+    elif stype == 1:  # verbatim
+        x = np.array([r.read_signed(bits) for _ in range(bs)], dtype=np.int64)
+    elif 8 <= stype <= 12:  # fixed, order 0-4
+        order = stype & 7
+        warm = np.array([r.read_signed(bits) for _ in range(order)],
+                        dtype=np.int64)
+        res = _decode_residual(r, bs, order)
+        x = _restore_fixed(res, warm, order)
+    elif stype >= 32:  # LPC, order 1-32
+        order = (stype & 31) + 1
+        warm = np.array([r.read_signed(bits) for _ in range(order)],
+                        dtype=np.int64)
+        precision = r.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid LPC precision escape")
+        shift = r.read_signed(5)
+        coef = [r.read_signed(precision) for _ in range(order)]
+        res = _decode_residual(r, bs, order)
+        x = np.empty(bs, dtype=np.int64)
+        x[:order] = warm
+        for i in range(order, bs):
+            pred = 0
+            for j, cf in enumerate(coef):
+                pred += cf * x[i - 1 - j]
+            x[i] = res[i - order] + (pred >> shift)
+    else:
+        raise ValueError(f"reserved subframe type {stype}")
+    return x << wasted
+
+
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes → (float32 samples in [-1, 1], sample_rate); mono
+    returns (n,), multi-channel (n, ch). Verifies frame CRC-8/CRC-16 and
+    the STREAMINFO MD5 when present."""
+    info, pos = _parse_streaminfo(payload)
+    ch, bits = info["channels"], info["bits"]
+    chunks: list[np.ndarray] = []
+    got = 0
+    total = info["total"]
+    while (total == 0 or got < total) and pos < len(payload) - 1:
+        r = _BitReader(payload, pos * 8)
+        if r.read(14) != 0b11111111111110:
+            raise ValueError("lost frame sync")
+        r.read(1)
+        r.read(1)  # blocking strategy
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_code = r.read(4)
+        ss_code = r.read(3)
+        r.read(1)
+        _read_coded_number(r)
+        if bs_code == 0b0110:
+            bs = r.read(8) + 1
+        elif bs_code == 0b0111:
+            bs = r.read(16) + 1
+        elif bs_code == 0b0001:
+            bs = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            bs = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved blocksize code")
+        if sr_code == 0b1100:
+            r.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            r.read(16)
+        header_len = (r.pos + 7) // 8 - pos
+        if _crc8(payload[pos : pos + header_len]) != r.read(8):
+            raise ValueError("frame header CRC-8 mismatch")
+
+        sbits = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}.get(
+            ss_code, bits)
+        if ch_code < 8:  # independent
+            subs = [_decode_subframe(r, bs, sbits) for _ in range(ch_code + 1)]
+            frame = np.stack(subs, axis=1)
+        else:  # stereo decorrelation; the SIDE channel carries bits+1
+            extra0 = 1 if ch_code == 9 else 0  # right/side: side first
+            a0 = _decode_subframe(r, bs, sbits + extra0)
+            a1 = _decode_subframe(r, bs, sbits + (0 if ch_code == 9 else 1))
+            if ch_code == 8:  # left/side
+                left, right = a0, a0 - a1
+            elif ch_code == 9:  # side/right
+                left, right = a0 + a1, a1
+            elif ch_code == 10:  # mid/side
+                mid, side = a0, a1
+                s = (mid << 1) | (side & 1)
+                left, right = (s + side) >> 1, (s - side) >> 1
+            else:
+                raise ValueError("reserved channel assignment")
+            frame = np.stack([left, right], axis=1)
+        r.align()
+        body_len = r.pos // 8 - pos
+        if pos + body_len + 2 > len(payload):
+            raise ValueError("FLAC bitstream truncated")
+        (crc,) = struct.unpack_from(">H", payload, pos + body_len)
+        if _crc16(payload[pos : pos + body_len]) != crc:
+            raise ValueError("frame CRC-16 mismatch")
+        pos += body_len + 2
+        chunks.append(frame)
+        got += bs
+
+    out = np.concatenate(chunks, axis=0) if chunks else np.empty((0, ch))
+    if total:
+        out = out[:total]
+    if info["md5"] != b"\x00" * 16:
+        if hashlib.md5(_raw_bytes(out.astype(np.int64), bits)).digest() \
+                != info["md5"]:
+            raise ValueError("FLAC MD5 signature mismatch")
+    scale = float(1 << (bits - 1))
+    samples = (out.astype(np.float32)) / scale
+    if ch == 1:
+        samples = samples[:, 0]
+    return samples, info["sample_rate"]

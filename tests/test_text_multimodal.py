@@ -568,9 +568,9 @@ def test_synth_media_payloads_are_real_codecs(spark):
             assert (p[:8] == b"\x89PNG\r\n\x1a\n" or p[:6] == b"GIF89a")
             assert r.meta["codec"] in ("image/png", "image/gif")
         elif r.kind == "audio":
-            assert p[:4] == b"RIFF"
+            assert p[:4] in (b"RIFF", b"fLaC")
             assert r.meta["codec"] in (
-                "audio/wav", "audio/adpcm",
+                "audio/wav", "audio/adpcm", "audio/flac",
                 "audio/g711-ulaw", "audio/g711-alaw")
         elif r.meta["codec"] == "video/y4m":
             assert p.startswith(b"YUV4MPEG2 ")
@@ -579,7 +579,7 @@ def test_synth_media_payloads_are_real_codecs(spark):
             assert r.meta["codec"] == "video/x-motion-jpeg"
     codecs = {r.meta["codec"] for r in media}
     assert {"video/y4m", "video/x-motion-jpeg"} <= codecs  # both video paths
-    assert {"audio/wav", "audio/adpcm",
+    assert {"audio/wav", "audio/adpcm", "audio/flac",
             "audio/g711-ulaw", "audio/g711-alaw"} <= codecs  # all audio paths
     assert {"image/png", "image/gif"} <= codecs  # both image paths
 
