@@ -27,6 +27,7 @@ from .gtiff import (
     _TYPE_FMT,
     _TYPE_SIZE,
     decode_strip,
+    decode_tile,
     parse_page_tags,
 )
 from .rangereader import CachingRangeReader, RangeReader, open_range_reader
@@ -46,6 +47,8 @@ class CogPage:
     rows_per_strip: int
     strip_offsets: tuple[int, ...]
     strip_counts: tuple[int, ...]
+    tile_width: int | None
+    tile_height: int | None
     extent: tuple[float, float, float, float] | None
     epsg: int | None
     is_overview: bool
@@ -159,21 +162,61 @@ class CogReader:
 
     def read_rows(self, page_idx: int, row0: int, row1: int) -> np.ndarray:
         """Rows [row0, row1) of one page, fetching ONLY intersecting
-        strips. Returns (rows, width) or (rows, width, bands)."""
+        segments. Returns (rows, width) or (rows, width, bands)."""
         p = self.pages[page_idx]
+        if p.tile_width is not None:
+            return self.read_window(page_idx, row0, row1, 0, p.width)
         return self._rows_view(page_idx, max(0, row0), min(p.height, row1)).copy()
+
+    def _window_tiled(
+        self, p: CogPage, r0: int, r1: int, c0: int, c1: int
+    ) -> np.ndarray:
+        """Tiled-layout window: fetch ONLY the tiles the window
+        intersects — unlike strips, tiles prune in BOTH axes, which is
+        why the COG spec mandates this layout (a 256-px window over a
+        100k-px-wide mosaic touches ~1/400th of the row's bytes)."""
+        tw, th = p.tile_width, p.tile_height
+        across = (p.width + tw - 1) // tw
+        shape = (r1 - r0, c1 - c0)
+        if p.bands != 1:
+            shape += (p.bands,)
+        out = np.zeros(shape, dtype=p.dtype)
+        m = {
+            "compression": p.compression, "predictor": p.predictor,
+            "dtype": p.dtype, "tile_width": tw, "tile_height": th,
+            "bands": p.bands,
+        }
+        for ti in range(r0 // th, (max(r0, r1 - 1)) // th + 1):
+            for tj in range(c0 // tw, (max(c0, c1 - 1)) // tw + 1):
+                idx = ti * across + tj
+                t = decode_tile(
+                    self.reader.read(p.strip_offsets[idx],
+                                     p.strip_counts[idx]), m)
+                tr0, tc0 = ti * th, tj * tw  # tile origin in page pixels
+                sr0, sr1 = max(r0, tr0), min(r1, tr0 + th, p.height)
+                sc0, sc1 = max(c0, tc0), min(c1, tc0 + tw, p.width)
+                out[sr0 - r0 : sr1 - r0, sc0 - c0 : sc1 - c0] = \
+                    t[sr0 - tr0 : sr1 - tr0, sc0 - tc0 : sc1 - tc0]
+        return out
 
     def read_window(
         self, page_idx: int, row0: int, row1: int, col0: int, col1: int
     ) -> np.ndarray:
-        """Pixel window [row0:row1, col0:col1) — strip fetch + column
-        slice (strips span full width, so columns cost nothing extra;
-        one copy of exactly the window bytes)."""
+        """Pixel window [row0:row1, col0:col1) — fetches only the
+        segments the window intersects: tiles (both-axis pruning) for
+        tiled pages, strips + column slice for stripped pages."""
         p = self.pages[page_idx]
         r0 = max(0, row0)
         r1 = max(r0, min(p.height, row1))
         c0 = max(0, col0)
         c1 = max(c0, min(p.width, col1))
+        if p.tile_width is not None:
+            if r1 <= r0 or c1 <= c0:
+                shape = (max(0, r1 - r0), max(0, c1 - c0))
+                if p.bands != 1:
+                    shape += (p.bands,)
+                return np.empty(shape, dtype=p.dtype)
+            return self._window_tiled(p, r0, r1, c0, c1)
         return self._rows_view(page_idx, r0, r1)[:, c0:c1].copy()
 
     def read_extent(

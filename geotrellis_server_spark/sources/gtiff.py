@@ -11,17 +11,19 @@ a matching strip-decoder built on ``struct``:
   engine's tile celltype) or uint8 1/3-band; one strip; GeoTIFF keys
   ModelPixelScale + ModelTiepoint + GeoKeyDirectory (EPSG:4326
   geographic / EPSG:3857 or any projected code), GDAL_NODATA.
-- ``decode_geotiff``: striped TIFFs — uncompressed, Deflate (8 and the
-  legacy 32946, via stdlib zlib), PackBits (32773, TIFF 6.0 "Section 9")
-  and LZW (5, TIFF 6.0 §13: MSB-first codes, early change), with the
-  horizontal-differencing predictor (tag 317 = 2, TIFF 6.0 §14) undone.
-  The same four codecs are available at encode time
-  (``compression="deflate"|"packbits"|"lzw"|"none"``).
+- ``decode_geotiff``: striped AND tiled TIFFs (TIFF 6.0 §15 tags
+  322-325 — the layout the COG spec mandates) — uncompressed, Deflate
+  (8 and the legacy 32946, via stdlib zlib), PackBits (32773, TIFF 6.0
+  "Section 9") and LZW (5, TIFF 6.0 §13: MSB-first codes, early
+  change), with the horizontal-differencing predictor (tag 317 = 2,
+  TIFF 6.0 §14) undone. The same four codecs and both layouts are
+  available at encode time (``compression=...``, ``tile=(tw, th)``),
+  and the ranged CogReader prunes fetches in BOTH axes on tiled pages.
 
 When rasterio IS present (optional dependency), ``read_geotiff_path``
-uses it for tiled/exotic inputs (JPEG-in-TIFF, float predictor) and
-falls back to the stdlib decoder otherwise — so the same API upgrades
-in a full deployment.
+uses it for exotic inputs (JPEG-in-TIFF, float predictor) and falls
+back to the stdlib decoder otherwise — so the same API upgrades in a
+full deployment.
 """
 
 from __future__ import annotations
@@ -288,6 +290,7 @@ def _page_block(
     rows_per_strip: int | None = None,
     compression: int = 1,
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> tuple[bytes, int]:
     """One IFD + out-of-line values + strip data, with all offsets
     absolute from ``base_offset``. Returns (block bytes, offset of the
@@ -297,7 +300,13 @@ def _page_block(
     (default: one strip = the whole page). Multi-strip pages are what
     make windowed range reads useful: a reader can fetch only the strips
     a requested row window intersects (CogUtils.scala:41-70 reads COG
-    tiles the same way — here strips are the block unit)."""
+    tiles the same way — here strips are the block unit).
+
+    ``tile=(tw, th)`` switches the page to the TILED layout (TIFF 6.0
+    §15, tags 322-325) — the layout the COG spec mandates and every
+    cloud-optimized GeoTIFF in the wild uses. Tile dims must be
+    multiples of 16; edge tiles are stored zero-padded to full size,
+    per spec. Mutually exclusive with ``rows_per_strip``."""
     if a.ndim == 2:
         h, w, bands = a.shape[0], a.shape[1], 1
     else:
@@ -312,13 +321,33 @@ def _page_block(
     if predictor == 2 and sample_format == 3:
         raise ValueError("predictor 2 is integer-only (TIFF 6.0 §14)")
 
-    rps = h if rows_per_strip is None else max(1, min(int(rows_per_strip), h))
-    strips = []
-    for r0 in range(0, h, rps):
-        sub = px[r0 : r0 + rps]
-        if predictor == 2:
-            sub = _predictor2_encode(sub)
-        strips.append(_compress_strip(sub.tobytes(), compression))
+    if tile is not None:
+        if rows_per_strip is not None:
+            raise ValueError("tile= and rows_per_strip= are exclusive")
+        tw, th = int(tile[0]), int(tile[1])
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError("tile dims must be positive multiples of 16")
+        strips = []
+        for r0 in range(0, h, th):
+            for c0 in range(0, w, tw):
+                sub = px[r0 : r0 + th, c0 : c0 + tw]
+                if sub.shape[0] != th or sub.shape[1] != tw:
+                    pad = [(0, th - sub.shape[0]), (0, tw - sub.shape[1])]
+                    if sub.ndim == 3:
+                        pad.append((0, 0))
+                    sub = np.pad(sub, pad)  # edge tiles zero-padded (§15)
+                if predictor == 2:
+                    sub = _predictor2_encode(sub)
+                strips.append(_compress_strip(sub.tobytes(), compression))
+        rps = th
+    else:
+        rps = h if rows_per_strip is None else max(1, min(int(rows_per_strip), h))
+        strips = []
+        for r0 in range(0, h, rps):
+            sub = px[r0 : r0 + rps]
+            if predictor == 2:
+                sub = _predictor2_encode(sub)
+            strips.append(_compress_strip(sub.tobytes(), compression))
     strip_counts = [len(s) for s in strips]
     pixel_bytes = b"".join(strips)
     n_strips = len(strip_counts)
@@ -337,18 +366,30 @@ def _page_block(
     for k in geo_keys:
         geo_dir.extend(k)
 
+    seg_off_tag = 324 if tile is not None else 273  # Tile/StripOffsets
     entries: list[tuple[int, int, list]] = [
         (256, _LONG, [w]),
         (257, _LONG, [h]),
         (258, _SHORT, [bits] * bands),
         (259, _SHORT, [compression]),
         (262, _SHORT, [2 if bands == 3 else 1]),  # RGB / BlackIsZero
-        (273, _LONG, [0] * n_strips),  # StripOffsets — patched in pass 2
         (277, _SHORT, [bands]),
-        (278, _LONG, [rps]),
-        (279, _LONG, strip_counts),
         (284, _SHORT, [1]),  # chunky
         (339, _SHORT, [sample_format] * bands),
+        (seg_off_tag, _LONG, [0] * n_strips),  # offsets — patched in pass 2
+    ]
+    if tile is not None:
+        entries += [
+            (322, _LONG, [tw]),  # TileWidth
+            (323, _LONG, [th]),  # TileLength
+            (325, _LONG, strip_counts),  # TileByteCounts
+        ]
+    else:
+        entries += [
+            (278, _LONG, [rps]),
+            (279, _LONG, strip_counts),
+        ]
+    entries += [
         (33550, _DOUBLE, [xres, yres, 0.0]),  # ModelPixelScale
         (33922, _DOUBLE, [0.0, 0.0, 0.0, xmin, ymax, 0.0]),  # ModelTiepoint
         (34735, _SHORT, geo_dir),  # GeoKeyDirectory
@@ -386,7 +427,7 @@ def _page_block(
     overflow = bytearray()
     packed_entries = []
     for tag, typ, vals in entries:
-        if tag == 273:
+        if tag == seg_off_tag:
             vals = strip_offsets
         if typ == _ASCII:
             raw = vals[0]
@@ -432,6 +473,7 @@ def encode_geotiff_pyramid(
     rows_per_strip: int | None = None,
     compression: str | int = "none",
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """COG-style multi-page GeoTIFF: page 0 = full resolution, following
     pages = overviews (NewSubfileType = reduced-resolution) chained
@@ -459,7 +501,7 @@ def encode_geotiff_pyramid(
         block, ptr_at = _page_block(
             a, extent, epsg, nodata, offset, overview=i > 0,
             rows_per_strip=rows_per_strip,
-            compression=comp, predictor=predictor,
+            compression=comp, predictor=predictor, tile=tile,
         )
         blocks.append(block)
         ptrs.append(offset + ptr_at)
@@ -483,12 +525,15 @@ def encode_geotiff(
     nodata: float | None = None,
     compression: str | int = "none",
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """array: float64 (h, w) single band, or uint8 (h, w) / (h, w, 3).
-    extent: (xmin, ymin, xmax, ymax) in the CRS given by ``epsg``."""
+    extent: (xmin, ymin, xmax, ymax) in the CRS given by ``epsg``.
+    ``tile=(tw, th)`` writes the TIFF 6.0 §15 tiled layout (the
+    COG-spec block structure) instead of strips."""
     return encode_geotiff_pyramid(
         [array], extent, epsg, nodata,
-        compression=compression, predictor=predictor,
+        compression=compression, predictor=predictor, tile=tile,
     )
 
 
@@ -594,6 +639,17 @@ def parse_page_tags(tags: dict[int, list], e: str) -> dict:
             key, _, _, val = gd[i : i + 4]
             if key in (2048, 3072):
                 epsg = int(val)
+    tiled = 322 in tags  # TIFF 6.0 §15 tiled layout (COG-spec mandated)
+    if tiled:
+        tw, th = int(tags[322][0]), int(tags[323][0])
+        seg_offsets = tuple(int(v) for v in tags[324])
+        seg_counts = tuple(int(v) for v in tags[325])
+        rps = th
+    else:
+        tw = th = None
+        seg_offsets = tuple(int(v) for v in tags[273])
+        seg_counts = tuple(int(v) for v in tags[279])
+        rps = int(tags.get(278, [h])[0])
     return {
         "width": w,
         "height": h,
@@ -601,18 +657,53 @@ def parse_page_tags(tags: dict[int, list], e: str) -> dict:
         "dtype": dtype,
         "compression": compression,
         "predictor": predictor,
-        "rows_per_strip": int(tags.get(278, [h])[0]),
-        "strip_offsets": tuple(int(v) for v in tags[273]),
-        "strip_counts": tuple(int(v) for v in tags[279]),
+        "rows_per_strip": rps,
+        "strip_offsets": seg_offsets,
+        "strip_counts": seg_counts,
+        "tile_width": tw,
+        "tile_height": th,
         "extent": extent,
         "epsg": epsg,
         "is_overview": bool(tags.get(254, [0])[0] & 1),
     }
 
 
+def decode_tile(raw: bytes, m: dict) -> np.ndarray:
+    """One stored tile (always full ``tile_height × tile_width``, edge
+    tiles zero-padded per TIFF 6.0 §15) → pixel array."""
+    return decode_strip(
+        raw,
+        compression=m["compression"],
+        predictor=m["predictor"],
+        dtype=m["dtype"],
+        width=m["tile_width"],
+        bands=m["bands"],
+        rows=m["tile_height"],
+    )
+
+
+def assemble_tiles(fetch, m: dict) -> np.ndarray:
+    """Full tiled page via ``fetch(offset, count) -> bytes`` (shared by
+    the whole-file decoder and the ranged CogReader)."""
+    w, h, bands = m["width"], m["height"], m["bands"]
+    tw, th = m["tile_width"], m["tile_height"]
+    across = (w + tw - 1) // tw
+    shape = (h, w) if bands == 1 else (h, w, bands)
+    out = np.zeros(shape, dtype=m["dtype"])
+    for i, (o, c) in enumerate(zip(m["strip_offsets"], m["strip_counts"])):
+        ti, tj = divmod(i, across)
+        r0, c0 = ti * th, tj * tw
+        t = decode_tile(fetch(o, c), m)
+        out[r0 : r0 + th, c0 : c0 + tw] = t[: h - r0, : w - c0]
+    return out
+
+
 def _decode_page(data: bytes, e: str, tags: dict[int, list]):
     m = parse_page_tags(tags, e)
     w, h, bands = m["width"], m["height"], m["bands"]
+    if m["tile_width"] is not None:
+        arr = assemble_tiles(lambda o, c: data[o : o + c], m)
+        return arr, m["extent"], m["epsg"], m["is_overview"]
     rps = m["rows_per_strip"]
     strips = [
         decode_strip(
