@@ -140,7 +140,8 @@ def synth_media(spark, docs: DataFrame) -> DataFrame:
 
 def _decode_image(payload: bytes) -> np.ndarray:
     """REAL for PNG (pure-stdlib decoder, styles/png.py), GIF87a/89a
-    (pure-numpy LZW, sources/media_codecs.py) and baseline JPEG
+    (pure-numpy LZW, sources/media_codecs.py) and baseline JPEG at any
+    integer sampling — 4:4:4/4:2:2/4:2:0 — with restart markers
     (pure-numpy codec, styles/jpeg.py); Pillow fallback for other
     formats when installed; deterministic fake otherwise."""
     if payload[:8] == PNG_MAGIC:
@@ -155,7 +156,7 @@ def _decode_image(payload: bytes) -> np.ndarray:
             arr = decode_jpeg(payload)
             return arr if arr.ndim == 3 else arr[..., None].repeat(3, axis=-1)
         except ValueError:
-            pass  # subsampled/progressive JPEG: fall through to Pillow/stub
+            pass  # progressive/arithmetic JPEG: Pillow/stub fallback
     try:  # pragma: no cover - Pillow absent in this container
         import io
 

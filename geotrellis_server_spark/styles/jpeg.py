@@ -196,8 +196,21 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(array: np.ndarray, quality: int = 85) -> bytes:
-    """uint8 grayscale (h, w) or RGB (h, w, 3) → baseline JFIF bytes."""
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def encode_jpeg(
+    array: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 grayscale (h, w) or RGB (h, w, 3) → baseline JFIF bytes.
+
+    ``subsampling``: "444" (no chroma subsampling), "422" (chroma
+    halved horizontally) or "420" (halved both ways — what mainstream
+    encoders emit by default). ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that many MCUs (T.81 §B.2.4.4)."""
     a = np.asarray(array)
     if a.dtype != np.uint8:
         a = np.clip(a, 0, 255).astype(np.uint8)
@@ -218,11 +231,20 @@ def encode_jpeg(array: np.ndarray, quality: int = 85) -> bytes:
     qchrom = _quality_scale(QT_CHROM, quality)
     qts = [qlum] + ([qchrom, qchrom] if not gray else [])
 
-    # pad to 8-multiples by edge replication
-    ph, pw = -h % 8, -w % 8
+    hi_l, vi_l = (1, 1) if gray else _SUBSAMPLING[subsampling]
+    samps = [(hi_l, vi_l)] + ([(1, 1)] * 2 if not gray else [])
+
+    # pad to MCU multiples by edge replication, then box-downsample chroma
+    ph, pw = -h % (8 * vi_l), -w % (8 * hi_l)
     planes = [np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in planes]
-    hh, ww = planes[0].shape
-    bh, bw = hh // 8, ww // 8
+    if not gray and (hi_l, vi_l) != (1, 1):
+
+        def _down(p: np.ndarray) -> np.ndarray:
+            hh, ww = p.shape
+            return p.reshape(
+                hh // vi_l, vi_l, ww // hi_l, hi_l).mean(axis=(1, 3))
+
+        planes = [planes[0], _down(planes[1]), _down(planes[2])]
 
     dc_tabs = [_huff_codes(*DC_LUM)] + (
         [_huff_codes(*DC_CHROM)] * 2 if not gray else [])
@@ -232,20 +254,34 @@ def encode_jpeg(array: np.ndarray, quality: int = 85) -> bytes:
     # quantized zigzag coefficients per component, block-major
     comp_coefs = []
     for p, qt in zip(planes, qts):
-        blocks = (p - 128.0).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        bh_c, bw_c = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (p - 128.0).reshape(bh_c, 8, bw_c, 8).transpose(0, 2, 1, 3)
         dct = np.einsum("ij,abjk,lk->abil", _D, blocks, _D)
-        quant = np.round(dct.reshape(bh, bw, 64)[..., ZIGZAG].reshape(
-            bh, bw, 64) / qt[ZIGZAG]).astype(np.int64)
+        quant = np.round(dct.reshape(bh_c, bw_c, 64)[..., ZIGZAG].reshape(
+            bh_c, bw_c, 64) / qt[ZIGZAG]).astype(np.int64)
         comp_coefs.append(quant)
 
+    mcus_y = planes[0].shape[0] // (8 * vi_l)
+    mcus_x = planes[0].shape[1] // (8 * hi_l)
     wbits = _BitWriter()
     prev = [0] * len(planes)
-    for by in range(bh):
-        for bx in range(bw):
-            for c in range(len(planes)):
-                prev[c] = _encode_block(
-                    wbits, comp_coefs[c][by, bx], prev[c], dc_tabs[c], ac_tabs[c]
-                )
+    mcu_n, rst = 0, 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                wbits.flush()
+                wbits.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                prev = [0] * len(planes)
+            for c, (hi, vi) in enumerate(samps):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        prev[c] = _encode_block(
+                            wbits,
+                            comp_coefs[c][my * vi + byy, mx * hi + bxx],
+                            prev[c], dc_tabs[c], ac_tabs[c],
+                        )
+            mcu_n += 1
     wbits.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -257,8 +293,11 @@ def encode_jpeg(array: np.ndarray, quality: int = 85) -> bytes:
     ncomp = 1 if gray else 3
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])  # 4:4:4
+        samp_byte = (samps[c][0] << 4) | samps[c][1]
+        sof += bytes([c + 1, samp_byte, 0 if c == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += _dht_segment(0x00, *DC_LUM)
     out += _dht_segment(0x10, *AC_LUM)
     if not gray:
@@ -311,6 +350,19 @@ class _BitReader:
         self.acc &= (1 << self.n) - 1
         return v
 
+    def restart(self) -> None:
+        """Byte-align and consume the next RSTn marker (T.81 §B.2.4.4) —
+        entropy state resets; the caller resets DC predictors."""
+        self.acc = 0
+        self.n = 0
+        while self.pos + 1 < len(self.data):
+            if (self.data[self.pos] == 0xFF
+                    and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected RSTn marker")
+
 
 def _huff_lut(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) → symbol."""
@@ -338,9 +390,12 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline 4:4:4 / grayscale single-scan JFIF → uint8 array
-    ((h, w) or (h, w, 3)). Supports the subset encode_jpeg emits plus
-    any file with the same structure and embedded tables."""
+    """Baseline single-scan JFIF → uint8 array ((h, w) or (h, w, 3)).
+    Handles grayscale and interleaved color at ANY integer sampling
+    factors — 4:4:4, 4:2:2, 4:2:0 (the mainstream-encoder default),
+    4:1:1, 4:4:0 — with restart markers (DRI/RSTn, T.81 §B.2.4.4).
+    Chroma is upsampled by sample replication; progressive (SOF2) and
+    arithmetic coding are not supported."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -350,6 +405,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
     scan: list[tuple[int, int, int]] = []  # (id, dc_tab, ac_tab)
     data_start = None
+    ri = 0  # restart interval in MCUs (DRI)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -377,11 +433,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ncomp = body[5]
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("only 4:4:4 (no subsampling) supported")
+                if not (1 <= samp >> 4 <= 4 and 1 <= samp & 0xF <= 4):
+                    raise ValueError(f"bad sampling factors 0x{samp:02x}")
                 comps.append((cid, samp, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            ri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -403,39 +461,71 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("malformed JPEG (missing SOF/SOS)")
 
     r = _BitReader(payload[data_start:])
-    bh, bw = -(-h // 8), -(-w // 8)
     ncomp = len(comps)
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(ncomp)]
-    pred = [0] * ncomp
     tq_of = {cid: tq for cid, _, tq in comps}
-    for by in range(bh):
-        for bx in range(bw):
+    samp_of = {cid: (samp >> 4, samp & 0xF) for cid, samp, _ in comps}
+    hmax = max(s[0] for s in samp_of.values())
+    vmax = max(s[1] for s in samp_of.values())
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-scan-component block planes at NATIVE (subsampled) resolution
+    planes = [
+        np.zeros((mcus_y * samp_of[cid][1] * 8, mcus_x * samp_of[cid][0] * 8))
+        for cid, _, _ in scan
+    ]
+    pred = [0] * ncomp
+    mcu_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if ri and mcu_n and mcu_n % ri == 0:
+                r.restart()
+                pred = [0] * ncomp
             for ci, (cid, dc_t, ac_t) in enumerate(scan):
-                coef = np.zeros(64)
-                size = _read_symbol(r, hufs[0x00 | dc_t])
-                diff = _extend(r.read(size), size) if size else 0
-                pred[ci] += diff
-                coef[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(r, hufs[0x10 | ac_t])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if sym == 0xF0:
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    coef[k] = _extend(r.read(size), size)
-                    k += 1
-                dq = np.zeros(64)
-                dq[ZIGZAG] = coef * qts[tq_of[cid]][ZIGZAG]
-                block = _D.T @ dq.reshape(8, 8) @ _D + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                hi, vi = samp_of[cid]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        coef = np.zeros(64)
+                        size = _read_symbol(r, hufs[0x00 | dc_t])
+                        diff = _extend(r.read(size), size) if size else 0
+                        pred[ci] += diff
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(r, hufs[0x10 | ac_t])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            coef[k] = _extend(r.read(size), size)
+                            k += 1
+                        dq = np.zeros(64)
+                        dq[ZIGZAG] = coef * qts[tq_of[cid]][ZIGZAG]
+                        block = _D.T @ dq.reshape(8, 8) @ _D + 128.0
+                        py = (my * vi + byy) * 8
+                        px = (mx * hi + bxx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = block
+            mcu_n += 1
 
-    planes = [p[:h, :w] for p in planes]
+    # upsample subsampled components by sample replication, crop to (h, w)
+    up = []
+    for ci, (cid, _, _) in enumerate(scan):
+        hi, vi = samp_of[cid]
+        p = planes[ci]
+        if vi != vmax:
+            if vmax % vi:
+                raise ValueError("non-integer vertical sampling ratio")
+            p = np.repeat(p, vmax // vi, axis=0)
+        if hi != hmax:
+            if hmax % hi:
+                raise ValueError("non-integer horizontal sampling ratio")
+            p = np.repeat(p, hmax // hi, axis=1)
+        up.append(p[:h, :w])
+    planes = up
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes

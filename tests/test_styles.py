@@ -151,3 +151,71 @@ def test_jpeg_via_image_decode_path():
     arr = _decode_image(encode_jpeg(rgb, 90))
     assert arr.shape == (16, 16, 3)
     assert abs(int(arr.mean()) - 77) <= 3
+
+
+def test_jpeg_subsampled_roundtrip_all_modes():
+    """4:2:2 / 4:2:0 (the mainstream-encoder default) decode through the
+    general MCU loop; bytes shrink monotonically with subsampling."""
+    from geotrellis_server_spark.styles.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:77, 0:101]
+    img = np.stack([(yy * 2) % 256, (xx * 2) % 256, (yy + xx) % 256],
+                   axis=-1).astype(np.uint8)
+    sizes = {}
+    for sub in ("444", "422", "420"):
+        blob = encode_jpeg(img, 90, subsampling=sub)
+        out = decode_jpeg(blob)
+        assert out.shape == img.shape
+        assert _psnr(img, out) > 40, sub
+        sizes[sub] = len(blob)
+    assert sizes["420"] < sizes["422"] < sizes["444"]
+
+
+def test_jpeg_restart_markers_roundtrip():
+    from geotrellis_server_spark.styles.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    img = np.stack([g, g, g], axis=-1)  # chroma-constant: 420-safe noise
+    for sub in ("444", "420"):
+        blob = encode_jpeg(img, 92, subsampling=sub, restart_interval=2)
+        assert b"\xff\xdd" in blob  # DRI segment
+        assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))
+        out = decode_jpeg(blob)
+        assert out.shape == img.shape
+        assert _psnr(img, out) > 30
+        # restart markers must not change the pixels at all
+        plain = decode_jpeg(encode_jpeg(img, 92, subsampling=sub))
+        assert (out == plain).all()
+
+
+def test_jpeg_subsampled_gray_ignores_mode():
+    from geotrellis_server_spark.styles.jpeg import decode_jpeg, encode_jpeg
+
+    g = np.linspace(0, 255, 24 * 40).reshape(24, 40).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, 90, subsampling="420"))
+    assert out.shape == g.shape and _psnr(g, out) > 40
+
+
+def test_jpeg_decoder_rejects_bad_sampling_byte():
+    import pytest
+
+    from geotrellis_server_spark.styles.jpeg import decode_jpeg, encode_jpeg
+
+    b = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = b.find(b"\xff\xc0")
+    b[i + 11] = 0x50  # luma sampling 5x0: out of the 1..4 range
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(b))
+
+
+def test_jpeg_420_in_mjpeg_sized_blocks():
+    # odd dims exercise edge-MCU padding + crop on both axes
+    from geotrellis_server_spark.styles.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:17, 0:19]
+    img = np.stack([yy * 7 % 256, xx * 9 % 256, (yy * xx) % 256],
+                   axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 95, subsampling="420"))
+    assert out.shape == img.shape
+    assert _psnr(img[..., 0], out[..., 0]) > 35  # luma is full-res
