@@ -26,6 +26,7 @@ from .gtiff import (
     _ASCII,
     _TYPE_FMT,
     _TYPE_SIZE,
+    _UNDEF,
     decode_strip,
     decode_tile,
     parse_page_tags,
@@ -49,6 +50,7 @@ class CogPage:
     strip_counts: tuple[int, ...]
     tile_width: int | None
     tile_height: int | None
+    jpeg_tables: bytes | None
     extent: tuple[float, float, float, float] | None
     epsg: int | None
     is_overview: bool
@@ -82,7 +84,7 @@ def _read_ifd_ranged(reader: RangeReader, e: str, ifd_off: int):
         else:
             (voff,) = struct.unpack_from(e + "I", table, off + 8)
             raw = reader.read(voff, total)
-        if typ == _ASCII:
+        if typ in (_ASCII, _UNDEF):
             tags[tag] = [raw]
         else:
             tags[tag] = list(struct.unpack_from(e + _TYPE_FMT[typ] * count, raw))
@@ -153,6 +155,7 @@ class CogReader:
                 width=p.width,
                 bands=p.bands,
                 rows=min(rps, p.height - s * rps),
+                jpeg_tables=p.jpeg_tables,
             )
             for s in range(s0, s1 + 1)
         ]
@@ -184,7 +187,7 @@ class CogReader:
         m = {
             "compression": p.compression, "predictor": p.predictor,
             "dtype": p.dtype, "tile_width": tw, "tile_height": th,
-            "bands": p.bands,
+            "bands": p.bands, "jpeg_tables": p.jpeg_tables,
         }
         for ti in range(r0 // th, (max(r0, r1 - 1)) // th + 1):
             for tj in range(c0 // tw, (max(c0, c1 - 1)) // tw + 1):

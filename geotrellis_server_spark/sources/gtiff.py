@@ -42,8 +42,8 @@ except ImportError:
     HAS_RASTERIO = False
 
 # TIFF field types
-_SHORT, _LONG, _ASCII, _DOUBLE = 3, 4, 2, 12
-_TYPE_SIZE = {_SHORT: 2, _LONG: 4, _ASCII: 1, _DOUBLE: 8}
+_SHORT, _LONG, _ASCII, _DOUBLE, _UNDEF = 3, 4, 2, 12, 7
+_TYPE_SIZE = {_SHORT: 2, _LONG: 4, _ASCII: 1, _DOUBLE: 8, _UNDEF: 1}
 _TYPE_FMT = {_SHORT: "H", _LONG: "I", _DOUBLE: "d"}
 
 # ---------------------------------------------------------------------------
@@ -53,8 +53,10 @@ _TYPE_FMT = {_SHORT: "H", _LONG: "I", _DOUBLE: "d"}
 # stdlib/numpy; each strip compresses independently, so the windowed
 # CogReader path keeps its strip-granular range reads.
 
-COMPRESSION_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
-_SUPPORTED_COMPRESSION = (1, 5, 8, 32773, 32946)
+COMPRESSION_CODES = {
+    "none": 1, "lzw": 5, "jpeg": 7, "deflate": 8, "packbits": 32773,
+}
+_SUPPORTED_COMPRESSION = (1, 5, 7, 8, 32773, 32946)
 
 
 def _packbits_encode(raw: bytes) -> bytes:
@@ -263,10 +265,33 @@ def decode_strip(
     width: int,
     bands: int,
     rows: int,
+    jpeg_tables: bytes | None = None,
 ) -> np.ndarray:
     """One strip's stored bytes → pixel array (rows, width[, bands]) —
     the ONE decode path shared by the whole-file decoder and the ranged
-    CogReader, so every codec works identically on both."""
+    CogReader, so every codec works identically on both.
+
+    Compression 7 (new-style JPEG-in-TIFF, TIFF Technical Note 2 — the
+    dominant compression for imagery COGs) decodes each segment as a
+    JFIF stream through the in-house baseline codec; shared tables from
+    the JPEGTables tag (347) are spliced ahead of abbreviated segment
+    streams."""
+    if compression == 7:
+        blob = raw
+        if jpeg_tables is not None and len(jpeg_tables) > 4:
+            # tables stream: SOI <tables> EOI; segment: SOI <scan> EOI.
+            # Abbreviated-format splice: SOI <tables> <scan> EOI.
+            blob = jpeg_tables[:-2] + raw[2:]
+        from ..styles.jpeg import decode_jpeg
+
+        a = decode_jpeg(blob)
+        if bands == 1 and a.ndim == 3:
+            a = a[..., 0]
+        elif bands == 3 and a.ndim == 2:
+            a = a[..., None].repeat(3, axis=-1)
+        if a.shape[0] < rows or a.shape[1] < width:
+            raise ValueError("JPEG segment smaller than expected")
+        return a[:rows, :width].astype(np.dtype(dtype))
     dt = np.dtype(dtype)
     expected = rows * width * bands * dt.itemsize
     buf = _decompress_strip(raw, compression, expected)
@@ -291,6 +316,7 @@ def _page_block(
     compression: int = 1,
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
+    jpeg_quality: int = 90,
 ) -> tuple[bytes, int]:
     """One IFD + out-of-line values + strip data, with all offsets
     absolute from ``base_offset``. Returns (block bytes, offset of the
@@ -321,6 +347,24 @@ def _page_block(
     if predictor == 2 and sample_format == 3:
         raise ValueError("predictor 2 is integer-only (TIFF 6.0 §14)")
 
+    if compression == 7:
+        if a.dtype != np.uint8:
+            raise ValueError("JPEG-in-TIFF requires uint8 pages")
+        if predictor != 1:
+            raise ValueError("JPEG-in-TIFF does not use a predictor")
+
+    def _pack_segment(sub: np.ndarray) -> bytes:
+        if compression == 7:
+            from ..styles.jpeg import encode_jpeg
+
+            return encode_jpeg(
+                sub, jpeg_quality,
+                subsampling="420" if sub.ndim == 3 else "444",
+            )
+        if predictor == 2:
+            sub = _predictor2_encode(sub)
+        return _compress_strip(sub.tobytes(), compression)
+
     if tile is not None:
         if rows_per_strip is not None:
             raise ValueError("tile= and rows_per_strip= are exclusive")
@@ -336,18 +380,13 @@ def _page_block(
                     if sub.ndim == 3:
                         pad.append((0, 0))
                     sub = np.pad(sub, pad)  # edge tiles zero-padded (§15)
-                if predictor == 2:
-                    sub = _predictor2_encode(sub)
-                strips.append(_compress_strip(sub.tobytes(), compression))
+                strips.append(_pack_segment(sub))
         rps = th
     else:
         rps = h if rows_per_strip is None else max(1, min(int(rows_per_strip), h))
         strips = []
         for r0 in range(0, h, rps):
-            sub = px[r0 : r0 + rps]
-            if predictor == 2:
-                sub = _predictor2_encode(sub)
-            strips.append(_compress_strip(sub.tobytes(), compression))
+            strips.append(_pack_segment(px[r0 : r0 + rps]))
     strip_counts = [len(s) for s in strips]
     pixel_bytes = b"".join(strips)
     n_strips = len(strip_counts)
@@ -372,7 +411,7 @@ def _page_block(
         (257, _LONG, [h]),
         (258, _SHORT, [bits] * bands),
         (259, _SHORT, [compression]),
-        (262, _SHORT, [2 if bands == 3 else 1]),  # RGB / BlackIsZero
+        (262, _SHORT, [(6 if compression == 7 else 2) if bands == 3 else 1]),
         (277, _SHORT, [bands]),
         (284, _SHORT, [1]),  # chunky
         (339, _SHORT, [sample_format] * bands),
@@ -474,6 +513,7 @@ def encode_geotiff_pyramid(
     compression: str | int = "none",
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
+    jpeg_quality: int = 90,
 ) -> bytes:
     """COG-style multi-page GeoTIFF: page 0 = full resolution, following
     pages = overviews (NewSubfileType = reduced-resolution) chained
@@ -502,6 +542,7 @@ def encode_geotiff_pyramid(
             a, extent, epsg, nodata, offset, overview=i > 0,
             rows_per_strip=rows_per_strip,
             compression=comp, predictor=predictor, tile=tile,
+            jpeg_quality=jpeg_quality,
         )
         blocks.append(block)
         ptrs.append(offset + ptr_at)
@@ -526,6 +567,7 @@ def encode_geotiff(
     compression: str | int = "none",
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
+    jpeg_quality: int = 90,
 ) -> bytes:
     """array: float64 (h, w) single band, or uint8 (h, w) / (h, w, 3).
     extent: (xmin, ymin, xmax, ymax) in the CRS given by ``epsg``.
@@ -534,6 +576,7 @@ def encode_geotiff(
     return encode_geotiff_pyramid(
         [array], extent, epsg, nodata,
         compression=compression, predictor=predictor, tile=tile,
+        jpeg_quality=jpeg_quality,
     )
 
 
@@ -563,7 +606,7 @@ def _read_ifd(data: bytes, e: str, ifd_off: int):
             continue
         total = size * count
         voff = off + 8 if total <= 4 else struct.unpack_from(e + "I", data, off + 8)[0]
-        if typ == _ASCII:
+        if typ in (_ASCII, _UNDEF):
             tags[tag] = [data[voff : voff + count]]
         else:
             fmt = e + _TYPE_FMT[typ] * count
@@ -662,6 +705,7 @@ def parse_page_tags(tags: dict[int, list], e: str) -> dict:
         "strip_counts": seg_counts,
         "tile_width": tw,
         "tile_height": th,
+        "jpeg_tables": bytes(tags[347][0]) if 347 in tags else None,
         "extent": extent,
         "epsg": epsg,
         "is_overview": bool(tags.get(254, [0])[0] & 1),
@@ -679,6 +723,7 @@ def decode_tile(raw: bytes, m: dict) -> np.ndarray:
         width=m["tile_width"],
         bands=m["bands"],
         rows=m["tile_height"],
+        jpeg_tables=m.get("jpeg_tables"),
     )
 
 
@@ -714,6 +759,7 @@ def _decode_page(data: bytes, e: str, tags: dict[int, list]):
             width=w,
             bands=bands,
             rows=min(rps, h - s * rps),
+            jpeg_tables=m["jpeg_tables"],
         )
         for s, (o, c) in enumerate(zip(m["strip_offsets"], m["strip_counts"]))
     ]

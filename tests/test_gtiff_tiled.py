@@ -123,3 +123,90 @@ def test_rgb_tiled_window():
     win = cr.read_window(0, 10, 50, 5, 66)
     assert win.shape == (40, 61, 3)
     assert (win.astype(np.uint8) == a[10:50, 5:66]).all()
+
+
+def _psnr(a, b):
+    mse = np.mean((np.asarray(a, float) - np.asarray(b, float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+@pytest.mark.parametrize("tile", [None, (32, 16)])
+@pytest.mark.parametrize("nbands", [1, 3])
+def test_jpeg_in_tiff_roundtrip(tile, nbands):
+    """Compression 7 (new-style JPEG-in-TIFF, TIFF TechNote 2) — the
+    dominant imagery-COG compression — through the in-house codec."""
+    yy, xx = np.mgrid[0:150, 0:220]
+    if nbands == 3:
+        img = np.stack([(yy * 2) % 256, (xx * 2) % 256, (yy + xx) % 256],
+                       -1).astype(np.uint8)
+    else:
+        img = ((yy * 3 + xx) % 256).astype(np.uint8)
+    kw = {"tile": tile} if tile else {}
+    blob = encode_geotiff(img, (0, 0, 22, 15), 3857, compression="jpeg", **kw)
+    arr, extent, epsg, _ = next(iter(decode_geotiff_pages(blob)))
+    assert arr.shape == img.shape and arr.dtype == np.uint8
+    assert _psnr(img, arr) > 30
+    cr = CogReader(CachingRangeReader(BytesRangeReader(blob)))
+    win = cr.read_window(0, 5, 40, 7, 100)
+    assert _psnr(img[5:40, 7:100], win) > 35
+
+
+def test_jpeg_in_tiff_rejects_float_and_predictor():
+    f = np.zeros((32, 32))
+    with pytest.raises(ValueError, match="uint8"):
+        encode_geotiff(f, (0, 0, 1, 1), 3857, compression="jpeg")
+    u = np.zeros((32, 32), dtype=np.uint8)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_geotiff(u, (0, 0, 1, 1), 3857, compression="jpeg",
+                       predictor=2)
+
+
+def test_jpeg_tables_tag_abbreviated_streams():
+    """Wild JPEG-in-TIFFs share DQT/DHT via the JPEGTables tag (347) and
+    store abbreviated per-segment streams; decode_strip splices them."""
+    from geotrellis_server_spark.sources.gtiff import decode_strip
+    from geotrellis_server_spark.styles.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    full = encode_jpeg(img, 90)
+
+    # split the self-contained stream into tables + abbreviated scan
+    tables, scan, pos = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8"), 2
+    import struct as _s
+
+    while pos < len(full) - 1:
+        assert full[pos] == 0xFF
+        marker = full[pos + 1]
+        if marker == 0xDA:  # SOS: rest of the stream is scan data
+            scan += full[pos:]
+            break
+        seg_len = _s.unpack_from(">H", full, pos + 2)[0]
+        seg = full[pos : pos + 2 + seg_len]
+        (tables if marker in (0xDB, 0xC4) else scan).extend(seg)
+        pos += 2 + seg_len
+    tables += b"\xff\xd9"
+
+    out = decode_strip(
+        bytes(scan), compression=7, predictor=1, dtype="u1",
+        width=48, bands=1, rows=32, jpeg_tables=bytes(tables),
+    )
+    ref = decode_strip(
+        full, compression=7, predictor=1, dtype="u1",
+        width=48, bands=1, rows=32,
+    )
+    assert (out == ref).all()
+    assert _psnr(img, out) > 40
+
+
+def test_jpeg_in_tiff_pyramid_overviews():
+    yy, xx = np.mgrid[0:128, 0:128]
+    img = ((yy + xx) % 256).astype(np.uint8)
+    pages = [img, img[::2, ::2].copy()]
+    blob = encode_geotiff_pyramid(pages, (0, 0, 128, 128), 3857,
+                                  compression="jpeg", tile=(64, 64))
+    cr = CogReader(CachingRangeReader(BytesRangeReader(blob)))
+    assert len(cr.pages) == 2 and cr.pages[1].is_overview
+    arr, _, _ = cr.read_extent((0, 0, 128, 128), target_cell_width=2.0)
+    assert arr.shape == (64, 64)
+    assert _psnr(img[::2, ::2], arr) > 25
