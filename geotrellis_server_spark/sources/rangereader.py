@@ -185,11 +185,17 @@ class CachingRangeReader:
 
 
 def open_range_reader(uri: str, cached: bool = True) -> RangeReader:
-    """URI → reader: ``http(s)://`` → HttpRangeReader, else local file.
-    ``cached`` wraps the reader in CachingRangeReader (the default, as in
-    the reference's CacheRangeReader-wrapped sources)."""
+    """URI → reader: ``http(s)://`` → HttpRangeReader, ``s3://`` →
+    S3RangeReader (SigV4-signed when credentials are present), else
+    local file. ``cached`` wraps the reader in CachingRangeReader (the
+    default, as in the reference's CacheRangeReader-wrapped sources)."""
     if uri.startswith(("http://", "https://")):
         inner: RangeReader = HttpRangeReader(uri)
+    elif uri.startswith("s3://"):
+        from .s3 import S3RangeReader, parse_s3_uri
+
+        bucket, key = parse_s3_uri(uri)
+        inner = S3RangeReader(bucket, key)
     else:
         inner = FileRangeReader(uri.removeprefix("file://"))
     return CachingRangeReader(inner) if cached else inner
