@@ -2602,6 +2602,100 @@ def _resample_cubic_oracle() -> str:
     """
 
 
+def _q_resample_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 lanczos (a=3): 2× upsample of the z2 count raster (16→32 px)
+    through the engine's separable-convolution kernel. At 2× the only
+    source phases are frac ∈ {0.25, 0.75}, so each pass has exactly two
+    6-tap weight rows; the oracle embeds the kernel's OWN float64 tap
+    values (np.sinc products, repr round-trip = bit-identical) and
+    mirrors its accumulation order (sequential adds in tap order, then
+    one divide by the phase's renormalization sum), making the
+    comparison hash-exact like the cubic gate."""
+    from geotrellis_server_spark.operators.resample import resample_tiles
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 2, tile_size=16)
+    out = resample_tiles(tiles, 32, 32, "lanczos")
+    return out.selectExpr(
+        "tile_x", "tile_y", "posexplode(cells) AS (idx, value)"
+    ).selectExpr("tile_x", "tile_y", "idx", "CAST(value AS DOUBLE) AS value")
+
+
+def _resample_lanczos_oracle() -> str:
+    import numpy as np
+
+    # the kernel's exact tap weights per output phase (t = -2..3):
+    # x = frac - t, w = np.sinc(x) * np.sinc(x/3); renorm sum in the
+    # kernel's accumulation order (wsum += w, t ascending)
+    def _w(frac: float):
+        xs = np.array([frac - t for t in range(-2, 4)], dtype=np.float64)
+        w = np.sinc(xs) * np.sinc(xs / 3)
+        tot = np.float64(0.0)
+        for v in w:
+            tot = tot + v
+        return [float(v) for v in w], float(tot)
+
+    w75, n75 = _w(0.75)  # even outputs: s = o/2 - 0.25, frac 0.75
+    w25, n25 = _w(0.25)  # odd outputs:  s = (o-1)/2 + 0.25, frac 0.25
+    wcols = []
+    for i in range(6):
+        wcols.append(
+            f"CASE WHEN i.i % 2 = 1 THEN {w25[i]!r} ELSE {w75[i]!r} END"
+            f" AS w{i}"
+        )
+    wnorm = f"CASE WHEN i.i % 2 = 1 THEN {n25!r} ELSE {n75!r} END AS wn"
+
+    def _pass(src: str, axis: str, other: str, other_src: str) -> str:
+        # one separable pass: 6 edge-clamped taps at b-2..b+3, summed
+        # left-associatively in tap order, divided by the phase norm
+        joins, terms = [], []
+        for i in range(6):
+            t = i - 2
+            joins.append(
+                f"JOIN {src} s{i} ON s{i}.tx = t.tx AND s{i}.ty = t.ty "
+                f"AND s{i}.{other} = {other_src} "
+                f"AND s{i}.{axis} = greatest(least(w.b + {t}, 15), 0)"
+            )
+            terms.append(f"w.w{i} * s{i}.v")
+        num = terms[0]
+        for term in terms[1:]:
+            num = f"({num} + {term})"
+        return num, "\n      ".join(joins)
+
+    num1, joins1 = _pass("gval", "py", "px", "CAST(x.x AS BIGINT)")
+    num2, joins2 = _pass("pass1", "px", "oy", "oys.oy")
+    return f"""
+    WITH pix AS MATERIALIZED ({_pix_cte(2, 16)}),
+    tiles AS MATERIALIZED (SELECT DISTINCT tx, ty FROM pix),
+    gval AS MATERIALIZED (
+      SELECT d.tx, d.ty, d.py, d.px, CAST(COALESCE(p.cnt, 0) AS DOUBLE) AS v
+      FROM (SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py,
+                   CAST(j.j AS BIGINT) AS px
+            FROM tiles t CROSS JOIN range(16) i(i) CROSS JOIN range(16) j(j)) d
+      LEFT JOIN pix p
+        ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px),
+    w AS MATERIALIZED (
+      SELECT CAST(i.i AS BIGINT) AS o,
+             CAST(floor((CAST(i.i AS DOUBLE) + 0.5) / 2.0 - 0.5) AS BIGINT) AS b,
+             {", ".join(wcols)},
+             {wnorm}
+      FROM range(32) i(i)),
+    pass1 AS MATERIALIZED (
+      SELECT t.tx, t.ty, w.o AS oy, CAST(x.x AS BIGINT) AS px,
+             {num1} / w.wn AS v
+      FROM tiles t CROSS JOIN w CROSS JOIN range(16) x(x)
+      {joins1}),
+    pass2 AS (
+      SELECT t.tx, t.ty, oys.oy, w.o AS ox,
+             {num2} / w.wn AS v
+      FROM tiles t CROSS JOIN (SELECT DISTINCT oy FROM pass1) oys CROSS JOIN w
+      {joins2})
+    SELECT tx AS tile_x, ty AS tile_y,
+           CAST(oy * 32 + ox AS INT) AS idx, v AS value
+    FROM pass2
+    """
+
+
 def _q_mosaic_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 cell-size folds + celltype union (mosaic_metadata: union
     extent, FINEST cell size wins, float64 beats int when any source is
@@ -2863,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_stitch_window_z3": _q_stitch_window,
         "agg_corner_sampling": _q_corner_sampling,
         "raster_resample_cubic2x": _q_resample_cubic,
+        "raster_resample_lanczos2x": _q_resample_lanczos,
         "agg_mosaic_metadata": _q_mosaic_metadata,
         "sketch_heavy_hitters": _q_heavy_hitters,
         "sketch_hll_registers": _q_hll_registers,
@@ -3139,6 +3234,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_stitch_window_z3": _stitch_window_oracle(),
         "agg_corner_sampling": _corner_sampling_oracle(),
         "raster_resample_cubic2x": _resample_cubic_oracle(),
+        "raster_resample_lanczos2x": _resample_lanczos_oracle(),
         "agg_mosaic_metadata": _mosaic_metadata_oracle(),
         "sketch_heavy_hitters": _heavy_hitters_oracle(),
         "sketch_hll_registers": _hll_registers_oracle(),
