@@ -2872,6 +2872,42 @@ def _line_dedup_oracle() -> str:
     """
 
 
+def _q_repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span removal (operators/text.py:
+    repeated_span_dedup): every 5-token window occurring >=2 times
+    corpus-wide has ALL its occurrences' token positions excised; docs
+    reassembled from surviving tokens (fully-scrubbed docs kept with
+    empty text)."""
+    from geotrellis_server_spark.operators.text import repeated_span_dedup
+
+    return repeated_span_dedup(_read_documents(spark, sf_dir), k=5)
+
+
+def _repeated_span_oracle() -> str:
+    return """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS MATERIALIZED (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               md5(array_to_string(toks[(i + 1):(i + 5)], ' ')) AS g
+        FROM t, unnest(range(0, greatest(len(toks) - 5 + 1, 0))) AS u(i)),
+    rep AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+    m AS (SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS cp
+          FROM (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM rep)),
+               unnest(range(0, 5)) AS v(j)),
+    cov AS (SELECT doc_id, list(cp) AS cov FROM m GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(array_to_string(
+               list_filter(toks, (x, i) -> cov.cov IS NULL OR
+                           NOT list_contains(cov.cov, i - 1)), ' '
+           ), '') AS clean_text,
+           CAST(len(toks) - coalesce(len(cov.cov), 0) AS BIGINT
+           ) AS n_tokens_kept,
+           CAST(len(toks) AS BIGINT) AS n_tokens_total
+    FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -2964,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_topk_per_source": _q_topk_per_source,
         "text_bm25_stats": _q_bm25_stats,
         "pipeline_line_dedup_keep_first": _q_line_dedup,
+        "pipeline_repeated_span_dedup": _q_repeated_span_dedup,
     }
 
 
@@ -3241,6 +3278,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_topk_per_source": _topk_per_source_oracle(),
         "text_bm25_stats": _bm25_stats_oracle(),
         "pipeline_line_dedup_keep_first": _line_dedup_oracle(),
+        "pipeline_repeated_span_dedup": _repeated_span_oracle(),
     }
 
 

@@ -503,3 +503,76 @@ def line_dedup_keep_first(
         .join(totals, id_col)
         .select(id_col, "clean_text", "n_lines_kept", "n_lines_total")
     )
+
+
+def repeated_span_dedup(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style repeated-span removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    k-token window whose exact text occurs ≥2 times corpus-wide (in any
+    document, at any position — including twice inside ONE document)
+    marks all k token positions of EVERY occurrence as duplicated; all
+    marked tokens are removed and the survivors reassembled. Unlike
+    :func:`line_dedup_keep_first` no occurrence is spared — repeated
+    boilerplate vanishes entirely, the ExactSubstr semantics.
+
+    The suffix-array formulation of the paper is inherently
+    single-machine; this is the distributed re-expression: fixed-k
+    fingerprints (md5 of the window text) stand in for the "duplicated
+    substring ≥ threshold" test, so a repeated span of length L ≥ k is
+    detected by its L−k+1 covering windows and excised exactly.
+
+    Output: (id, clean_text, n_tokens_kept, n_tokens_total) for EVERY
+    input document — fully-scrubbed docs stay, with empty clean_text.
+    Docs shorter than k tokens carry no window and survive whole.
+
+    Scale shape: window fingerprints are row-local (one transform over
+    the token array, no explode of text bytes — the shuffle carries
+    32-char hashes + positions, never token text). The repeat test is a
+    groupBy(hash) count — map-side partial aggregation collapses the
+    hottest boilerplate hash to one row per partition before the
+    exchange, so no salting is needed — followed by an equi-join back
+    on the hash (both sides already hash-partitioned by the join key).
+    Mask assembly is a per-doc collect bounded by document length."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+    grams = (
+        toks.where(F.size("toks") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(
+                f"transform(sequence(0, size(toks) - {k}), i -> "
+                f"struct(i AS pos, md5(array_join(slice(toks, i + 1, {k}),"
+                f" ' ')) AS g))")).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    )
+    repeated = (grams.groupBy("g").agg(F.count("*").alias("c"))
+                .where(F.col("c") >= 2).select("g"))
+    covered = (
+        grams.join(repeated, "g")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("ps"))
+        .select(
+            F.col(id_col),
+            F.expr(f"array_distinct(flatten(transform(ps, p -> "
+                   f"sequence(p, p + {k - 1}))))").alias("cov"))
+    )
+    kept = F.expr(
+        "filter(transform(toks, (t, i) -> struct(t AS t, i AS i)), "
+        "s -> cov IS NULL OR NOT array_contains(cov, s.i))")
+    return (
+        toks.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform(kept, lambda s: s["t"]), " "
+                         ).alias("clean_text"),
+            F.size(kept).cast("long").alias("n_tokens_kept"),
+            F.size("toks").cast("long").alias("n_tokens_total"),
+        )
+    )

@@ -69,14 +69,14 @@ def test_render_geotiff_stitched_window(spark):
 
 def test_decoder_rejects_unsupported_compression():
     data = bytearray(encode_geotiff(np.zeros((2, 2)), (0, 0, 1, 1)))
-    # flip the Compression tag to 7 (JPEG-in-TIFF — not a strip codec we
-    # implement; LZW/Deflate/PackBits ARE handled natively now)
+    # flip the Compression tag to 34712 (JPEG 2000 — not a codec we
+    # implement; none/LZW/Deflate/PackBits/JPEG ARE handled natively now)
     (n,) = struct.unpack_from("<H", data, 8)
     for i in range(n):
         off = 8 + 2 + i * 12
         tag = struct.unpack_from("<H", data, off)[0]
         if tag == 259:
-            struct.pack_into("<H", data, off + 8, 7)
+            struct.pack_into("<H", data, off + 8, 34712)
     with pytest.raises(ValueError, match="rasterio"):
         decode_geotiff(bytes(data))
 

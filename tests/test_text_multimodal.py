@@ -833,3 +833,46 @@ def test_line_dedup_keep_first(spark):
     assert out[1].n_lines_kept == 1 and out[1].n_lines_total == 2
     assert out[2].clean_text == "p q r s"      # internal repeat removed
     assert 3 not in out                        # fully-duplicate doc vanishes
+
+
+def test_repeated_span_dedup(spark):
+    from geotrellis_server_spark.operators.text import repeated_span_dedup
+
+    # k=3: "c d e" occurs in docs 0 and 2 -> removed from BOTH (ExactSubstr
+    # all-occurrences semantics, unlike line dedup's keep-first); doc 3's
+    # overlapping internal repeat "m m m" scrubs the whole doc but the doc
+    # row SURVIVES with empty text; docs shorter than k carry no window.
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g"),
+            (1, "x y z"),
+            (2, "q q c d e r s"),
+            (3, "m m m m"),
+            (4, "u v"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_span_dedup(docs, k=3).collect()}
+    assert len(out) == 5
+    assert out[0].clean_text == "a b f g"
+    assert out[0].n_tokens_kept == 4 and out[0].n_tokens_total == 7
+    assert out[2].clean_text == "q q r s"
+    assert out[3].clean_text == "" and out[3].n_tokens_kept == 0
+    assert out[1].clean_text == "x y z"        # unique short doc untouched
+    assert out[4].clean_text == "u v"          # below k: no window, kept
+
+    # a repeated span LONGER than k is excised exactly (covering windows
+    # union to the span), and partitioning never changes the result
+    docs2 = spark.createDataFrame(
+        [(0, "h1 h2 h3 h4 h5 alpha"), (1, "beta h1 h2 h3 h4 h5 gamma")],
+        "doc_id long, text string",
+    )
+    expect = {0: "alpha", 1: "beta gamma"}
+    for n in (1, 7):
+        got = {r.doc_id: r.clean_text
+               for r in repeated_span_dedup(
+                   docs2.repartition(n), k=3).collect()}
+        assert got == expect
+
+    with pytest.raises(ValueError):
+        repeated_span_dedup(docs, k=0)
