@@ -2908,6 +2908,52 @@ def _repeated_span_oracle() -> str:
     """
 
 
+def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/text.py:dsir_importance): hashed
+    unigram+bigram importance log-weights of every raw doc against the
+    deterministic target subset doc_id % 10 = 0, floor-quantized to
+    2^-20 so the per-doc sum is exact integer arithmetic."""
+    from geotrellis_server_spark.operators.text import dsir_importance
+
+    docs = _read_documents(spark, sf_dir)
+    return dsir_importance(docs, docs.where("doc_id % 10 = 0"),
+                           n_buckets=512)
+
+
+def _dsir_importance_oracle() -> str:
+    hexmap = "'0123456789abcdef'"
+    frac = (f"list_sum([ (instr({hexmap}, md5(g)[i + 1:i + 1]) - 1) "
+            f"* 16.0 ** (12 - i) for i in range(0, 13)])")
+    B = 512
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents
+               WHERE len(string_split(text, ' ')) >= 1),
+    g AS MATERIALIZED (
+        SELECT doc_id, CAST({frac} AS BIGINT) % {B} AS b
+        FROM (SELECT doc_id,
+                     unnest(toks || [toks[i + 1] || ' ' || toks[i + 2]
+                                     for i in range(0, greatest(len(toks) - 1,
+                                                                0))]) AS g
+              FROM t)),
+    tgt AS (SELECT b, count(*) AS ct FROM g WHERE doc_id % 10 = 0 GROUP BY b),
+    raw AS (SELECT b, count(*) AS cr FROM g GROUP BY b),
+    tot AS (SELECT (SELECT sum(cr) FROM raw) AS nr,
+                   (SELECT sum(ct) FROM tgt) AS nt),
+    ratio AS (
+        SELECT raw.b,
+               CAST(floor((ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)) -
+                           ln(CAST(nt + {B} AS DOUBLE)) -
+                           ln(CAST(cr + 1 AS DOUBLE)) +
+                           ln(CAST(nr + {B} AS DOUBLE))) * 1048576.0
+                    ) AS BIGINT) AS q
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
+    SELECT g.doc_id, CAST(sum(q) AS BIGINT) AS logw_q,
+           CAST(count(*) AS BIGINT) AS n_feats
+    FROM g JOIN ratio ON g.b = ratio.b GROUP BY g.doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -3001,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_stats": _q_bm25_stats,
         "pipeline_line_dedup_keep_first": _q_line_dedup,
         "pipeline_repeated_span_dedup": _q_repeated_span_dedup,
+        "pipeline_dsir_importance": _q_dsir_importance,
     }
 
 
@@ -3279,6 +3326,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bm25_stats": _bm25_stats_oracle(),
         "pipeline_line_dedup_keep_first": _line_dedup_oracle(),
         "pipeline_repeated_span_dedup": _repeated_span_oracle(),
+        "pipeline_dsir_importance": _dsir_importance_oracle(),
     }
 
 

@@ -140,7 +140,8 @@ def params_from_proj4(proj4: str) -> tuple[str, dict]:
     """Parse a proj4 string into a (kernel kind, parameter dict) pair —
     the same shape as a ``proj.CRS_REGISTRY`` entry. Raises
     NotImplementedError for projections/options outside the kernel set
-    (oblique stereographic, non-metre units, grid-shift datums)."""
+    (non-polar ``+proj=stere`` — the EPSG 9809 double stereographic is
+    ``+proj=sterea``, which IS supported — and grid-shift datums)."""
     toks = _parse_tokens(proj4)
     to_m = _unit_to_m(toks)
     if "nadgrids" in toks:

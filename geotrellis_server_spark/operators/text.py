@@ -576,3 +576,83 @@ def repeated_span_dedup(
             F.size("toks").cast("long").alias("n_tokens_total"),
         )
     )
+
+
+def dsir_importance(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed unigram+bigram
+    bag-of-ngrams features; each raw document's importance log-weight is
+
+        log w(doc) = Σ_b c_doc[b] · (ln p_target[b] − ln p_raw[b])
+
+    with add-1-smoothed bucket distributions (p[b] = (c[b]+1)/(N+B)).
+    High-weight docs look like the target corpus — the standard
+    pretraining data-selection signal.
+
+    Determinism: the per-bucket log-ratio is floor-quantized to 2⁻²⁰
+    (BIGINT quanta) before the per-doc sum, so the aggregation is exact
+    integer arithmetic — partition/order-invariant and cross-engine
+    reproducible; a 1-ULP ln() divergence only matters if a ratio lands
+    within ~2⁻³² of a quantum boundary (margin-checked in tests).
+
+    Output: (id, logw_q, n_feats) for EVERY raw doc — logw_q in 2⁻²⁰
+    units, n_feats = gram count (2·len−1).
+
+    Scale shape: gram hashing is row-local (md5 → exact-double hex13 →
+    bucket). Both corpus distributions are groupBy(bucket) counts onto
+    ≤n_buckets rows — map-side partials collapse each partition to ≤B
+    rows before the exchange. The ratio table (B rows) is
+    BROADCAST-joined onto the raw-doc gram stream, and the only wide
+    exchange is the final groupBy(doc) sum of BIGINTs, again map-side
+    combined. Nothing is collected to the driver."""
+    from geotrellis_server_spark.operators.sketch import hex13_fraction_sql
+
+    B = int(n_buckets)
+    gram_expr = (
+        f"concat(toks, transform(sequence(1, greatest(size(toks) - 1, 0)),"
+        f" i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))")
+    bucket = (f"CAST({hex13_fraction_sql('md5(g)')} AS BIGINT) % {B}")
+
+    def _grams(docs: DataFrame) -> DataFrame:
+        return (
+            docs.select(F.col(id_col),
+                        F.split(F.col(text_col), " ").alias("toks"))
+            .where(F.size("toks") >= 1)
+            .select(F.col(id_col), F.explode(F.expr(gram_expr)).alias("g"))
+            .select(F.col(id_col), F.expr(bucket).alias("b"))
+        )
+
+    raw_g = _grams(raw_docs)
+    tgt_c = _grams(target_docs).groupBy("b").agg(F.count("*").alias("ct"))
+    raw_c = raw_g.groupBy("b").agg(F.count("*").alias("cr"))
+    totals = (
+        raw_c.agg(F.sum("cr").alias("nr"))
+        .join(tgt_c.agg(F.sum("ct").alias("nt")))
+    )
+    # every bucket seen in raw_g has cr>=1 by construction; target counts
+    # fill in by left join (absent -> 0, the +1 smoothing keeps ln finite)
+    ratio = (
+        raw_c.join(tgt_c, "b", "left")
+        .join(F.broadcast(totals))
+        .select(
+            "b",
+            F.expr(
+                f"CAST(floor((ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)) - "
+                f"ln(CAST(nt + {B} AS DOUBLE)) - "
+                f"ln(CAST(cr + 1 AS DOUBLE)) + "
+                f"ln(CAST(nr + {B} AS DOUBLE))) * 1048576.0D) AS BIGINT)"
+            ).alias("q"),
+        )
+    )
+    return (
+        raw_g.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(F.sum("q").alias("logw_q"),
+             F.count("*").cast("long").alias("n_feats"))
+    )

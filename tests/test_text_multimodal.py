@@ -876,3 +876,58 @@ def test_repeated_span_dedup(spark):
 
     with pytest.raises(ValueError):
         repeated_span_dedup(docs, k=0)
+
+
+def test_dsir_importance(spark):
+    from geotrellis_server_spark.operators.text import dsir_importance
+
+    # raw corpus: half "code-like", half "prose-like"; target is pure
+    # code-like -> code-like raw docs must get the higher importance
+    code = "def fn x return x plus y import spark from table"
+    prose = "the cat sat on the warm mat and purred all day"
+    raw = spark.createDataFrame(
+        [(i, code if i % 2 == 0 else prose) for i in range(20)],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100 + i, code) for i in range(5)], "doc_id long, text string")
+    out = {r.doc_id: r.logw_q
+           for r in dsir_importance(raw, target, n_buckets=128).collect()}
+    assert len(out) == 20
+    assert min(out[i] for i in range(0, 20, 2)) > \
+        max(out[i] for i in range(1, 20, 2))
+
+    # partition invariance: exact BIGINT weights, any layout
+    out4 = {r.doc_id: r.logw_q
+            for r in dsir_importance(raw.repartition(7), target.repartition(3),
+                                     n_buckets=128).collect()}
+    assert out4 == out
+
+
+def test_dsir_quantization_margin(spark):
+    """The cross-engine guarantee needs every bucket's log-ratio * 2^20 to
+    sit AWAY from an integer boundary (a 1-ULP ln() divergence must not
+    flip floor()). Check the margin on the real gate corpus + params."""
+    import numpy as np
+    from geotrellis_server_spark.operators.sketch import hex13_fraction_sql
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    B = 512
+    gram_expr = (
+        "concat(split(text, ' '), transform(sequence(1, "
+        "greatest(size(split(text, ' ')) - 1, 0)), i -> "
+        "concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1))))")
+    g = docs.selectExpr("doc_id", f"explode({gram_expr}) AS g").selectExpr(
+        "doc_id", f"CAST({hex13_fraction_sql('md5(g)')} AS BIGINT) % {B} AS b")
+    import pandas as pd
+    raw = g.groupBy("b").count().toPandas().set_index("b")["count"]
+    tgt = (g.where("doc_id % 10 = 0").groupBy("b").count()
+           .toPandas().set_index("b")["count"])
+    nr, nt = int(raw.sum()), int(tgt.sum())
+    ct = tgt.reindex(raw.index).fillna(0).to_numpy()
+    cr = raw.to_numpy()
+    lr = (np.log(ct + 1) - np.log(float(nt + B))
+          - np.log(cr + 1) + np.log(float(nr + B))) * 1048576.0
+    margin = np.minimum(lr - np.floor(lr), np.ceil(lr) - lr).min()
+    # |lr| <= ~2^24 here; a 1-ULP ln drift moves lr*2^20 by ~2^-28
+    assert margin > 1e-6, f"quantization margin too small: {margin}"
