@@ -2954,6 +2954,76 @@ def _dsir_importance_oracle() -> str:
     """
 
 
+def _q_bloom_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter register table (operators/sketch.py:bloom_build) over
+    the BUILDING customers' keys: 4096 bits, 4 md5 hashes, 32 bits per
+    BIGINT word — a pure function of the key set, bit-for-bit gated."""
+    from geotrellis_server_spark.operators.sketch import bloom_build
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return bloom_build(cust.where("c_mktsegment = 'BUILDING'"),
+                       "c_custkey", m_bits=4096, k=4)
+
+
+def _q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side Bloom join pruning (operators/sketch.py:bloom_probe):
+    orders whose o_custkey MIGHT be a BUILDING customer under the 4096-bit
+    filter — scan→filter plan, zero shuffle, zero join; the deterministic
+    false-positive set is part of the gated contract."""
+    from geotrellis_server_spark.operators.sketch import (bloom_build,
+                                                          bloom_probe)
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bloom = bloom_build(cust.where("c_mktsegment = 'BUILDING'"),
+                        "c_custkey", m_bits=4096, k=4)
+    words = {int(r["word"]): int(r["bits"]) for r in bloom.collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (bloom_probe(orders, "o_custkey", words, m_bits=4096, k=4)
+            .select("o_orderkey"))
+
+
+def _bloom_pos_duck(col: str, j: int, m_bits: int) -> str:
+    hexmap = "'0123456789abcdef'"
+    h = f"md5(CAST({col} AS VARCHAR) || '#{j}')"
+    frac = (f"list_sum([ (instr({hexmap}, {h}[i + 1:i + 1]) - 1) "
+            f"* 16.0 ** (12 - i) for i in range(0, 13)])")
+    return f"(CAST({frac} AS BIGINT) % {m_bits})"
+
+
+def _bloom_registers_duck(m_bits: int = 4096, k: int = 4) -> str:
+    legs = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_duck('c_custkey', j, m_bits)} AS pos "
+        f"FROM customer WHERE c_mktsegment = 'BUILDING' "
+        f"AND c_custkey IS NOT NULL"
+        for j in range(1, k + 1))
+    return (f"SELECT CAST(pos // 32 AS INT) AS word, "
+            f"CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) "
+            f"AS BIGINT) AS bits FROM ({legs}) GROUP BY 1")
+
+
+def _bloom_registers_oracle() -> str:
+    return _bloom_registers_duck()
+
+
+def _bloom_prefilter_oracle(m_bits: int = 4096, k: int = 4) -> str:
+    # DuckDB cannot correlate an outer column through a list
+    # comprehension inside EXISTS — precompute the k positions as plain
+    # columns of a probe CTE first
+    pos_cols = ", ".join(
+        f"{_bloom_pos_duck('o_custkey', j, m_bits)} AS p{j}"
+        for j in range(1, k + 1))
+    checks = " AND ".join(
+        f"EXISTS (SELECT 1 FROM bloom b WHERE b.word = "
+        f"CAST(p{j} // 32 AS INT) AND (b.bits & "
+        f"(CAST(1 AS BIGINT) << CAST(p{j} % 32 AS INT))) = "
+        f"(CAST(1 AS BIGINT) << CAST(p{j} % 32 AS INT)))"
+        for j in range(1, k + 1))
+    return (f"WITH bloom AS MATERIALIZED ({_bloom_registers_duck(m_bits, k)}),"
+            f" probe AS MATERIALIZED (SELECT o_orderkey, {pos_cols} "
+            f"FROM orders WHERE o_custkey IS NOT NULL) "
+            f"SELECT o_orderkey FROM probe WHERE {checks}")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -3048,6 +3118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_line_dedup_keep_first": _q_line_dedup,
         "pipeline_repeated_span_dedup": _q_repeated_span_dedup,
         "pipeline_dsir_importance": _q_dsir_importance,
+        "sketch_bloom_registers": _q_bloom_registers,
+        "join_bloom_prefilter": _q_bloom_prefilter,
     }
 
 
@@ -3327,6 +3399,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_line_dedup_keep_first": _line_dedup_oracle(),
         "pipeline_repeated_span_dedup": _repeated_span_oracle(),
         "pipeline_dsir_importance": _dsir_importance_oracle(),
+        "sketch_bloom_registers": _bloom_registers_oracle(),
+        "join_bloom_prefilter": _bloom_prefilter_oracle(),
     }
 
 

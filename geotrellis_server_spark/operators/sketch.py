@@ -407,3 +407,86 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
     if est <= 2.5 * m and n_empty > 0:
         est = m * math.log(m / n_empty)
     return est
+
+
+# --- Bloom filter (join pruning) --------------------------------------------
+#
+# The 100-TB use case: before a shuffle join, build a Bloom filter over
+# the SMALL side's join keys, ship it to every task (a few KB), and
+# filter the BIG side map-side — rows that cannot match never enter the
+# exchange. Spark's own runtime row-level filtering does this opaquely;
+# this is the explicit, oracle-checkable version (deterministic md5
+# hashes, so even the false-positive set is reproducible cross-engine).
+
+
+def _bloom_word_mask_sql(col: str, j: int, m_bits: int) -> tuple[str, str]:
+    """(word, mask) SQL for hash function ``j`` of value ``col``: bit
+    position = hex13(md5(val#j)) % m, packed 32 bits per BIGINT word
+    (1 << 31 stays in BIGINT range in every engine)."""
+    h = hex13_fraction_sql(f"md5(concat(CAST({col} AS STRING), '#{j}'))")
+    pos = f"(CAST({h} AS BIGINT) % {m_bits})"
+    # integer floor-div, NOT '/' — Spark '/' is double division and
+    # CAST(double AS INT) truncates while DuckDB's CAST rounds
+    return (f"CAST({pos} DIV 32 AS INT)",
+            f"CAST(shiftleft(1L, CAST({pos} % 32 AS INT)) AS BIGINT)")
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 4096,
+                k: int = 4) -> DataFrame:
+    """Bloom filter register table for the SET of ``col`` values:
+    (word INT, bits BIGINT), ≤ m_bits/32 rows, 32 bits packed per word.
+    One scan → k row-local (word, mask) pairs per value → groupBy(word)
+    bit-OR with map-side partials: the exchange carries ≤ m/32 rows per
+    partition regardless of input size. Pure function of the input set
+    (dedup/order/partition-invariant → exactly oracle-checkable) and the
+    Bloom monoid state (merge = union + groupBy bit_or)."""
+    if m_bits % 32 != 0:
+        raise ValueError(f"m_bits must be a multiple of 32, got {m_bits}")
+    pairs = ", ".join(
+        "struct({} AS word, {} AS mask)".format(
+            *_bloom_word_mask_sql(col, j, m_bits))
+        for j in range(1, k + 1))
+    return (
+        df.where(F.col(col).isNotNull())
+        .selectExpr(f"explode(array({pairs})) AS s")
+        .select(F.col("s.word").alias("word"), F.col("s.mask").alias("mask"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_probe(df: DataFrame, col: str, words: dict[int, int],
+                m_bits: int = 4096, k: int = 4) -> DataFrame:
+    """Filter ``df`` to rows whose ``col`` MIGHT be in the set behind a
+    Bloom register table (false positives possible — deterministic —
+    false negatives impossible). ``words`` is the collected register
+    table {word: bits} (≤ m_bits/32 longs — bounded driver state by
+    construction, the same class as a broadcast blocklist).
+
+    The probe is a row-local literal-array lookup — zero shuffle, zero
+    join: the plan is scan → filter, so it composes map-side with any
+    downstream join at any scale."""
+    if m_bits % 32 != 0:
+        raise ValueError(f"m_bits must be a multiple of 32, got {m_bits}")
+    arr = ", ".join(
+        f"{int(words.get(w, 0))}L" for w in range(m_bits // 32))
+    checks = []
+    for j in range(1, k + 1):
+        word, mask = _bloom_word_mask_sql(col, j, m_bits)
+        checks.append(
+            f"(element_at(array({arr}), {word} + 1) & {mask}) = {mask}")
+    return df.where(F.col(col).isNotNull()).where(F.expr(" AND ".join(checks)))
+
+
+def bloom_prefilter_join(big: DataFrame, small: DataFrame, big_col: str,
+                         small_col: str, m_bits: int = 4096,
+                         k: int = 4) -> DataFrame:
+    """Bloom-prefiltered equi-join: build the filter over the small
+    side's keys, excise non-matching big-side rows MAP-SIDE, then join.
+    At 100 TB the exchange shrinks by the big side's non-match fraction
+    (often >90% in star-schema probes) for the cost of one small-side
+    scan and a few-KB broadcast literal."""
+    words = {int(r["word"]): int(r["bits"])
+             for r in bloom_build(small, small_col, m_bits, k).collect()}
+    pruned = bloom_probe(big, big_col, words, m_bits, k)
+    return pruned.join(F.broadcast(small), pruned[big_col] == small[small_col])

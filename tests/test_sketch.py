@@ -270,3 +270,58 @@ def test_hll_matches_duckdb_registers(spark, tmp_path):
         f"SELECT {bucket} AS bucket, CAST(max({rho}) AS INT) AS rho_max "
         f"FROM t WHERE v IS NOT NULL GROUP BY 1").fetchall())
     assert got == want
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    from geotrellis_server_spark.operators.sketch import (bloom_build,
+                                                          bloom_probe)
+
+    members = spark.range(0, 200).selectExpr("id * 3 AS v")   # {0,3,6,...}
+    bloom = bloom_build(members, "v", m_bits=4096, k=4)
+    words = {int(r.word): int(r.bits) for r in bloom.collect()}
+    probe = spark.range(0, 1200).selectExpr("id AS v")        # supersets members
+    passed = {r.v for r in bloom_probe(probe, "v", words, 4096, 4).collect()}
+    true = {i * 3 for i in range(200)}
+    assert true <= passed                      # NO false negatives, ever
+    fp = len(passed - true)
+    # n=200, m=4096, k=4 -> theoretical fp ~0.24%; allow generous slack
+    assert fp <= 0.05 * 1200, f"false positive count too high: {fp}"
+
+
+def test_bloom_build_is_set_function(spark):
+    from geotrellis_server_spark.operators.sketch import bloom_build
+
+    a = spark.createDataFrame([(i % 7,) for i in range(100)], "v int")
+    b = spark.createDataFrame([(i,) for i in range(7)], "v int")
+    ra = sorted(tuple(r) for r in bloom_build(a, "v", 512, 3).collect())
+    rb = sorted(tuple(r) for r in
+                bloom_build(b.repartition(5), "v", 512, 3).collect())
+    assert ra == rb                            # dedup/partition-invariant
+
+
+def test_bloom_probe_plan_no_shuffle(spark):
+    from geotrellis_server_spark.operators.sketch import (bloom_build,
+                                                          bloom_probe)
+
+    members = spark.range(0, 50).selectExpr("id AS v")
+    words = {int(r.word): int(r.bits)
+             for r in bloom_build(members, "v", 1024, 4).collect()}
+    pruned = bloom_probe(spark.range(0, 500).selectExpr("id AS v"),
+                         "v", words, 1024, 4)
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution
+        .ExplainMode.fromString("formatted"))
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_bloom_prefilter_join_matches_plain_join(spark):
+    from geotrellis_server_spark.operators.sketch import bloom_prefilter_join
+
+    big = spark.createDataFrame([(i, i % 40) for i in range(400)],
+                                "row_id int, fk int")
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(0, 40, 5)],
+                                  "pk int, label string")
+    out = bloom_prefilter_join(big, small, "fk", "pk", m_bits=2048, k=4)
+    want = big.join(small, big.fk == small.pk)
+    assert sorted(tuple(r) for r in out.collect()) == \
+        sorted(tuple(r) for r in want.collect())
