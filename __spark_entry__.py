@@ -3024,6 +3024,48 @@ def _bloom_prefilter_oracle(m_bits: int = 4096, k: int = 4) -> str:
             f"SELECT o_orderkey FROM probe WHERE {checks}")
 
 
+def _q_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality scoring (operators/text.py:
+    ngram_lm_logprob): model trained on the deterministic 80% subset
+    doc_id % 5 != 0, every doc scored by total bigram log-probability,
+    per-bigram log-probs floor-quantized to 2^-20 then exactly summed."""
+    from geotrellis_server_spark.operators.text import ngram_lm_logprob
+
+    docs = _read_documents(spark, sf_dir)
+    return ngram_lm_logprob(docs, docs.where("doc_id % 5 != 0"))
+
+
+def _lm_logprob_oracle() -> str:
+    return """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    bg AS MATERIALIZED (
+        SELECT doc_id, toks[i + 1] AS w1,
+               toks[i + 1] || ' ' || toks[i + 2] AS bg
+        FROM t, unnest(range(0, greatest(len(toks) - 1, 0))) AS u(i)),
+    c1 AS (SELECT w1, count(*) AS c1
+           FROM (SELECT doc_id, unnest(toks) AS w1 FROM t)
+           WHERE doc_id % 5 != 0 GROUP BY w1),
+    c2 AS (SELECT bg, count(*) AS c2 FROM bg
+           WHERE doc_id % 5 != 0 GROUP BY bg),
+    v AS (SELECT count(*) AS v FROM c1),
+    s AS (SELECT bg.doc_id,
+                 CAST(floor((ln(CAST(coalesce(c2, 0) + 1 AS DOUBLE)) -
+                             ln(CAST(coalesce(c1, 0) + v AS DOUBLE))) *
+                            1048576.0) AS BIGINT) AS q
+          FROM bg LEFT JOIN c2 ON bg.bg = c2.bg
+                  LEFT JOIN c1 ON bg.w1 = c1.w1, v),
+    agg AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS logprob_q,
+                   CAST(count(*) AS BIGINT) AS n_bigrams
+            FROM s GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(agg.logprob_q, 0) AS BIGINT) AS logprob_q,
+           CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -3120,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dsir_importance": _q_dsir_importance,
         "sketch_bloom_registers": _q_bloom_registers,
         "join_bloom_prefilter": _q_bloom_prefilter,
+        "text_lm_logprob": _q_lm_logprob,
     }
 
 
@@ -3401,6 +3444,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_dsir_importance": _dsir_importance_oracle(),
         "sketch_bloom_registers": _bloom_registers_oracle(),
         "join_bloom_prefilter": _bloom_prefilter_oracle(),
+        "text_lm_logprob": _lm_logprob_oracle(),
     }
 
 

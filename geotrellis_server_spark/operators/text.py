@@ -656,3 +656,82 @@ def dsir_importance(
         .agg(F.sum("q").alias("logw_q"),
              F.count("*").cast("long").alias("n_feats"))
     )
+
+
+def ngram_lm_logprob(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM document scoring, the CCNet-style quality signal
+    (Wenzek et al. 2020 filter corpora by LM perplexity): train add-1-
+    smoothed bigram/unigram counts on ``train_docs`` (default: ``docs``
+    itself), then score every doc by its total bigram log-probability
+
+        lp(doc) = Σ_{(w1,w2) ∈ doc} ln( (c2(w1,w2)+1) / (c1(w1)+V) )
+
+    Low (more negative per bigram) means far from the training
+    distribution — gibberish, boilerplate, wrong language.
+
+    Output: (id, logprob_q, n_bigrams) for EVERY doc. logprob_q is the
+    sum of per-bigram log-probs each floor-quantized to 2⁻²⁰ — integer
+    arithmetic after the quantize, so the result is exact, partition-
+    invariant and cross-engine reproducible (divide by n_bigrams for
+    the mean; docs with <2 tokens score 0 over 0 bigrams).
+
+    Scale shape: bigram extraction is row-local. The two model tables
+    are groupBy counts with map-side partials (bigram vocab and unigram
+    vocab rows — already far smaller than the corpus). Scoring joins
+    the doc-bigram stream to the model on the bigram string and the
+    first word — plain shuffle equi-joins that AQE converts to
+    broadcast when the model fits, skew-handled by AQE — and the final
+    per-doc sum is one map-side-combined exchange keyed by doc."""
+    train = train_docs if train_docs is not None else docs
+
+    def _toks(d: DataFrame) -> DataFrame:
+        return d.select(F.col(id_col),
+                        F.split(F.col(text_col), " ").alias("toks"))
+
+    bigram_expr = (
+        "transform(sequence(1, size(toks) - 1), i -> struct("
+        "element_at(toks, i) AS w1, concat(element_at(toks, i), ' ', "
+        "element_at(toks, i + 1)) AS bg))")
+
+    def _bigrams(d: DataFrame) -> DataFrame:
+        return (_toks(d).where(F.size("toks") >= 2)
+                .select(F.col(id_col), F.explode(F.expr(bigram_expr))
+                        .alias("s"))
+                .select(id_col, F.col("s.w1").alias("w1"),
+                        F.col("s.bg").alias("bg")))
+
+    train_tok = (_toks(train)
+                 .select(F.explode("toks").alias("w1")))
+    c1 = train_tok.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = _bigrams(train).groupBy("bg").agg(F.count("*").alias("c2"))
+    vocab = c1.agg(F.count("*").alias("v"))
+
+    scored = (
+        _bigrams(docs)
+        .join(c2, "bg", "left")
+        .join(c1, "w1", "left")
+        .join(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.expr(
+                "CAST(floor((ln(CAST(coalesce(c2, 0) + 1 AS DOUBLE)) - "
+                "ln(CAST(coalesce(c1, 0) + v AS DOUBLE))) * 1048576.0D) "
+                "AS BIGINT)").alias("q"))
+        .groupBy(id_col)
+        .agg(F.sum("q").alias("logprob_q"),
+             F.count("*").cast("long").alias("n_bigrams"))
+    )
+    return (
+        docs.select(id_col).join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("logprob_q", F.lit(0)).cast("long")
+            .alias("logprob_q"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+            .alias("n_bigrams"))
+    )

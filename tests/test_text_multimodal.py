@@ -931,3 +931,33 @@ def test_dsir_quantization_margin(spark):
     margin = np.minimum(lr - np.floor(lr), np.ceil(lr) - lr).min()
     # |lr| <= ~2^24 here; a 1-ULP ln drift moves lr*2^20 by ~2^-28
     assert margin > 1e-6, f"quantization margin too small: {margin}"
+
+
+def test_ngram_lm_logprob(spark):
+    from geotrellis_server_spark.operators.text import ngram_lm_logprob
+
+    # train distribution: "a b" dominates; a doc made of seen bigrams
+    # must out-score (higher logprob per bigram) one of unseen bigrams
+    train = spark.createDataFrame(
+        [(100 + i, "a b a b a b c") for i in range(5)],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, "a b a b"),        # all bigrams seen, high-count
+         (1, "z q w e"),        # all unseen words
+         (2, "a"),              # <2 tokens: zero bigrams, scores 0
+         ],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_lm_logprob(docs, train).collect()}
+    assert len(out) == 3
+    assert out[2].logprob_q == 0 and out[2].n_bigrams == 0
+    assert out[0].n_bigrams == 3 and out[1].n_bigrams == 3
+    avg0 = out[0].logprob_q / out[0].n_bigrams
+    avg1 = out[1].logprob_q / out[1].n_bigrams
+    assert avg0 > avg1                   # in-distribution doc scores higher
+
+    # self-trained + partition invariance: exact BIGINT output
+    a = {(r.doc_id, r.logprob_q)
+         for r in ngram_lm_logprob(docs).collect()}
+    b = {(r.doc_id, r.logprob_q)
+         for r in ngram_lm_logprob(docs.repartition(4)).collect()}
+    assert a == b
