@@ -3066,6 +3066,60 @@ def _lm_logprob_oracle() -> str:
     """
 
 
+def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style KMV set algebra (operators/sketch.py:
+    kmv_set_ops): distinct-token union/intersection/Jaccard estimates
+    between the even-doc and odd-doc token vocabularies, k=256 — every
+    output is exact IEEE arithmetic over md5 hash fractions."""
+    from geotrellis_server_spark.operators.sketch import kmv_set_ops
+
+    docs = _read_documents(spark, sf_dir)
+    toks = docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("tok"))
+    return kmv_set_ops(toks.where("doc_id % 2 = 0"), "tok",
+                       toks.where("doc_id % 2 = 1"), "tok", k=256)
+
+
+def _kmv_set_ops_oracle(k: int = 256) -> str:
+    hexmap = "'0123456789abcdef'"
+    frac = (f"(list_sum([ (instr({hexmap}, h[i + 1:i + 1]) - 1) "
+            f"* 16.0 ** (12 - i) for i in range(0, 13)]) "
+            f"/ {float(16 ** 13)!r})")
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    sa AS (SELECT DISTINCT md5(CAST(tok AS VARCHAR)) AS h FROM toks
+           WHERE doc_id % 2 = 0 AND tok IS NOT NULL
+           ORDER BY h LIMIT {k}),
+    sb AS (SELECT DISTINCT md5(CAST(tok AS VARCHAR)) AS h FROM toks
+           WHERE doc_id % 2 = 1 AND tok IS NOT NULL
+           ORDER BY h LIMIT {k}),
+    both_h AS MATERIALIZED (
+        SELECT coalesce(sa.h, sb.h) AS h,
+               CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS in_a,
+               CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS in_b
+        FROM sa FULL OUTER JOIN sb ON sa.h = sb.h),
+    bf AS MATERIALIZED (SELECT *, {frac} AS f FROM both_h),
+    th AS (SELECT least(
+        CASE WHEN (SELECT sum(in_a) FROM bf) >= {k}
+             THEN (SELECT max(CASE WHEN in_a = 1 THEN f ELSE 0 END) FROM bf)
+             ELSE 1.0 END,
+        CASE WHEN (SELECT sum(in_b) FROM bf) >= {k}
+             THEN (SELECT max(CASE WHEN in_b = 1 THEN f ELSE 0 END) FROM bf)
+             ELSE 1.0 END) AS theta)
+    SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+           CAST(sum(in_b) AS BIGINT) AS n_b,
+           CAST(count(*) FILTER (f <= theta) AS DOUBLE) / any_value(theta)
+               AS union_est,
+           CAST(count(*) FILTER (f <= theta AND in_a = 1 AND in_b = 1)
+                AS DOUBLE) / any_value(theta) AS intersect_est,
+           CAST(count(*) FILTER (f <= theta AND in_a = 1 AND in_b = 1)
+                AS DOUBLE) /
+           CAST(count(*) FILTER (f <= theta) AS DOUBLE) AS jaccard_est
+    FROM bf, th
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -3163,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_registers": _q_bloom_registers,
         "join_bloom_prefilter": _q_bloom_prefilter,
         "text_lm_logprob": _q_lm_logprob,
+        "sketch_kmv_set_ops": _q_kmv_set_ops,
     }
 
 
@@ -3445,6 +3500,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_bloom_registers": _bloom_registers_oracle(),
         "join_bloom_prefilter": _bloom_prefilter_oracle(),
         "text_lm_logprob": _lm_logprob_oracle(),
+        "sketch_kmv_set_ops": _kmv_set_ops_oracle(),
     }
 
 

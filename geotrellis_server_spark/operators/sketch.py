@@ -490,3 +490,70 @@ def bloom_prefilter_join(big: DataFrame, small: DataFrame, big_col: str,
              for r in bloom_build(small, small_col, m_bits, k).collect()}
     pruned = bloom_probe(big, big_col, words, m_bits, k)
     return pruned.join(F.broadcast(small), pruned[big_col] == small[small_col])
+
+
+# --- KMV set operations (theta-sketch style) --------------------------------
+
+
+def kmv_set_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """Bottom-k DISTINCT md5 hashes of ``col`` — the KMV set sketch.
+    distinct → orderBy → limit(k) plans as partial-agg +
+    TakeOrderedAndProject: every partition contributes at most k rows,
+    the driver holds at most k·P then k. Deterministic (md5), so two
+    engines build the identical sketch."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.md5(F.col(col).cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_set_ops(df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str,
+                k: int = 256) -> DataFrame:
+    """Distinct-count set algebra from two KMV sketches (the theta-
+    sketch estimators, Dasgupta et al. / Beyer et al.): with
+    θ = min(θ_A, θ_B) (each θ the k-th smallest distinct hash as an
+    exact fraction of 2⁵², or 1 when the set has < k distinct values),
+
+        |A ∪ B| ≈ |{h ∈ S_A ∪ S_B : h < θ}| / θ
+        |A ∩ B| ≈ |{h ∈ S_A ∩ S_B : h < θ}| / θ
+
+    Returns ONE row: (n_a, n_b, union_est, intersect_est, jaccard_est)
+    — n_a/n_b the retained-hash counts. Every quantity is exact
+    arithmetic (hash fractions are integer-valued doubles over the
+    power-of-two denominator 16¹³ = 2⁵², so the divisions are single
+    correctly-rounded IEEE ops — cross-engine reproducible bit-for-bit).
+
+    Scale shape: each input collapses to ≤ k rows before any cross-set
+    work; the set algebra itself runs on 2k rows. Sketches of a
+    partitioned corpus can be unioned first (KMV is a monoid under
+    merge-then-rebottom-k)."""
+    frac = f"({hex13_fraction_sql('h')} / {HEX13_DENOM!r}D)"
+    sa = kmv_set_sketch(df_a, col_a, k).withColumn("in_a", F.lit(1))
+    sb = kmv_set_sketch(df_b, col_b, k).withColumn("in_b", F.lit(1))
+    both = sa.join(sb, "h", "full").select(
+        "h", F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        F.expr(frac).alias("f"))
+    thetas = both.agg(
+        F.expr(f"IF(sum(in_a) >= {k}, max(IF(in_a = 1, f, 0D)), 1.0D)")
+        .alias("ta"),
+        F.expr(f"IF(sum(in_b) >= {k}, max(IF(in_b = 1, f, 0D)), 1.0D)")
+        .alias("tb"),
+    ).selectExpr("least(ta, tb) AS theta")
+    return (
+        both.join(F.broadcast(thetas))
+        .agg(
+            F.sum("in_a").cast("long").alias("n_a"),
+            F.sum("in_b").cast("long").alias("n_b"),
+            F.expr("CAST(count_if(f <= theta) AS DOUBLE) / any_value(theta)")
+            .alias("union_est"),
+            F.expr("CAST(count_if(f <= theta AND in_a = 1 AND in_b = 1) "
+                   "AS DOUBLE) / any_value(theta)").alias("intersect_est"),
+            F.expr("CAST(count_if(f <= theta AND in_a = 1 AND in_b = 1) "
+                   "AS DOUBLE) / CAST(count_if(f <= theta) AS DOUBLE)")
+            .alias("jaccard_est"),
+        )
+    )

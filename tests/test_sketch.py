@@ -325,3 +325,30 @@ def test_bloom_prefilter_join_matches_plain_join(spark):
     want = big.join(small, big.fk == small.pk)
     assert sorted(tuple(r) for r in out.collect()) == \
         sorted(tuple(r) for r in want.collect())
+
+
+def test_kmv_set_ops_accuracy_and_determinism(spark):
+    from geotrellis_server_spark.operators.sketch import kmv_set_ops
+
+    a = spark.range(0, 1000).selectExpr("id AS v")
+    b = spark.range(500, 1500).selectExpr("id AS v")
+    r = kmv_set_ops(a, "v", b, "v", k=256).collect()[0]
+    # true: union 1500, intersect 500, jaccard 1/3; ~1/sqrt(k)=6.25% noise
+    assert abs(r.union_est - 1500) < 0.25 * 1500
+    assert abs(r.intersect_est - 500) < 0.3 * 500
+    assert abs(r.jaccard_est - 1 / 3) < 0.1
+    # deterministic under repartitioning (pure function of the sets)
+    r2 = kmv_set_ops(a.repartition(7), "v", b.repartition(3), "v",
+                     k=256).collect()[0]
+    assert tuple(r) == tuple(r2)
+
+
+def test_kmv_set_ops_small_sets_exact(spark):
+    from geotrellis_server_spark.operators.sketch import kmv_set_ops
+
+    # both sets below k -> theta = 1, estimates are EXACT counts
+    a = spark.createDataFrame([(i,) for i in range(30)], "v int")
+    b = spark.createDataFrame([(i,) for i in range(20, 50)], "v int")
+    r = kmv_set_ops(a, "v", b, "v", k=256).collect()[0]
+    assert r.union_est == 50.0 and r.intersect_est == 10.0
+    assert r.n_a == 30 and r.n_b == 30
