@@ -2947,10 +2947,15 @@ def _dsir_importance_oracle() -> str:
                            ln(CAST(cr + 1 AS DOUBLE)) +
                            ln(CAST(nr + {B} AS DOUBLE))) * 1048576.0
                     ) AS BIGINT) AS q
-        FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
-    SELECT g.doc_id, CAST(sum(q) AS BIGINT) AS logw_q,
-           CAST(count(*) AS BIGINT) AS n_feats
-    FROM g JOIN ratio ON g.b = ratio.b GROUP BY g.doc_id
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot),
+    agg AS (SELECT g.doc_id, CAST(sum(q) AS BIGINT) AS logw_q,
+                   CAST(count(*) AS BIGINT) AS n_feats
+            FROM g JOIN ratio ON g.b = ratio.b GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(agg.logw_q, 0) AS BIGINT) AS logw_q,
+           CAST(coalesce(agg.n_feats, 0) AS BIGINT) AS n_feats
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN agg ON d.doc_id = agg.doc_id
     """
 
 
@@ -3109,13 +3114,13 @@ def _kmv_set_ops_oracle(k: int = 256) -> str:
              ELSE 1.0 END) AS theta)
     SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
            CAST(sum(in_b) AS BIGINT) AS n_b,
-           CAST(count(*) FILTER (f <= theta) AS DOUBLE) / any_value(theta)
+           CAST(count(*) FILTER (f < theta) AS DOUBLE) / any_value(theta)
                AS union_est,
-           CAST(count(*) FILTER (f <= theta AND in_a = 1 AND in_b = 1)
+           CAST(count(*) FILTER (f < theta AND in_a = 1 AND in_b = 1)
                 AS DOUBLE) / any_value(theta) AS intersect_est,
-           CAST(count(*) FILTER (f <= theta AND in_a = 1 AND in_b = 1)
+           CAST(count(*) FILTER (f < theta AND in_a = 1 AND in_b = 1)
                 AS DOUBLE) /
-           CAST(count(*) FILTER (f <= theta) AS DOUBLE) AS jaccard_est
+           CAST(count(*) FILTER (f < theta) AS DOUBLE) AS jaccard_est
     FROM bf, th
     """
 

@@ -548,12 +548,12 @@ def kmv_set_ops(df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str,
         .agg(
             F.sum("in_a").cast("long").alias("n_a"),
             F.sum("in_b").cast("long").alias("n_b"),
-            F.expr("CAST(count_if(f <= theta) AS DOUBLE) / any_value(theta)")
+            F.expr("CAST(count_if(f < theta) AS DOUBLE) / any_value(theta)")
             .alias("union_est"),
-            F.expr("CAST(count_if(f <= theta AND in_a = 1 AND in_b = 1) "
+            F.expr("CAST(count_if(f < theta AND in_a = 1 AND in_b = 1) "
                    "AS DOUBLE) / any_value(theta)").alias("intersect_est"),
-            F.expr("CAST(count_if(f <= theta AND in_a = 1 AND in_b = 1) "
-                   "AS DOUBLE) / CAST(count_if(f <= theta) AS DOUBLE)")
+            F.expr("CAST(count_if(f < theta AND in_a = 1 AND in_b = 1) "
+                   "AS DOUBLE) / CAST(count_if(f < theta) AS DOUBLE)")
             .alias("jaccard_est"),
         )
     )

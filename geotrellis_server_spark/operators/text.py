@@ -380,8 +380,12 @@ def top_k_per_group(
             if len(pdf) == 0:
                 continue
             yield (
+                # match Spark's NULL ordering (asc = NULLS FIRST,
+                # desc = NULLS LAST) or the batch-local prune can drop
+                # NULL-ordered rows the phase-2 window would rank <= k
                 pdf.sort_values([order_col, tie_col],
-                                ascending=[not descending, True])
+                                ascending=[not descending, True],
+                                na_position="last" if descending else "first")
                 .groupby(gcols, sort=False, dropna=False)  # NULL group keys are groups too
                 .head(k)
             )
@@ -651,10 +655,18 @@ def dsir_importance(
         )
     )
     return (
-        raw_g.join(F.broadcast(ratio), "b")
-        .groupBy(id_col)
-        .agg(F.sum("q").alias("logw_q"),
-             F.count("*").cast("long").alias("n_feats"))
+        raw_docs.select(id_col)
+        .join(
+            raw_g.join(F.broadcast(ratio), "b")
+            .groupBy(id_col)
+            .agg(F.sum("q").alias("logw_q"),
+                 F.count("*").cast("long").alias("n_feats")),
+            id_col, "left")
+        # EVERY raw doc comes out — NULL/empty text scores a neutral 0
+        .select(F.col(id_col),
+                F.coalesce("logw_q", F.lit(0)).cast("long").alias("logw_q"),
+                F.coalesce("n_feats", F.lit(0)).cast("long")
+                .alias("n_feats"))
     )
 
 

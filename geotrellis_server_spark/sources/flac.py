@@ -265,7 +265,6 @@ def encode_flac(
 
     frames = bytearray()
     n_frames = (n + _BLOCK - 1) // _BLOCK
-    sizes = [min(_BLOCK, n - f * _BLOCK) for f in range(n_frames)] or [_BLOCK]
     for f in range(n_frames):
         block = a[f * _BLOCK : (f + 1) * _BLOCK]
         bs = block.shape[0]
@@ -309,10 +308,14 @@ def encode_flac(
         body = w.getvalue()
         frames += body + struct.pack(">H", _crc16(body))
 
-    # STREAMINFO metadata block
+    # STREAMINFO metadata block. Fixed-blocksize stream: RFC 9639 §8.2
+    # requires min_blocksize == max_blocksize == the nominal block size
+    # (the last partial frame is EXCLUDED from the rule — writing its
+    # size here would both declare a variable-blocksize stream and can
+    # fall below the format's legal 16-sample floor).
     si = _BitWriter()
-    si.write(min(sizes), 16)
-    si.write(max(sizes), 16)
+    si.write(_BLOCK, 16)
+    si.write(_BLOCK, 16)
     si.write(0, 24)  # min frame size unknown
     si.write(0, 24)  # max frame size unknown
     si.write(sample_rate, 20)

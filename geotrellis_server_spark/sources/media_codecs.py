@@ -606,13 +606,14 @@ def _ulaw_decode_table() -> np.ndarray:
 
 def _alaw_decode_table() -> np.ndarray:
     """All 256 A-law codes → linear PCM16 (XOR 0x55 toggle, segment
-    expansion with the implicit leading 1 from segment 1 up, <<3 to
-    16-bit range)."""
+    expansion with the implicit leading 1 from segment 1 up). The
+    (mant<<4) + 0x108 << (seg-1) form IS already the standard 16-bit
+    scale (max 504<<6 = 32256, the Sun/ITU reference table) — no extra
+    shift, which would overflow int16 and flip signs on loud codes."""
     codes = np.arange(256, dtype=np.int32) ^ 0x55
     exp = (codes >> 4) & 7
     mant = codes & 0x0F
     mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
-    mag = mag << 3
     return np.where(codes & 0x80, mag, -mag).astype(np.int16)
 
 

@@ -247,3 +247,16 @@ def test_decode_path_in_multimodal_dispatch():
     samples = _decode_audio(encode_flac(wave))
     assert samples.ndim == 1 and samples.shape == (400,)
     assert np.corrcoef(samples, wave)[0, 1] > 0.9999
+
+
+def test_streaminfo_fixed_blocksize_contract():
+    """RFC 9639 §8.2: fixed-blocksize streams must declare
+    min_blocksize == max_blocksize == the nominal block size; the last
+    partial frame is excluded (and 16 is the legal floor)."""
+    from geotrellis_server_spark.sources.flac import (_BLOCK, encode_flac,
+                                                      _parse_streaminfo)
+
+    blob = encode_flac(np.zeros(_BLOCK + 4, dtype=np.int16))  # partial tail
+    info, _ = _parse_streaminfo(blob)
+    assert info["min_block"] == info["max_block"] == _BLOCK
+    assert info["min_block"] >= 16

@@ -961,3 +961,43 @@ def test_ngram_lm_logprob(spark):
     b = {(r.doc_id, r.logprob_q)
          for r in ngram_lm_logprob(docs.repartition(4)).collect()}
     assert a == b
+
+
+def test_alaw_table_matches_itu_reference():
+    """A-law decode must equal the ITU/Sun alaw2linear reference for all
+    256 codes (review r5: an extra <<3 scaled 8x and wrapped int16)."""
+    import numpy as np
+    from geotrellis_server_spark.sources.media_codecs import \
+        _alaw_decode_table
+
+    def sun_alaw2linear(a):
+        a ^= 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    tab = _alaw_decode_table()
+    ref = np.array([sun_alaw2linear(c) for c in range(256)], dtype=np.int16)
+    assert (tab == ref).all()
+    assert tab[0xD5] == 8 and tab[0xAA] == 32256
+
+
+def test_top_k_per_group_null_order_ascending(spark):
+    """Ascending order: Spark ranks NULL order values FIRST; the
+    batch-local prune must agree or NULL rows get dropped (review r5)."""
+    from geotrellis_server_spark.operators.text import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("g", None, 1), ("g", 5, 2), ("g", 7, 3), ("g", 9, 4)],
+        "grp string, v int, id int")
+    out = sorted((r.id, r.rank) for r in
+                 top_k_per_group(df, ["grp"], "v", k=2, tie_col="id",
+                                 descending=False).collect())
+    # NULLS FIRST: the NULL row ranks 1, v=5 ranks 2
+    assert out == [(1, 1), (2, 2)]
