@@ -2923,7 +2923,7 @@ def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dsir_importance_oracle() -> str:
     hexmap = "'0123456789abcdef'"
     frac = (f"list_sum([ (instr({hexmap}, md5(g)[i + 1:i + 1]) - 1) "
-            f"* 16.0 ** (12 - i) for i in range(0, 13)])")
+            f"* 16.0 ** (5 - i) for i in range(0, 6)])")
     B = 512
     return f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -3125,6 +3125,30 @@ def _kmv_set_ops_oracle(k: int = 256) -> str:
     """
 
 
+def _q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic reservoir (operators/sketch.py:
+    hash_sample_per_group): the 10 docs with smallest md5(doc_id) from
+    EVERY source — balanced subsetting immune to source skew."""
+    from geotrellis_server_spark.operators.sketch import \
+        hash_sample_per_group
+
+    docs = _read_documents(spark, sf_dir)
+    return hash_sample_per_group(docs, ["source"], ["doc_id"], k=10) \
+        .select("doc_id", "source")
+
+
+def _sample_per_group_oracle() -> str:
+    return """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR)))
+               ) AS rn
+        FROM documents) WHERE rn <= 10
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -3223,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_bloom_prefilter": _q_bloom_prefilter,
         "text_lm_logprob": _q_lm_logprob,
         "sketch_kmv_set_ops": _q_kmv_set_ops,
+        "sketch_sample_per_group": _q_sample_per_group,
     }
 
 
@@ -3506,6 +3531,7 @@ def oracle_sql() -> dict[str, str]:
         "join_bloom_prefilter": _bloom_prefilter_oracle(),
         "text_lm_logprob": _lm_logprob_oracle(),
         "sketch_kmv_set_ops": _kmv_set_ops_oracle(),
+        "sketch_sample_per_group": _sample_per_group_oracle(),
     }
 
 

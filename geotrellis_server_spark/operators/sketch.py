@@ -557,3 +557,31 @@ def kmv_set_ops(df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str,
             .alias("jaccard_est"),
         )
     )
+
+
+def hash_sample_per_group(
+    df: DataFrame, group_cols: list[str], identity_cols: list[str], k: int
+) -> DataFrame:
+    """Deterministic per-group uniform sample: within every group, the k
+    rows whose md5(identity) is smallest — the grouped twin of
+    :func:`hash_sample` (balanced per-source/lang subsetting: "10k docs
+    from EVERY source", immune to source skew). Pure function of the
+    data → reproducible across runs, partitionings, and engines.
+
+    Scale shape: one window per group key ordered by the hash —
+    external-sort backed (spills, never OOMs); with input already
+    partitioned by the group key the exchange is free. NULL group keys
+    form their own group, matching SQL GROUP BY."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    ident = ", ".join(f"CAST({c} AS STRING)" for c in identity_cols)
+    h = F.expr(f"md5(concat_ws('|', {ident}))")
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("_hk"))
+    return (
+        df.withColumn("_hk", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_hk", "_rn")
+    )

@@ -615,13 +615,23 @@ def dsir_importance(
     BROADCAST-joined onto the raw-doc gram stream, and the only wide
     exchange is the final groupBy(doc) sum of BIGINTs, again map-side
     combined. Nothing is collected to the driver."""
-    from geotrellis_server_spark.operators.sketch import hex13_fraction_sql
-
     B = int(n_buckets)
+    if B > 16 ** 5:
+        raise ValueError(f"n_buckets must be <= 16^5, got {B}")
+    # Spark sequence(1, 0) is DESCENDING [1, 0] — a single-token doc
+    # would index element_at(toks, 2) out of bounds; guard with CASE
     gram_expr = (
-        f"concat(toks, transform(sequence(1, greatest(size(toks) - 1, 0)),"
-        f" i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))")
-    bucket = (f"CAST({hex13_fraction_sql('md5(g)')} AS BIGINT) % {B}")
+        "concat(toks, CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(1, size(toks) - 1), i -> "
+        "concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
+        "ELSE array() END)")
+    # 6 hex digits (16^6 = 16.7M >> B) keep the per-gram hash lambda
+    # less than half the cost of the full 13-digit fraction — this runs
+    # once per gram on BOTH model-count and scoring passes
+    bucket = (
+        "CAST(aggregate(sequence(1, 6), 0D, (acc, i) -> acc * 16D + "
+        "CAST(instr('0123456789abcdef', substring(md5(g), "
+        f"CAST(i AS INT), 1)) - 1 AS DOUBLE)) AS BIGINT) % {B}")
 
     def _grams(docs: DataFrame) -> DataFrame:
         return (

@@ -352,3 +352,23 @@ def test_kmv_set_ops_small_sets_exact(spark):
     r = kmv_set_ops(a, "v", b, "v", k=256).collect()[0]
     assert r.union_est == 50.0 and r.intersect_est == 10.0
     assert r.n_a == 30 and r.n_b == 30
+
+
+def test_hash_sample_per_group(spark):
+    from geotrellis_server_spark.operators.sketch import hash_sample_per_group
+
+    df = spark.range(1000).selectExpr("id", "CAST(id % 7 AS STRING) AS g")
+    out = hash_sample_per_group(df, ["g"], ["id"], k=20)
+    rows = out.collect()
+    from collections import Counter
+    per = Counter(r.g for r in rows)
+    assert all(v == 20 for v in per.values()) and len(per) == 7
+    # deterministic under repartitioning
+    again = {(r.g, r.id) for r in
+             hash_sample_per_group(df.repartition(9), ["g"], ["id"],
+                                   k=20).collect()}
+    assert again == {(r.g, r.id) for r in rows}
+    # small groups come out whole
+    tiny = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
+                                 "id int, g string")
+    assert hash_sample_per_group(tiny, ["g"], ["id"], k=10).count() == 3

@@ -908,17 +908,19 @@ def test_dsir_quantization_margin(spark):
     sit AWAY from an integer boundary (a 1-ULP ln() divergence must not
     flip floor()). Check the margin on the real gate corpus + params."""
     import numpy as np
-    from geotrellis_server_spark.operators.sketch import hex13_fraction_sql
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     B = 512
+    hex6 = ("aggregate(sequence(1, 6), 0D, (acc, i) -> acc * 16D + "
+            "CAST(instr('0123456789abcdef', substring(md5(g), "
+            "CAST(i AS INT), 1)) - 1 AS DOUBLE))")
     gram_expr = (
         "concat(split(text, ' '), transform(sequence(1, "
         "greatest(size(split(text, ' ')) - 1, 0)), i -> "
         "concat(element_at(split(text, ' '), i), ' ', "
         "element_at(split(text, ' '), i + 1))))")
     g = docs.selectExpr("doc_id", f"explode({gram_expr}) AS g").selectExpr(
-        "doc_id", f"CAST({hex13_fraction_sql('md5(g)')} AS BIGINT) % {B} AS b")
+        "doc_id", f"CAST({hex6} AS BIGINT) % {B} AS b")
     import pandas as pd
     raw = g.groupBy("b").count().toPandas().set_index("b")["count"]
     tgt = (g.where("doc_id % 10 = 0").groupBy("b").count()
@@ -1001,3 +1003,17 @@ def test_top_k_per_group_null_order_ascending(spark):
                                  descending=False).collect())
     # NULLS FIRST: the NULL row ranks 1, v=5 ranks 2
     assert out == [(1, 1), (2, 2)]
+
+
+def test_dsir_single_token_docs(spark):
+    """Spark sequence(1, 0) is DESCENDING — ungated it indexes past a
+    1-token doc's array (found by the 4M-doc scale run, review r5)."""
+    from geotrellis_server_spark.operators.text import dsir_importance
+
+    raw = spark.createDataFrame(
+        [(0, "solo"), (1, "a b c"), (2, None)], "doc_id long, text string")
+    tgt = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    out = {r.doc_id: r for r in dsir_importance(raw, tgt, 64).collect()}
+    assert len(out) == 3                       # every doc, incl. NULL text
+    assert out[0].n_feats == 1                 # unigram only
+    assert out[2].n_feats == 0 and out[2].logw_q == 0
