@@ -3149,6 +3149,52 @@ def _sample_per_group_oracle() -> str:
     """
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank (operators/graph.py:pagerank), 5
+    rounds at damping 0.85 over the distinct customer→supplier purchase
+    graph (orders ⋈ lineitem; supplier ids offset by 10^6 to keep the
+    node namespace disjoint). Every rank is a BIGINT count of 2^-20
+    quanta — integer mass passing, so the iteration is exactly
+    reproducible in any engine."""
+    from geotrellis_server_spark.operators.graph import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + 1000000).alias("dst"))
+        .distinct()
+    )
+    return pagerank(edges, n_iter=5)
+
+
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    scale, tel = 1 << 20, (1 << 20) * 15 // 100
+    parts = ["""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS MATERIALIZED (
+        SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+    pr0 AS MATERIALIZED (SELECT node, CAST(%d AS BIGINT) AS pr_q
+                         FROM nodes)""" % scale]
+    for i in range(1, n_iter + 1):
+        parts.append("""
+    pr%d AS MATERIALIZED (
+        SELECT n.node,
+               CAST(%d + 85 * coalesce(s.s, 0) // 100 AS BIGINT) AS pr_q
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr_q // d.deg) AS s
+            FROM pr%d p JOIN deg d ON p.node = d.node
+                        JOIN e ON e.src = p.node
+            GROUP BY e.dst) s ON n.node = s.node)""" % (i, tel, i - 1))
+    return (",".join(parts)
+            + f"\n    SELECT node, pr_q AS rank_q FROM pr{n_iter}")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -3248,6 +3294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_logprob": _q_lm_logprob,
         "sketch_kmv_set_ops": _q_kmv_set_ops,
         "sketch_sample_per_group": _q_sample_per_group,
+        "graph_pagerank_purchases": _q_pagerank,
     }
 
 
@@ -3532,6 +3579,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_logprob": _lm_logprob_oracle(),
         "sketch_kmv_set_ops": _kmv_set_ops_oracle(),
         "sketch_sample_per_group": _sample_per_group_oracle(),
+        "graph_pagerank_purchases": _pagerank_oracle(),
     }
 
 
