@@ -7,7 +7,9 @@ in styles/png.py — all five scanline filters), AUDIO decode is REAL for
 PCM16 WAV, and VIDEO demux + frame decode is REAL for YUV4MPEG2 (both in
 sources/media_codecs.py) — synth media generates genuine PNG/WAV/Y4M
 bytes, so every pipeline exercises true bytes→samples codecs end to end.
-Compressed codecs (JPEG/mp3/h264) fall back to Pillow when installed or
+Remaining compressed codecs (mp3/aac/h264) now have REAL framing/demux
+layers (media_probe below; sources/media_codecs.py) with only the
+entropy-decode stage stubbed — they fall back to Pillow when installed or
 a clearly-marked deterministic stub otherwise; a real library decoder
 drops into ``DECODERS`` unchanged.
 """
@@ -408,3 +410,117 @@ def png_header_meta(
         F.expr(f"CASE WHEN {sig} THEN {u8(26)} END").alias("color_type"),
         F.length(F.col(payload_col)).alias("n_bytes"),
     )
+
+
+def media_probe(media: DataFrame, payload_col: str = "payload",
+                id_cols: tuple[str, ...] = ("media_ref",)) -> DataFrame:
+    """The engine's ffprobe: sniff every payload's container by magic
+    bytes and return its stream metadata WITHOUT decoding samples —
+    (ids..., codec, duration_s, sample_rate, n_frames, width, height,
+    n_keyframes). Covers the full codec inventory: WAV (PCM16 / ADPCM /
+    G.711), FLAC, Y4M, MJPEG AVI, PNG, GIF, JPEG, and the compressed
+    demux layers (MPEG-1 audio frames, AAC ADTS, H.264 Annex B NAL
+    inventory). Unknown payloads yield codec='unknown', NULL metrics —
+    a probe never throws on corpus garbage.
+
+    Scale shape: mapInPandas over Arrow batches — header-only parses
+    (a few hundred bytes each), row-local, zero shuffle; at 100 TB the
+    probe is scan-bound and composes map-side with partition pruning on
+    the media table."""
+    import pandas as pd
+
+    from ..sources import media_codecs as mc
+    from ..sources.flac import FLAC_MAGIC, _parse_streaminfo
+
+    in_types = dict(media.dtypes)
+    out_schema = (", ".join(f"{c} {in_types[c]}" for c in id_cols)
+                  + ", codec string, duration_s double, sample_rate int,"
+                    " n_frames int, width int, height int, n_keyframes int")
+
+    def _probe(payload: bytes) -> dict:
+        r = {"codec": "unknown", "duration_s": None, "sample_rate": None,
+             "n_frames": None, "width": None, "height": None,
+             "n_keyframes": None}
+        try:
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                import struct as _s
+                fmt = rate = ch = None
+                n = fact = None
+                for cid, body in mc._riff_chunks(payload):
+                    if cid == b"fmt " and len(body) >= 16:
+                        fmt, ch, rate = _s.unpack_from("<HHI", body, 0)
+                        block_align = _s.unpack_from("<H", body, 12)[0]
+                    elif cid == b"fact" and len(body) >= 4:
+                        fact = _s.unpack_from("<I", body, 0)[0]
+                    elif cid == b"data":
+                        dlen = len(body)
+                if fmt is None or rate is None:
+                    raise ValueError("no fmt chunk")
+                name = {1: "wav-pcm16", 6: "wav-g711a", 7: "wav-g711u",
+                        0x11: "wav-adpcm"}.get(fmt, f"wav-fmt{fmt}")
+                if fact is not None:
+                    n = fact
+                elif fmt == 1:
+                    n = dlen // (2 * ch)
+                elif fmt in (6, 7):
+                    n = dlen // ch
+                else:  # ADPCM without fact: samples/block from block math
+                    spb = (block_align - 4 * ch) * 2 // ch + 1
+                    n = (dlen // block_align) * spb
+                r.update(codec=name, sample_rate=int(rate),
+                         duration_s=n / rate)
+            elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                w, h, n = mc.avi_info(payload)
+                r.update(codec="mjpeg-avi", width=w, height=h, n_frames=n)
+            elif payload[:4] == FLAC_MAGIC:
+                info, _ = _parse_streaminfo(payload)
+                r.update(codec="flac", sample_rate=info["sample_rate"],
+                         duration_s=info["total"] / info["sample_rate"])
+            elif payload[:10] == mc.Y4M_MAGIC:
+                w, h, n = mc.y4m_info(payload)
+                r.update(codec="y4m", width=w, height=h, n_frames=n)
+            elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+                import struct as _s
+                w, h = _s.unpack_from(">II", payload, 16)
+                r.update(codec="png", width=w, height=h)
+            elif payload[:6] in mc.GIF_MAGICS:
+                import struct as _s
+                w, h = _s.unpack_from("<HH", payload, 6)
+                r.update(codec="gif", width=w, height=h)
+            elif payload[:2] == b"\xff\xd8":
+                r.update(codec="jpeg")
+            elif payload[:3] == b"ID3" or (
+                    len(payload) >= 4 and payload[0] == 0xFF
+                    and (payload[1] & 0xE0) == 0xE0
+                    and ((payload[1] >> 1) & 3) in (1, 2)):
+                info = mc.mp3_frames(payload)
+                r.update(codec=f"mpeg1-layer{info['layer']}",
+                         sample_rate=info["sample_rate"],
+                         duration_s=info["duration_s"],
+                         n_frames=info["n_frames"])
+            elif (len(payload) >= 7 and payload[0] == 0xFF
+                  and (payload[1] & 0xF0) == 0xF0):
+                info = mc.aac_adts_frames(payload)
+                r.update(codec="aac-adts", sample_rate=info["sample_rate"],
+                         duration_s=info["duration_s"],
+                         n_frames=info["n_frames"])
+            elif (b"\x00\x00\x01" in payload[:64]):
+                units = mc.h264_nal_units(payload)
+                r.update(codec="h264-annexb", n_frames=len(units),
+                         n_keyframes=sum(1 for u in units if u["keyframe"]))
+        except (ValueError, IndexError, KeyError):
+            pass
+        return r
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rec = {c: row[c] for c in id_cols}
+                rec.update(_probe(bytes(row[payload_col])))
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=list(id_cols) + [
+                "codec", "duration_s", "sample_rate", "n_frames",
+                "width", "height", "n_keyframes"])
+
+    return media.select(*id_cols, payload_col).mapInPandas(run, out_schema)

@@ -667,3 +667,154 @@ def decode_wav_g711(payload: bytes) -> tuple[np.ndarray, int]:
     codes = np.frombuffer(data, dtype=np.uint8)
     pcm = _G711_TABLES[law][codes].astype(np.float32) / 32767.0
     return pcm, int(rate)
+
+
+# --- Compressed-bitstream DEMUX layers (mp3 / AAC-ADTS / H.264 Annex B) -----
+#
+# The entropy-decode stages of mp3/aac/h264 stay stubbed (no codec libs
+# in this environment, and their huffman/CABAC tables are too large to
+# re-derive); the FRAMING layers below are real implementations of the
+# public bitstream specs (ISO 11172-3 frame headers, ISO 14496-3 ADTS,
+# ITU-T H.264 Annex B byte streams) — enough for the metadata a corpus
+# pipeline extracts at scale: duration, bitrate, sample rate, channel
+# layout, frame/NAL inventory, keyframe positions.
+
+_MP3_BITRATES_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                    224, 256, 320)  # MPEG-1 Layer III, kbit/s
+_MP3_BITRATES_L2 = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                    256, 320, 384)  # MPEG-1 Layer II
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def mp3_frames(payload: bytes, max_frames: int | None = None) -> dict:
+    """Parse an MPEG-1 audio (Layer II/III) byte stream into its frame
+    inventory: {sample_rate, channels, layer, n_frames, duration_s,
+    bitrate_kbps (mean), frames: [(offset, size, bitrate_kbps), ...]}.
+    Skips ID3v2 prefixes. Raises ValueError when no conformant frame
+    sync is found. Framing only — see module note."""
+    data = payload
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        # syncsafe 28-bit size, ID3v2 header is 10 bytes
+        sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | \
+             ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + sz
+    frames = []
+    sr = ch = layer = None
+    while pos + 4 <= len(data):
+        b0, b1, b2, _b3 = data[pos:pos + 4]
+        if not (b0 == 0xFF and (b1 & 0xE0) == 0xE0):
+            if frames:
+                break  # trailing garbage after a valid run
+            pos += 1
+            continue
+        version = (b1 >> 3) & 3          # 3 = MPEG-1
+        lyr = (b1 >> 1) & 3              # 2 = Layer II, 1 = Layer III
+        if version != 3 or lyr not in (1, 2):
+            pos += 1
+            continue
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 3
+        pad = (b2 >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            pos += 1
+            continue
+        table = _MP3_BITRATES_L3 if lyr == 1 else _MP3_BITRATES_L2
+        br = table[br_idx]
+        rate = _MP3_RATES[sr_idx]
+        size = 144 * br * 1000 // rate + pad
+        if size < 4 or pos + size > len(data):
+            break
+        mode = (data[pos + 3] >> 6) & 3
+        sr, ch, layer = rate, (1 if mode == 3 else 2), (3 if lyr == 1 else 2)
+        frames.append((pos, size, br))
+        pos += size
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("no MPEG-1 audio frame sync found")
+    return {
+        "sample_rate": sr, "channels": ch, "layer": layer,
+        "n_frames": len(frames),
+        "duration_s": len(frames) * 1152.0 / sr,
+        "bitrate_kbps": sum(f[2] for f in frames) / len(frames),
+        "frames": frames,
+    }
+
+
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000)
+
+
+def aac_adts_frames(payload: bytes, max_frames: int | None = None) -> dict:
+    """Parse an AAC ADTS byte stream (ISO/IEC 14496-3 §1.A.3): returns
+    {sample_rate, channels, profile, n_frames, duration_s, frames:
+    [(offset, size), ...]}. ADTS carries an explicit 13-bit frame
+    length, so framing is exact. Framing only — see module note."""
+    data = payload
+    pos = 0
+    frames = []
+    sr = ch = profile = None
+    while pos + 7 <= len(data):
+        if not (data[pos] == 0xFF and (data[pos + 1] & 0xF0) == 0xF0):
+            if frames:
+                break
+            pos += 1
+            continue
+        profile_i = (data[pos + 2] >> 6) & 3
+        sr_idx = (data[pos + 2] >> 2) & 0xF
+        ch_cfg = ((data[pos + 2] & 1) << 2) | ((data[pos + 3] >> 6) & 3)
+        size = ((data[pos + 3] & 3) << 11) | (data[pos + 4] << 3) | \
+               ((data[pos + 5] >> 5) & 7)
+        if sr_idx >= len(_ADTS_RATES) or size < 7 or pos + size > len(data):
+            if frames:
+                break
+            pos += 1
+            continue
+        sr, ch, profile = _ADTS_RATES[sr_idx], ch_cfg, profile_i + 1
+        frames.append((pos, size))
+        pos += size
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("no ADTS frame sync found")
+    return {
+        "sample_rate": sr, "channels": ch, "profile": profile,
+        "n_frames": len(frames),
+        "duration_s": len(frames) * 1024.0 / sr,
+        "frames": frames,
+    }
+
+
+_H264_NAL_NAMES = {1: "slice", 5: "idr", 6: "sei", 7: "sps", 8: "pps",
+                   9: "aud"}
+
+
+def h264_nal_units(payload: bytes) -> list[dict]:
+    """Split an H.264 Annex B byte stream (ITU-T H.264 §B.1: 3- or
+    4-byte start codes) into NAL units: [{offset, size, type, name,
+    keyframe}]. Keyframes are IDR slices (type 5) — the positions a
+    frame-sampling pipeline seeks to. Framing only — see module note."""
+    data = payload
+    starts = []
+    i = 0
+    while i + 3 <= len(data):
+        if data[i:i + 3] == b"\x00\x00\x01":
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    if not starts:
+        raise ValueError("no Annex B start code found")
+    units = []
+    for j, s in enumerate(starts):
+        end = (starts[j + 1] - 3) if j + 1 < len(starts) else len(data)
+        if end > s and data[end - 1:end] == b"\x00" and j + 1 < len(starts):
+            end -= 1  # 4-byte start code: trailing zero belongs to the code
+        if end <= s:
+            continue
+        t = data[s] & 0x1F
+        units.append({"offset": s, "size": end - s, "type": t,
+                      "name": _H264_NAL_NAMES.get(t, f"nal{t}"),
+                      "keyframe": t == 5})
+    return units

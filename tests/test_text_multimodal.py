@@ -1017,3 +1017,93 @@ def test_dsir_single_token_docs(spark):
     assert len(out) == 3                       # every doc, incl. NULL text
     assert out[0].n_feats == 1                 # unigram only
     assert out[2].n_feats == 0 and out[2].logw_q == 0
+
+
+def _mk_mp3(n=3):
+    frames = []
+    for i in range(n):
+        pad = i % 2
+        b = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+                   (9 << 4) | (0 << 2) | (pad << 1), 3 << 6])
+        size = 144 * 128000 // 44100 + pad
+        frames.append(b + b"\x00" * (size - 4))
+    return b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10 + \
+        b"".join(frames)
+
+
+def _mk_adts(n=2):
+    out = []
+    for i in range(n):
+        size = 7 + 60 + i
+        h = bytearray(7)
+        h[0], h[1] = 0xFF, 0xF1
+        h[2] = (1 << 6) | (3 << 2)
+        h[3] = (2 << 6) | ((size >> 11) & 3)
+        h[4] = (size >> 3) & 0xFF
+        h[5] = ((size & 7) << 5) | 0x1F
+        h[6] = 0xFC
+        out.append(bytes(h) + b"\x00" * (size - 7))
+    return b"".join(out)
+
+
+def _mk_h264():
+    return (b"\x00\x00\x00\x01" + bytes([0x67]) + b"\x11\x22"
+            + b"\x00\x00\x01" + bytes([0x68]) + b"\x33"
+            + b"\x00\x00\x00\x01" + bytes([0x65]) + b"\xAA\xBB"
+            + b"\x00\x00\x01" + bytes([0x41]) + b"\xDD")
+
+
+def test_compressed_demux_layers():
+    from geotrellis_server_spark.sources.media_codecs import (
+        aac_adts_frames, h264_nal_units, mp3_frames)
+
+    m = mp3_frames(_mk_mp3())
+    assert (m["sample_rate"], m["channels"], m["layer"],
+            m["n_frames"]) == (44100, 1, 3, 3)
+    a = aac_adts_frames(_mk_adts())
+    assert (a["sample_rate"], a["channels"], a["profile"],
+            a["n_frames"]) == (48000, 2, 2, 2)
+    u = h264_nal_units(_mk_h264())
+    assert [x["name"] for x in u] == ["sps", "pps", "idr", "slice"]
+    assert sum(x["keyframe"] for x in u) == 1
+    with pytest.raises(ValueError):
+        mp3_frames(b"\x00" * 64)
+
+
+def test_media_probe(spark):
+    """ffprobe-style metadata over the full codec inventory, including
+    the real synth payloads and the compressed demux layers."""
+    from geotrellis_server_spark.operators.multimodal import (media_probe,
+                                                              synth_media)
+    from geotrellis_server_spark.sources.synth import docs as synth_docs
+
+    media = synth_media(spark, synth_docs(spark, 60))
+    extra = spark.createDataFrame(
+        [("x-mp3", bytearray(_mk_mp3())),
+         ("x-aac", bytearray(_mk_adts())),
+         ("x-h264", bytearray(_mk_h264())),
+         ("x-junk", bytearray(b"total garbage not a codec"))],
+        "media_ref string, payload binary")
+    probed = media_probe(
+        media.select("media_ref", "payload").unionByName(extra))
+    rows = probed.collect()
+    by_codec = {}
+    for r in rows:
+        by_codec.setdefault(r.codec, []).append(r)
+    # synth corpus covers image + audio + video payloads
+    assert {"png", "wav-pcm16"} <= set(by_codec)
+    assert any(c.startswith("wav-") or c == "flac" for c in by_codec)
+    mp3 = next(r for r in rows if r.media_ref == "x-mp3")
+    assert mp3.codec == "mpeg1-layer3" and mp3.sample_rate == 44100
+    assert abs(mp3.duration_s - 3 * 1152 / 44100) < 1e-9
+    aac = next(r for r in rows if r.media_ref == "x-aac")
+    assert aac.codec == "aac-adts" and aac.n_frames == 2
+    h264 = next(r for r in rows if r.media_ref == "x-h264")
+    assert h264.codec == "h264-annexb" and h264.n_keyframes == 1
+    assert next(r for r in rows if r.media_ref == "x-junk").codec == "unknown"
+    # every audio/video payload got a real duration or frame count
+    for r in rows:
+        if r.codec.startswith(("wav-", "flac", "mpeg1", "aac")):
+            assert r.duration_s is not None and r.duration_s > 0
+        if r.codec in ("y4m", "mjpeg-avi"):
+            assert r.n_frames and r.width and r.height
