@@ -332,6 +332,26 @@ def run_bench(cores: int, only: str | None = None) -> dict:
             "w", k=64, group_by=["source"],
         ).write.mode("overwrite").format("noop").save(),
     )
+    # q20/q21 — the round-5 heavy text ops over the FULL 4M-doc corpus
+    # (text spans joined per doc): ExactSubstr-style span dedup and the
+    # CCNet bigram-LM scorer — scan → extract → op, like q1.
+    def load_text():
+        return spark.read.parquet(docs_path).select(
+            "doc_id",
+            F.expr("array_join(transform(filter(spans, s -> s.kind = "
+                   "'text'), s -> s.text), ' ')").alias("text"))
+
+    timed(
+        "q20_span_dedup",
+        lambda: text.repeated_span_dedup(load_text(), k=5)
+        .write.mode("overwrite").format("noop").save(),
+    )
+    timed(
+        "q21_lm_logprob",
+        lambda: text.ngram_lm_logprob(
+            load_text(), load_text().where("hash(doc_id) % 5 != 0"))
+        .write.mode("overwrite").format("noop").save(),
+    )
     timed(
         "q8_text_stats",
         lambda: text.text_stats(documents).write.mode("overwrite").format("noop").save(),
