@@ -3195,6 +3195,93 @@ def _pagerank_oracle(n_iter: int = 5) -> str:
             + f"\n    SELECT node, pr_q AS rank_q FROM pr{n_iter}")
 
 
+def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized Lloyd's k-means (operators/ml.py:kmeans), k=8,
+    3 rounds over the embeddings table: every coordinate floor-
+    quantized to 2^-20, distances / argmins / centroid updates exact
+    BIGINT arithmetic — any-engine reproducible (SemDeDup / IVF-train
+    backbone)."""
+    from geotrellis_server_spark.operators.ml import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans(emb, k=8, n_iter=3)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning pairs (operators/ml.py:semantic_dedup_pairs,
+    Abbas et al. 2023): k-means cluster (k=8, 3 rounds), then within-
+    cluster quantized-cosine >= 2/5 pairs, keep_id < drop_id."""
+    from geotrellis_server_spark.operators.ml import (
+        kmeans, semantic_dedup_pairs)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clusters = kmeans(emb, k=8, n_iter=3)
+    return semantic_dedup_pairs(emb, clusters, theta_num=2, theta_den=5)
+
+
+def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier (operators/ml.py:
+    nb_classify — the aggregation-native fastText-quality-filter
+    analog): train on even doc_ids with lang labels, classify every
+    document; per-token class log-probs floor-quantized to 2^-20 so
+    scores and argmax ties are exact."""
+    from geotrellis_server_spark.operators.ml import nb_classify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return nb_classify(docs.where("doc_id % 2 = 0"), docs)
+
+
+def _q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf keywords (operators/text.py:
+    tfidf_top_terms): idf floor-quantized to 2^-20 before the tf
+    multiply, (score desc, term asc) total tie-break."""
+    from geotrellis_server_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=3)
+
+
+def _kmeans_oracle() -> str:
+    from geotrellis_server_spark.operators.ml import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(k=8, n_iter=3)
+
+
+def _semantic_dedup_oracle() -> str:
+    from geotrellis_server_spark.operators.ml import (
+        kmeans_oracle_sql, semantic_dedup_oracle_sql)
+
+    return semantic_dedup_oracle_sql(
+        kmeans_oracle_sql(k=8, n_iter=3), theta_num=2, theta_den=5)
+
+
+def _nb_classify_oracle() -> str:
+    from geotrellis_server_spark.operators.ml import nb_classify_oracle_sql
+
+    return nb_classify_oracle_sql("doc_id % 2 = 0")
+
+
+def _tfidf_top3_oracle() -> str:
+    return """
+    WITH tf AS MATERIALIZED (
+        SELECT doc_id, tok AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY doc_id, tok),
+    idf AS MATERIALIZED (
+        SELECT term,
+               CAST(floor(ln(CAST((SELECT count(*) FROM documents)
+                    AS DOUBLE) / count(*)) * 1048576.0) AS BIGINT)
+               AS idf_q
+        FROM tf GROUP BY term),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf_q AS score_q,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY tf.tf * idf.idf_q DESC, tf.term) AS rank
+          FROM tf JOIN idf USING (term))
+    SELECT doc_id, term, CAST(rank AS INT) AS rank, score_q
+    FROM s WHERE rank <= 3"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -3295,6 +3382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_set_ops": _q_kmv_set_ops,
         "sketch_sample_per_group": _q_sample_per_group,
         "graph_pagerank_purchases": _q_pagerank,
+        "ml_kmeans_assign": _q_kmeans_assign,
+        "dedup_semantic_pairs": _q_semantic_dedup,
+        "ml_nb_classify": _q_nb_classify,
+        "text_tfidf_top3": _q_tfidf_top3,
     }
 
 
@@ -3580,6 +3671,10 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kmv_set_ops": _kmv_set_ops_oracle(),
         "sketch_sample_per_group": _sample_per_group_oracle(),
         "graph_pagerank_purchases": _pagerank_oracle(),
+        "ml_kmeans_assign": _kmeans_oracle(),
+        "dedup_semantic_pairs": _semantic_dedup_oracle(),
+        "ml_nb_classify": _nb_classify_oracle(),
+        "text_tfidf_top3": _tfidf_top3_oracle(),
     }
 
 

@@ -1,0 +1,456 @@
+"""Embedding-space ML operators — integer-quantized k-means (Lloyd's),
+SemDeDup-style semantic near-dup pruning, and a multinomial Naive Bayes
+document classifier.
+
+Reference parity note: the reference engine (geotrellis-server) has no
+ML operators; these belong to the LLM-pipeline family the brief adds —
+k-means clustering is the backbone of SemDeDup (Abbas et al. 2023,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication") and of IVF index training; the Naive Bayes classifier
+is the aggregation-friendly stand-in for the fastText quality filter of
+the GPT-3 / CCNet pipelines (Brown et al. 2020 §A; Wenzek et al. 2020).
+
+Determinism design (same doctrine as operators/graph.py): float
+centroids and float cosine thresholds are order-sensitive, so every
+coordinate is floor-quantized ONCE to integer quanta and all distances,
+argmins, centroid updates and threshold tests are exact BIGINT
+arithmetic — associative, partition/order-invariant, and replayable
+bit-for-bit by a SQL oracle. Quantization is part of the operator's
+*definition*, not an implementation detail.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# k-means coordinate quanta: embeddings live in ~[-1, 1], so 2^20
+# quanta keep 6 significant digits; squared-distance sums stay < 2^48
+# for dim <= 64 (see kmeans docstring for the general bound)
+KMEANS_SCALE = 1 << 20
+# cosine-test quanta: the threshold test squares the dot product, so
+# the scale must satisfy dim^2 * scale^4 * theta_den^2 < 2^63;
+# 2^10 gives dot^2 <= (64 * 2^20)^2 = 2^52 at dim 64
+COS_SCALE = 1 << 10
+
+
+def quantize_expr(vec_col: str, scale: int) -> str:
+    """SQL expression quantizing array<float> -> array<bigint> by
+    floor(x * scale). float->double is exact and scale is a power of
+    two, so the double multiply is exact and both engines floor the
+    identical value."""
+    return (f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * "
+            f"{float(scale)!r}D) AS BIGINT))")
+
+
+def _sq_dist_expr(a: str, b: str) -> str:
+    """Exact BIGINT squared distance between two quantized vectors."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"0L, (acc, v) -> acc + v)")
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = KMEANS_SCALE,
+    dim: int | None = None,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, fully deterministic:
+    (id, cluster_id, dist_q) after ``n_iter`` synchronous rounds.
+
+    - Coordinates are floor-quantized to ``scale`` quanta (BIGINT).
+    - Init: the k rows with the smallest md5(CAST(id AS STRING)) become
+      centroids 1..k (content-hash order — partition-invariant and
+      identical in any engine; df.sample() is neither).
+    - Assignment: argmin of exact integer squared distances, ties to
+      the lowest cluster id (array_position finds the FIRST minimum).
+    - Update: per-cluster per-dimension BIGINT sums; the new coordinate
+      is floor(sum / count) evaluated in double — exact-safe while
+      |sum| < 2^52 (the quotient is >= 1/count away from the nearest
+      integer unless exact, and the division error is < ulp). Empty
+      clusters keep their previous centroid.
+
+    Scale shape: assignment is ZERO-shuffle — centroids travel as a
+    k*dim literal inside the codegen'd expression (the classic
+    broadcast-centroids plan). The update is one groupBy(cid) exchange
+    of k rows with map-side partial sums (dim sums per row). Driver
+    state is k*dim BIGINTs per round — bounded like BPE's argmax. At
+    10^12 rows the only wide stage is the map-side-combined k-row
+    aggregate; the quantized input is localCheckpoint'ed once and
+    reused every round.
+
+    Overflow bound: per-dim squared deltas <= (2*scale)^2, so dist fits
+    BIGINT while dim * 4 * scale^2 < 2^63 (dim <= 2^21 at scale 2^20).
+    """
+    if k < 1 or n_iter < 0:
+        raise ValueError("k >= 1 and n_iter >= 0 required")
+    q = (df.select(F.col(id_col).alias("_id"),
+                   F.expr(quantize_expr(vec_col, scale)).alias("q"))
+         .localCheckpoint(eager=True))
+    if dim is None:
+        first = q.select(F.size("q").alias("d")).head()
+        if first is None:
+            raise ValueError("empty input")
+        dim = int(first["d"])
+    # bounded driver collect: exactly k rows (TakeOrderedAndProject)
+    init = (q.orderBy(F.expr("md5(CAST(_id AS STRING))"), F.col("_id"))
+            .limit(int(k)).collect())
+    if len(init) < k:
+        raise ValueError(f"need >= {k} rows, got {len(init)}")
+    cents = [list(r["q"]) for r in init]
+
+    def _assign(cents) -> DataFrame:
+        lit = "array(" + ", ".join(
+            "array(" + ", ".join(f"{int(v)}L" for v in c) + ")"
+            for c in cents) + ")"
+        return (q.select("_id", "q",
+                         F.expr(f"transform({lit}, c -> "
+                                + _sq_dist_expr("q", "c") + ")").alias("d"))
+                .select("_id", "q",
+                        F.expr("CAST(array_position(d, array_min(d)) "
+                               "AS INT)").alias("cid"),
+                        F.expr("array_min(d)").alias("dist_q")))
+
+    for _ in range(n_iter):
+        sums = (_assign(cents).groupBy("cid").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+              for i in range(dim)])
+        ).collect()  # bounded: k rows of dim sums
+        upd = {int(r["cid"]): [math.floor(float(r[f"s{i}"]) / r["n"])
+                               for i in range(dim)] for r in sums}
+        cents = [upd.get(i + 1, cents[i]) for i in range(len(cents))]
+    return _assign(cents).select(
+        F.col("_id").alias(id_col),
+        F.col("cid").alias("cluster_id"),
+        F.col("dist_q").cast("long").alias("dist_q"))
+
+
+def kmeans_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = KMEANS_SCALE,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of :func:`kmeans` — unrolled MATERIALIZED CTEs,
+    one (assign, update) pair per round, exact integer arithmetic
+    throughout (same doctrine as the PageRank oracle)."""
+    d1 = dim + 1
+    qx = (f"list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+          f" * {float(scale)!r}) AS BIGINT))")
+    parts = [f"""
+    WITH e AS MATERIALIZED (
+        SELECT {id_col} AS id, {qx} AS q FROM {table}),
+    c0 AS MATERIALIZED (
+        SELECT row_number() OVER (
+            ORDER BY md5(CAST(id AS VARCHAR)), id) AS cid, q
+        FROM e ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {k})"""]
+    for r in range(1, n_iter + 2):
+        parts.append(f"""
+    a{r} AS MATERIALIZED (
+        SELECT id, q, cid, dist FROM (
+            SELECT e.id, e.q, c.cid,
+                   CAST(list_sum(list_transform(range(1, {d1}),
+                        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i])))
+                        AS BIGINT) AS dist,
+                   row_number() OVER (PARTITION BY e.id
+                                      ORDER BY CAST(list_sum(
+                        list_transform(range(1, {d1}),
+                        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i])))
+                        AS BIGINT), c.cid) AS rn
+            FROM e CROSS JOIN c{r - 1} c) WHERE rn = 1)""")
+        if r == n_iter + 1:
+            break
+        parts.append(f"""
+    c{r} AS MATERIALIZED (
+        SELECT o.cid, coalesce(n.q, o.q) AS q
+        FROM c{r - 1} o LEFT JOIN (
+            SELECT cid, list(m ORDER BY i) AS q FROM (
+                SELECT cid, t.i,
+                       CAST(floor(CAST(sum(q[t.i]) AS DOUBLE)
+                                  / count(*)) AS BIGINT) AS m
+                FROM a{r}, range(1, {d1}) t(i) GROUP BY cid, t.i)
+            GROUP BY cid) n ON o.cid = n.cid)""")
+    parts.append(f"""
+    SELECT id AS {id_col}, cid AS cluster_id, dist AS dist_q
+    FROM a{n_iter + 1}""")
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    clusters: DataFrame,
+    theta_num: int = 4,
+    theta_den: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = COS_SCALE,
+) -> DataFrame:
+    """SemDeDup pruning pairs (Abbas et al. 2023): within each k-means
+    cluster, every ordered pair (keep_id < drop_id) whose quantized
+    cosine similarity is >= theta_num/theta_den. Downstream keeps one
+    representative per near-dup neighborhood by dropping the distinct
+    ``drop_id`` set — the published recipe (cluster, then prune
+    within-cluster cosine neighbors), made exact:
+
+        cos(a, b) >= t  <=>  dot > 0  AND  den^2*dot^2 >= num^2*|a|^2*|b|^2
+
+    with dot/|a|^2/|b|^2 BIGINT sums over floor-quantized coordinates —
+    no float comparison anywhere, so cross-engine reproducible.
+
+    Scale shape: norms are row-local; the pair generator is a self-
+    equi-join ON cluster_id (shuffle keyed by cluster — NEVER all-pairs
+    across the corpus; cluster count grows with the corpus so per-
+    cluster pair counts stay bounded, and a skewed giant cluster is an
+    input-tuning problem AQE skew-join splits). Overflow: requires
+    dim * theta_den * scale^2 < 2^31 (dot^2 terms < 2^63) — dim 64,
+    den <= 5, scale 2^10 gives 2^57 max.
+
+    Zero-norm (all-zero quantized) vectors never match: dot > 0 fails.
+    """
+    qn = (df.select(F.col(id_col).alias("_id"),
+                    F.expr(quantize_expr(vec_col, scale)).alias("q"))
+          .withColumn("n2", F.expr(
+              "aggregate(transform(q, x -> x * x), 0L, (a, v) -> a + v)"))
+          .join(clusters.select(F.col(id_col).alias("_id"), "cluster_id"),
+                "_id"))
+    a = qn.select(F.col("_id").alias("ida"), F.col("q").alias("qa"),
+                  F.col("n2").alias("na2"), "cluster_id")
+    b = qn.select(F.col("_id").alias("idb"), F.col("q").alias("qb"),
+                  F.col("n2").alias("nb2"), "cluster_id")
+    t2n, t2d = theta_num * theta_num, theta_den * theta_den
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col("ida") < F.col("idb"))
+        .withColumn("dot", F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
+            "(acc, v) -> acc + v)"))
+        .where(F.expr(f"dot > 0 AND {t2d} * dot * dot >= "
+                      f"{t2n} * na2 * nb2"))
+        .select(F.col("ida").alias("keep_id"),
+                F.col("idb").alias("drop_id"))
+    )
+
+
+def semantic_dedup_oracle_sql(
+    kmeans_sql_body: str,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    theta_num: int = 4,
+    theta_den: int = 5,
+    scale: int = COS_SCALE,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of kmeans + :func:`semantic_dedup_pairs`.
+    ``kmeans_sql_body`` is the full kmeans oracle; it is embedded as a
+    subquery supplying cluster assignments."""
+    d1 = dim + 1
+    qx = (f"list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+          f" * {float(scale)!r}) AS BIGINT))")
+    t2n, t2d = theta_num * theta_num, theta_den * theta_den
+    return f"""
+    WITH km AS MATERIALIZED ({kmeans_sql_body}),
+    qn AS MATERIALIZED (
+        SELECT t.{id_col} AS id, {qx} AS q,
+               CAST(list_sum(list_transform({qx}, x -> x * x))
+                    AS BIGINT) AS n2,
+               km.cluster_id
+        FROM {table} t JOIN km ON t.{id_col} = km.{id_col}),
+    pairs AS (
+        SELECT a.id AS keep_id, b.id AS drop_id,
+               CAST(list_sum(list_transform(range(1, {d1}),
+                    i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+               a.n2 AS na2, b.n2 AS nb2
+        FROM qn a JOIN qn b
+          ON a.cluster_id = b.cluster_id AND a.id < b.id)
+    SELECT keep_id, drop_id FROM pairs
+    WHERE dot > 0 AND {t2d} * dot * dot >= {t2n} * na2 * nb2"""
+
+
+def nb_classify(
+    train: DataFrame,
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes: train add-1-smoothed per-class token
+    distributions on ``train``, classify every row of ``docs``:
+    (id, pred, score_q). The aggregation-native stand-in for the
+    fastText quality classifier of the GPT-3/CCNet pipelines.
+
+        score(c, doc) = ln prior(c) + sum_t ln((c_tc + 1) / (N_c + V))
+
+    with V = |train vocab| (docs-side unseen tokens still score the
+    smoothing floor ln(1/(N_c+V))). Each per-token class log-prob is
+    floor-quantized to 2^-20 BEFORE the per-doc sum (the dsir/lm_logprob
+    doctrine — integer sums are order-invariant and cross-engine exact;
+    a 1-ULP ln() divergence only matters within 2^-32 of a quantum
+    edge). Prediction = argmax score_q, ties to the lexically smallest
+    class label.
+
+    Scale shape: the model is a groupBy(token) count pivoted to one row
+    per token with a per-class count array (map-side partials; vocab-
+    sized, far smaller than the corpus). Scoring BROADCAST-joins the
+    model onto the row-local doc-token stream, sums BIGINTs per doc
+    (one map-side-combined exchange) and argmaxes over the class array
+    row-locally. Classes are a bounded driver collect (the class list
+    is the model's schema, like BPE's argmax scalar)."""
+    classes = sorted(
+        r[0] for r in
+        train.select(label_col).where(F.col(label_col).isNotNull())
+        .distinct().collect())
+    if not classes:
+        raise ValueError("no classes in train")
+    k = len(classes)
+
+    def _toks(d: DataFrame, *extra) -> DataFrame:
+        return (d.select(*extra,
+                         F.explode(F.split(F.col(text_col), " "))
+                         .alias("tok"))
+                .where(F.col("tok") != ""))
+
+    tr = _toks(train.where(F.col(label_col).isNotNull()),
+               F.col(label_col).alias("_cls"))
+    # one row per token: per-class counts (pivot via conditional aggs)
+    model = tr.groupBy("tok").agg(
+        *[F.sum(F.when(F.col("_cls") == c, 1).otherwise(0))
+          .alias(f"c{i}") for i, c in enumerate(classes)])
+    # class totals + vocab + doc priors: tiny, one collect each
+    tot = tr.groupBy("_cls").agg(F.count("*").alias("n")).collect()
+    n_c = {r["_cls"]: r["n"] for r in tot}
+    vocab = model.count()
+    pri = (train.where(F.col(label_col).isNotNull())
+           .groupBy(label_col).agg(F.count("*").alias("n")).collect())
+    n_docs = sum(r["n"] for r in pri)
+    prior = {r[label_col]: r["n"] for r in pri}
+
+    # per-token per-class quantized log-prob columns; unseen-token
+    # smoothing floor folded into the coalesce default
+    S = 1 << 20
+    lp_cols = []
+    floors = []
+    for i, c in enumerate(classes):
+        den = n_c.get(c, 0) + vocab
+        lp_cols.append(F.expr(
+            f"CAST(floor((ln(CAST(c{i} + 1 AS DOUBLE)) - "
+            f"ln(CAST({den} AS DOUBLE))) * {float(S)!r}D) AS BIGINT)"
+        ).alias(f"q{i}"))
+        floors.append(int(math.floor(-math.log(float(den)) * S)))
+    mq = model.select("tok", *lp_cols)
+    prior_q = [int(math.floor(
+        math.log(prior.get(c, 0) / n_docs) * S)) for c in classes]
+
+    scored = (
+        _toks(docs, F.col(id_col))
+        .join(F.broadcast(mq), "tok", "left")
+        .groupBy(id_col)
+        .agg(*[(F.sum(F.coalesce(F.col(f"q{i}"), F.lit(floors[i])))
+                + F.lit(prior_q[i])).alias(f"s{i}") for i in range(k)])
+    )
+    arr = "array(" + ", ".join(f"s{i}" for i in range(k)) + ")"
+    cls_arr = "array(" + ", ".join(
+        "'" + c.replace("'", "''") + "'" for c in classes) + ")"
+    out = scored.select(
+        F.col(id_col),
+        F.expr(f"element_at({cls_arr}, CAST(array_position({arr}, "
+               f"array_max({arr})) AS INT))").alias("pred"),
+        F.expr(f"array_max({arr})").cast("long").alias("score_q"))
+    # every doc comes out: token-less docs score prior-only, argmax
+    # over priors alone (same tie-break)
+    prior_pred = max(range(k), key=lambda i: (prior_q[i], -i))
+    return (docs.select(id_col).join(out, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("pred",
+                               F.lit(classes[prior_pred])).alias("pred"),
+                    F.coalesce("score_q", F.lit(prior_q[prior_pred]))
+                    .cast("long").alias("score_q")))
+
+
+def nb_classify_oracle_sql(
+    train_where: str,
+    docs_where: str = "TRUE",
+    table: str = "documents",
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of :func:`nb_classify` (train = rows matching
+    ``train_where``). Classes/priors/vocab are CTEs instead of driver
+    scalars; the per-token quantized log-prob and the argmax tie-break
+    mirror the Spark expressions exactly."""
+    S = float(1 << 20)
+    return f"""
+    WITH tr AS MATERIALIZED (
+        SELECT {label_col} AS cls, unnest(string_split({text_col}, ' '))
+               AS tok
+        FROM {table} WHERE ({train_where})
+              AND {label_col} IS NOT NULL),
+    trt AS MATERIALIZED (SELECT cls, tok FROM tr WHERE tok <> ''),
+    classes AS MATERIALIZED (
+        SELECT cls, row_number() OVER (ORDER BY cls) AS ci
+        FROM (SELECT DISTINCT cls FROM trt)),
+    nc AS MATERIALIZED (SELECT cls, count(*) AS n FROM trt GROUP BY cls),
+    vocab AS MATERIALIZED (
+        SELECT count(DISTINCT tok) AS v FROM trt),
+    model AS MATERIALIZED (
+        SELECT t.tok, c.cls,
+               CAST(floor((ln(CAST(count(*) + 1 AS DOUBLE)) -
+                    ln(CAST(nc.n + vocab.v AS DOUBLE))) * {S!r})
+                    AS BIGINT) AS q
+        FROM trt t JOIN classes c ON t.cls = c.cls
+        JOIN nc ON nc.cls = c.cls CROSS JOIN vocab
+        GROUP BY t.tok, c.cls, nc.n, vocab.v),
+    floors AS MATERIALIZED (
+        SELECT c.cls,
+               CAST(floor(-ln(CAST(nc.n + vocab.v AS DOUBLE)) * {S!r})
+                    AS BIGINT) AS fq
+        FROM classes c JOIN nc ON nc.cls = c.cls CROSS JOIN vocab),
+    priors AS MATERIALIZED (
+        SELECT c.cls,
+               CAST(floor(ln(CAST(p.n AS DOUBLE) /
+                    (SELECT sum(n) FROM (
+                        SELECT count(*) AS n FROM {table}
+                        WHERE ({train_where}) AND {label_col} IS NOT NULL
+                        GROUP BY {label_col}))) * {S!r}) AS BIGINT) AS pq
+        FROM classes c JOIN (
+            SELECT {label_col} AS cls, count(*) AS n FROM {table}
+            WHERE ({train_where}) AND {label_col} IS NOT NULL
+            GROUP BY {label_col}) p ON p.cls = c.cls),
+    dt AS MATERIALIZED (
+        SELECT {id_col} AS id, unnest(string_split({text_col}, ' '))
+               AS tok
+        FROM {table} WHERE ({docs_where})),
+    dtt AS MATERIALIZED (SELECT id, tok FROM dt WHERE tok <> ''),
+    scores AS MATERIALIZED (
+        SELECT d.id, c.cls,
+               sum(coalesce(m.q, f.fq)) + any_value(p.pq) AS s
+        FROM dtt d CROSS JOIN classes c
+        LEFT JOIN model m ON m.tok = d.tok AND m.cls = c.cls
+        JOIN floors f ON f.cls = c.cls
+        JOIN priors p ON p.cls = c.cls
+        GROUP BY d.id, c.cls),
+    best AS (
+        SELECT id, cls AS pred, CAST(s AS BIGINT) AS score_q,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY s DESC, cls) AS rn
+        FROM scores),
+    prior_best AS (
+        SELECT cls AS pred, pq AS score_q,
+               row_number() OVER (ORDER BY pq DESC, cls) AS rn
+        FROM priors)
+    SELECT t.{id_col}, coalesce(b.pred, pb.pred) AS pred,
+           coalesce(b.score_q, pb.score_q) AS score_q
+    FROM {table} t
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id = t.{id_col}
+    CROSS JOIN (SELECT * FROM prior_best WHERE rn = 1) pb
+    WHERE ({docs_where})"""

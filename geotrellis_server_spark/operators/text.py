@@ -757,3 +757,52 @@ def ngram_lm_logprob(
             F.coalesce("n_bigrams", F.lit(0)).cast("long")
             .alias("n_bigrams"))
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf over the FULL corpus
+    vocabulary (keyword extraction / salient-term tagging — the
+    unsupervised complement of :func:`bm25_stats`' fixed-term
+    retrieval): (id, term, rank, score_q) with
+
+        score_q = tf(term, doc) * floor(ln(N / df(term)) * 2^20)
+
+    N = corpus document count, df = documents containing the term.
+    The idf is floor-quantized BEFORE the tf multiply, so scores are
+    BIGINTs — exact, and the (score desc, term asc) top-k tie-break is
+    total. Corpus-wide terms (df = N) score 0 but can still rank when
+    a short doc has nothing rarer.
+
+    Scale shape: tf is a groupBy(doc, term) count of the row-local
+    token stream (map-side partials); df is a groupBy(term) count of
+    the distinct (doc, term) pairs tf already produced — no second
+    scan. The vocab-sized idf table joins back on term (AQE broadcasts
+    when it fits) and the top-k is a row_number window partitioned by
+    doc — a per-doc sort, never global."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # bounded: one scalar
+    tf = (docs.select(F.col(id_col),
+                      F.explode(F.split(F.col(text_col), " "))
+                      .alias("term"))
+          .where(F.col("term") != "")
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    idf = tf.groupBy("term").agg(F.expr(
+        f"CAST(floor(ln(CAST({n_docs} AS DOUBLE) / count(*)) * "
+        f"1048576.0D) AS BIGINT)").alias("idf_q"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_q").desc(), F.col("term"))
+    return (tf.join(idf, "term")
+            .select(F.col(id_col), "term",
+                    (F.col("tf") * F.col("idf_q")).alias("score_q"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", F.col("rank").cast("int"),
+                    F.col("score_q").cast("long")))
