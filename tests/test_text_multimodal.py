@@ -1107,3 +1107,25 @@ def test_media_probe(spark):
             assert r.duration_s is not None and r.duration_s > 0
         if r.codec in ("y4m", "mjpeg-avi"):
             assert r.n_frames and r.width and r.height
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from geotrellis_server_spark.operators.text import tfidf_top_terms
+
+    docs = [(1, "a a rare b"), (2, "a b b common"), (3, "a c c c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.rank): (r.term, r.score_q)
+           for r in tfidf_top_terms(df, k=2).collect()}
+    S = 1 << 20
+    q = lambda n, d: math.floor(math.log(n / d) * S)
+    # doc 1: rare (1*ln3), b (1*ln(3/2)), a (2*ln(3/3)=0) -> top2
+    assert got[(1, 1)] == ("rare", q(3, 1))
+    assert got[(1, 2)] == ("b", q(3, 2))
+    # doc 3: c tf=3 dominates; then a scores 0
+    assert got[(3, 1)] == ("c", 3 * q(3, 1))
+    assert got[(3, 2)] == ("a", 0)
+    # corpus-wide term ('a', df=N) scores exactly 0, still ranked
+    with __import__("pytest").raises(ValueError):
+        tfidf_top_terms(df, k=0)
