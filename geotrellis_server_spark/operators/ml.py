@@ -89,8 +89,9 @@ def kmeans(
     """
     if k < 1 or n_iter < 0:
         raise ValueError("k >= 1 and n_iter >= 0 required")
-    q = (df.select(F.col(id_col).alias("_id"),
-                   F.expr(quantize_expr(vec_col, scale)).alias("q"))
+    q = (df.where(F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("_id"),
+                 F.expr(quantize_expr(vec_col, scale)).alias("q"))
          .localCheckpoint(eager=True))
     if dim is None:
         first = q.select(F.size("q").alias("d")).head()
@@ -148,7 +149,8 @@ def kmeans_oracle_sql(
           f" * {float(scale)!r}) AS BIGINT))")
     parts = [f"""
     WITH e AS MATERIALIZED (
-        SELECT {id_col} AS id, {qx} AS q FROM {table}),
+        SELECT {id_col} AS id, {qx} AS q FROM {table}
+        WHERE {vec_col} IS NOT NULL),
     c0 AS MATERIALIZED (
         SELECT row_number() OVER (
             ORDER BY md5(CAST(id AS VARCHAR)), id) AS cid, q
@@ -321,14 +323,20 @@ def nb_classify(
 
     tr = _toks(train.where(F.col(label_col).isNotNull()),
                F.col(label_col).alias("_cls"))
-    # one row per token: per-class counts (pivot via conditional aggs)
+    # one row per token: per-class counts (pivot via conditional aggs);
+    # checkpointed so the stats pass below and the scoring join both
+    # read the small materialized table, not the corpus lineage
     model = tr.groupBy("tok").agg(
         *[F.sum(F.when(F.col("_cls") == c, 1).otherwise(0))
-          .alias(f"c{i}") for i, c in enumerate(classes)])
-    # class totals + vocab + doc priors: tiny, one collect each
-    tot = tr.groupBy("_cls").agg(F.count("*").alias("n")).collect()
-    n_c = {r["_cls"]: r["n"] for r in tot}
-    vocab = model.count()
+          .alias(f"c{i}") for i, c in enumerate(classes)]
+    ).localCheckpoint(eager=True)
+    # class token totals + vocab fall out of the model table (no second
+    # corpus scan: N_c = column sum, V = row count)
+    stats = model.agg(
+        F.count("*").alias("_v"),
+        *[F.sum(f"c{i}").alias(f"_n{i}") for i in range(k)]).head()
+    n_c = {c: int(stats[f"_n{i}"] or 0) for i, c in enumerate(classes)}
+    vocab = int(stats["_v"])
     pri = (train.where(F.col(label_col).isNotNull())
            .groupBy(label_col).agg(F.count("*").alias("n")).collect())
     n_docs = sum(r["n"] for r in pri)
