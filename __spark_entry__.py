@@ -3195,6 +3195,46 @@ def _pagerank_oracle(n_iter: int = 5) -> str:
             + f"\n    SELECT node, pr_q AS rank_q FROM pr{n_iter}")
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus partitioning (Wenzek et al. 2020
+    §4.3: per-language terciles of LM score — 'head' is the cleanest
+    third used for pretraining). Composes ngram_lm_logprob with a
+    per-lang ntile(3) over the mean bigram log-prob (DESC, doc_id
+    tie-break; zero-bigram docs sort last). The per-doc mean is ONE
+    correctly-rounded IEEE division, so the ordering — hence the
+    buckets — is cross-engine exact."""
+    from pyspark.sql import Window
+
+    from geotrellis_server_spark.operators.text import ngram_lm_logprob
+
+    docs = _read_documents(spark, sf_dir)
+    lp = ngram_lm_logprob(docs, docs.where("doc_id % 5 != 0"))
+    j = lp.join(docs.select("doc_id", "lang"), "doc_id")
+    mean = F.expr("CASE WHEN n_bigrams = 0 THEN NULL "
+                  "ELSE CAST(logprob_q AS DOUBLE) / n_bigrams END")
+    w = Window.partitionBy("lang").orderBy(mean.desc_nulls_last(),
+                                           F.col("doc_id"))
+    return (j.select("doc_id", "lang", F.ntile(3).over(w).alias("t"))
+            .select("doc_id", "lang",
+                    F.expr("element_at(array('head', 'middle', 'tail'), "
+                           "t)").alias("bucket")))
+
+
+def _ccnet_buckets_oracle() -> str:
+    return f"""
+    WITH lp AS MATERIALIZED ({_lm_logprob_oracle()}),
+    j AS (SELECT lp.doc_id, d.lang, lp.logprob_q, lp.n_bigrams
+          FROM lp JOIN documents d ON lp.doc_id = d.doc_id),
+    r AS (SELECT doc_id, lang,
+                 ntile(3) OVER (PARTITION BY lang ORDER BY
+                     (CASE WHEN n_bigrams = 0 THEN NULL
+                           ELSE CAST(logprob_q AS DOUBLE) / n_bigrams
+                      END) DESC NULLS LAST, doc_id) AS t
+          FROM j)
+    SELECT doc_id, lang, (['head', 'middle', 'tail'])[t] AS bucket
+    FROM r"""
+
+
 def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized Lloyd's k-means (operators/ml.py:kmeans), k=8,
     3 rounds over the embeddings table: every coordinate floor-
@@ -3386,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_pairs": _q_semantic_dedup,
         "ml_nb_classify": _q_nb_classify,
         "text_tfidf_top3": _q_tfidf_top3,
+        "pipeline_ccnet_buckets": _q_ccnet_buckets,
     }
 
 
@@ -3675,6 +3716,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic_pairs": _semantic_dedup_oracle(),
         "ml_nb_classify": _nb_classify_oracle(),
         "text_tfidf_top3": _tfidf_top3_oracle(),
+        "pipeline_ccnet_buckets": _ccnet_buckets_oracle(),
     }
 
 
