@@ -3195,6 +3195,50 @@ def _pagerank_oracle(n_iter: int = 5) -> str:
             + f"\n    SELECT node, pr_q AS rank_q FROM pr{n_iter}")
 
 
+def _q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (operators/graph.py:
+    label_propagation, Raghavan et al. 2007) over the undirected
+    customer–supplier purchase graph, 4 synchronous rounds; integer
+    labels + (count desc, label asc) tie-break make every round exactly
+    engine-reproducible."""
+    from geotrellis_server_spark.operators.graph import label_propagation
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + 1000000).alias("dst"))
+        .distinct()
+    )
+    return label_propagation(edges, n_iter=4)
+
+
+def _label_prop_oracle(n_iter: int = 4) -> str:
+    parts = ["""
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    und AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM e0
+            UNION ALL SELECT dst, src FROM e0)),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT a AS node, a AS label FROM und)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    l{i} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT u.a AS node, l.label, count(*) AS c,
+                   row_number() OVER (PARTITION BY u.a
+                       ORDER BY count(*) DESC, l.label) AS rn
+            FROM und u JOIN l{i - 1} l ON u.b = l.node
+            GROUP BY u.a, l.label) WHERE rn = 1)""")
+    return (",".join(parts)
+            + f"\n    SELECT node, CAST(label AS BIGINT) AS label "
+              f"FROM l{n_iter}")
+
+
 def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail corpus partitioning (Wenzek et al. 2020
     §4.3: per-language terciles of LM score — 'head' is the cleanest
@@ -3427,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_nb_classify": _q_nb_classify,
         "text_tfidf_top3": _q_tfidf_top3,
         "pipeline_ccnet_buckets": _q_ccnet_buckets,
+        "graph_label_prop_communities": _q_label_prop,
     }
 
 
@@ -3717,6 +3762,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_nb_classify": _nb_classify_oracle(),
         "text_tfidf_top3": _tfidf_top3_oracle(),
         "pipeline_ccnet_buckets": _ccnet_buckets_oracle(),
+        "graph_label_prop_communities": _label_prop_oracle(),
     }
 
 

@@ -89,3 +89,48 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return pr.select("node", F.col("pr_q").cast("long").alias("rank_q"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) — the
+    classic community detector for host/link graphs: every node starts
+    labeled with its own id; each round it adopts the most frequent
+    label among its neighbors (undirected — edges are symmetrized),
+    ties broken by the SMALLEST label. All state is integer node ids
+    and counts, so every round — and therefore the final labeling — is
+    exactly reproducible in any engine at any partitioning.
+
+    Returns (node, label) after ``n_iter`` rounds.
+
+    Scale shape per round: one equi-join of the label table onto the
+    symmetrized edge list (AQE broadcasts the label side when it fits)
+    and two map-side-combined aggregations — counts keyed by
+    (node, label), then the argmax as min(struct(-count, label)) keyed
+    by node: a pure aggregation argmax, NO per-node window/sort.
+    localCheckpoint cuts lineage each round (flat, like pagerank).
+    Synchronous LPA can 2-cycle on bipartite structure; determinism is
+    what the contract guarantees, convergence is the caller's call."""
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .unionByName(edges.select(F.col(dst_col).alias("a"),
+                                     F.col(src_col).alias("b")))
+           .distinct().localCheckpoint(eager=True))
+    lab = und.select(F.col("a").alias("node")).distinct() \
+             .select("node", F.col("node").alias("label"))
+    for _ in range(n_iter):
+        cnt = (und.join(lab.withColumnRenamed("node", "b"), "b")
+               .groupBy(F.col("a").alias("node"), "label")
+               .agg(F.count("*").alias("c")))
+        lab = (cnt.groupBy("node")
+               .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                   F.col("label").alias("l"))).alias("m"))
+               .select("node", F.col("m.l").alias("label"))
+               .localCheckpoint(eager=True))
+    return lab.select("node", F.col("label").cast("long").alias("label"))

@@ -46,3 +46,47 @@ def test_pagerank_zero_iter_and_validation(spark):
     assert got == {1: SCALE, 2: SCALE}
     with pytest.raises(ValueError):
         pagerank(edges, n_iter=-1)
+
+
+def _ref_lpa(E, n_iter):
+    und = set()
+    for a, b in E:
+        und.add((a, b)); und.add((b, a))
+    nodes = sorted({a for a, _ in und})
+    lab = {v: v for v in nodes}
+    for _ in range(n_iter):
+        new = {}
+        for v in nodes:
+            cnt = {}
+            for a, b in und:
+                if a == v:
+                    cnt[lab[b]] = cnt.get(lab[b], 0) + 1
+            new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_scalar_reference(spark):
+    from geotrellis_server_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge
+    E = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {r.node: r.label
+           for r in label_propagation(edges, n_iter=4).collect()}
+    assert got == _ref_lpa(E, 4)
+    # each triangle converges to its own min label community
+    assert got[1] == got[2] == 1
+    assert got[11] == got[12]
+
+
+def test_label_propagation_partition_invariant(spark):
+    from geotrellis_server_spark.operators.graph import label_propagation
+
+    E = [(i, (i * 5) % 17) for i in range(17)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    a = sorted(map(tuple,
+                   label_propagation(edges.repartition(13), 3).collect()))
+    b = sorted(map(tuple,
+                   label_propagation(edges.coalesce(1), 3).collect()))
+    assert a == b
