@@ -57,6 +57,23 @@ def materialize_docs(spark, sf_dir: str, n: int) -> str:
     return path
 
 
+def materialize_embeddings(spark, sf_dir: str, n: int, dim: int) -> str:
+    """Deterministic synthetic embeddings (hash-fraction coordinates in
+    [-1, 1)) written once; subsequent runs read parquet."""
+    path = os.path.join(CACHE_DIR, f"emb_{_sf_of(sf_dir)}_{n}x{dim}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        (spark.range(n, numPartitions=CPUS * 4)
+         .select(F.col("id").alias("vec_id"),
+                 F.expr(f"transform(sequence(0, {dim - 1}), j -> "
+                        f"CAST((pmod(xxhash64(id * {dim} + j), 100000)"
+                        f" / 50000.0) - 1.0 AS FLOAT))").alias("embedding"))
+         .write.mode("overwrite").option("compression", "zstd")
+         .parquet(path))
+    return path
+
+
 class _MhzSampler:
     """Samples /proc/cpuinfo every 0.5 s and records the mean MHz of the
     ``n`` fastest cores (≈ the cores our leg occupies). Few-core legs
@@ -352,6 +369,33 @@ def run_bench(cores: int, only: str | None = None) -> dict:
             load_text(), load_text().where("hash(doc_id) % 5 != 0"))
         .write.mode("overwrite").format("noop").save(),
     )
+    # q22 — exact-integer k-means over 1M synthetic 64-dim embeddings
+    # (operators/ml.py: one pass per round, Arrow-batched exact-float64
+    # BLAS distances, k*dim-row partial-sum exchanges). q23 — Naive
+    # Bayes train+classify over the full 4M-doc corpus (broadcast
+    # vocab-sized model onto the row-local token stream).
+    if wanted("q22_kmeans_1m") or wanted("q23_nb_classify"):
+        from geotrellis_server_spark.operators import ml as ml_op
+
+        if wanted("q22_kmeans_1m"):
+            emb_path = materialize_embeddings(spark, SF_DIR, 1_000_000, 64)
+            emb_1m = spark.read.parquet(emb_path)
+            timed(
+                "q22_kmeans_1m",
+                lambda: ml_op.kmeans(emb_1m, k=16, n_iter=2)
+                .write.mode("overwrite").format("noop").save(),
+            )
+        if wanted("q23_nb_classify"):
+            # bench corpus doc_ids are strings: hash-split train/test
+            nb_docs = load_text().withColumn(
+                "lang", F.expr("CAST(pmod(xxhash64(doc_id), 5) AS STRING)"))
+            timed(
+                "q23_nb_classify",
+                lambda: ml_op.nb_classify(
+                    nb_docs.where("pmod(xxhash64(doc_id, 7), 2) = 0"),
+                    nb_docs, label_col="lang")
+                .write.mode("overwrite").format("noop").save(),
+            )
     timed(
         "q8_text_stats",
         lambda: text.text_stats(documents).write.mode("overwrite").format("noop").save(),

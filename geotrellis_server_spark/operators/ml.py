@@ -68,64 +68,121 @@ def kmeans(
       centroids 1..k (content-hash order — partition-invariant and
       identical in any engine; df.sample() is neither).
     - Assignment: argmin of exact integer squared distances, ties to
-      the lowest cluster id (array_position finds the FIRST minimum).
+      the lowest cluster id (np.argmin finds the FIRST minimum).
     - Update: per-cluster per-dimension BIGINT sums; the new coordinate
       is floor(sum / count) evaluated in double — exact-safe while
       |sum| < 2^52 (the quotient is >= 1/count away from the nearest
       integer unless exact, and the division error is < ulp). Empty
       clusters keep their previous centroid.
 
-    Scale shape: assignment is ZERO-shuffle — centroids travel as a
-    k*dim literal inside the codegen'd expression (the classic
-    broadcast-centroids plan). The update is one groupBy(cid) exchange
-    of k rows with map-side partial sums (dim sums per row). Driver
-    state is k*dim BIGINTs per round — bounded like BPE's argmax. At
-    10^12 rows the only wide stage is the map-side-combined k-row
-    aggregate; the quantized input is localCheckpoint'ed once and
-    reused every round.
+    Exactness of the vectorized kernel: with dim * (2*scale)^2 < 2^53
+    every quantized coordinate, dot product, squared norm and distance
+    is an INTEGER exactly representable in float64, and float64
+    arithmetic on exactly-representable integers below 2^53 is exact
+    regardless of summation order — so the BLAS matmul inside the
+    Arrow-batched kernel reproduces BIGINT arithmetic bit-for-bit (the
+    DuckDB gate oracle replays it in integer SQL and agrees).
 
-    Overflow bound: per-dim squared deltas <= (2*scale)^2, so dist fits
-    BIGINT while dim * 4 * scale^2 < 2^63 (dim <= 2^21 at scale 2^20).
+    Scale shape: each round is ONE pass — a mapInPandas kernel holding
+    the k*dim centroid matrix emits per-BATCH partial sums (k rows of
+    (count, per-dim sums) per Arrow batch — the map-side combine), and
+    the only exchange is the k*dim-row groupBy behind them. Driver
+    state is k*dim BIGINTs per round, like BPE's argmax scalar. The
+    final assignment pass is shuffle-free. At 10^12 rows nothing wide
+    ever moves: the corpus is scanned n_iter+1 times and only k*dim
+    rows per partition leave each training pass.
     """
+    import numpy as np
+    import pandas as pd
+
     if k < 1 or n_iter < 0:
         raise ValueError("k >= 1 and n_iter >= 0 required")
-    q = (df.where(F.col(vec_col).isNotNull())
-         .select(F.col(id_col).alias("_id"),
-                 F.expr(quantize_expr(vec_col, scale)).alias("q"))
-         .localCheckpoint(eager=True))
     if dim is None:
-        first = q.select(F.size("q").alias("d")).head()
+        first = (df.where(F.col(vec_col).isNotNull())
+                 .select(F.size(vec_col).alias("d")).head())
         if first is None:
             raise ValueError("empty input")
         dim = int(first["d"])
+    if dim * (2 * scale) ** 2 >= (1 << 53):
+        raise ValueError(f"dim {dim} * (2*{scale})^2 must be < 2^53 "
+                         "for exact float64 distance arithmetic")
+    src = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     # bounded driver collect: exactly k rows (TakeOrderedAndProject)
-    init = (q.orderBy(F.expr("md5(CAST(_id AS STRING))"), F.col("_id"))
+    init = (src.select("_id", F.expr(quantize_expr("_v", scale))
+                       .alias("q"))
+            .orderBy(F.expr("md5(CAST(_id AS STRING))"), F.col("_id"))
             .limit(int(k)).collect())
     if len(init) < k:
         raise ValueError(f"need >= {k} rows, got {len(init)}")
     cents = [list(r["q"]) for r in init]
+    fscale = float(scale)
 
-    def _assign(cents) -> DataFrame:
-        lit = "array(" + ", ".join(
-            "array(" + ", ".join(f"{int(v)}L" for v in c) + ")"
-            for c in cents) + ")"
-        return (q.select("_id", "q",
-                         F.expr(f"transform({lit}, c -> "
-                                + _sq_dist_expr("q", "c") + ")").alias("d"))
-                .select("_id", "q",
-                        F.expr("CAST(array_position(d, array_min(d)) "
-                               "AS INT)").alias("cid"),
-                        F.expr("array_min(d)").alias("dist_q")))
+    def _dists(E, C, cc):
+        """n x k exact integer distances (float64)."""
+        Q = np.floor(E.astype(np.float64) * fscale)
+        qq = (Q * Q).sum(axis=1)
+        return qq[:, None] - 2.0 * (Q @ C.T) + cc[None, :], Q
+
+    def _partials(cents):
+        C = np.asarray(cents, dtype=np.float64)
+        cc = (C * C).sum(axis=1)
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                E = np.stack(pdf["_v"].to_numpy())
+                D, Q = _dists(E, C, cc)
+                cid = D.argmin(axis=1)
+                out = []
+                for c in range(len(C)):
+                    m = cid == c
+                    n = int(m.sum())
+                    if n:
+                        s = Q[m].sum(axis=0)  # exact: integers < 2^53
+                        out.append((c + 1, n,
+                                    [int(v) for v in s]))
+                yield pd.DataFrame(out, columns=["cid", "n", "s"])
+
+        return src.mapInPandas(fn, "cid int, n long, s array<long>")
+
+    def _assign(cents):
+        C = np.asarray(cents, dtype=np.float64)
+        cc = (C * C).sum(axis=1)
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                E = np.stack(pdf["_v"].to_numpy())
+                D, _ = _dists(E, C, cc)
+                cid = D.argmin(axis=1)
+                yield pd.DataFrame({
+                    "_id": pdf["_id"],
+                    "cid": (cid + 1).astype(np.int32),
+                    "dist_q": D[np.arange(len(D)), cid]
+                    .astype(np.int64)})
+
+        return src.mapInPandas(fn, "_id long, cid int, dist_q long")
 
     for _ in range(n_iter):
-        sums = (_assign(cents).groupBy("cid").agg(
-            F.count("*").alias("n"),
-            *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
-              for i in range(dim)])
-        ).collect()  # bounded: k rows of dim sums
-        upd = {int(r["cid"]): [math.floor(float(r[f"s{i}"]) / r["n"])
-                               for i in range(dim)] for r in sums}
-        cents = [upd.get(i + 1, cents[i]) for i in range(len(cents))]
+        # k*dim-row exchange: per-batch partials -> per-cluster totals
+        sums = (_partials(cents)
+                .select("cid", "n", F.posexplode("s").alias("i", "si"))
+                .groupBy("cid", "i")
+                .agg(F.sum("n").alias("nn"), F.sum("si").alias("ss"))
+                .collect())
+        byc: dict[int, list] = {}
+        nof: dict[int, int] = {}
+        for r in sums:
+            byc.setdefault(int(r["cid"]), [0] * dim)[int(r["i"])] = \
+                int(r["ss"])
+            nof[int(r["cid"])] = int(r["nn"])
+        cents = [
+            [math.floor(float(s) / nof[c + 1]) for s in byc[c + 1]]
+            if (c + 1) in byc else cents[c]
+            for c in range(len(cents))]
     return _assign(cents).select(
         F.col("_id").alias(id_col),
         F.col("cid").alias("cluster_id"),
