@@ -3195,6 +3195,35 @@ def _pagerank_oracle(n_iter: int = 5) -> str:
             + f"\n    SELECT node, pr_q AS rank_q FROM pr{n_iter}")
 
 
+def _q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin→destination trip matrix on the res-4 cell grid
+    (operators/trajectory.py:od_flows): per-user time-ordered event
+    positions (deterministic sqlgen placement by event_id), consecutive
+    pairs counted as trips — integer cells, total (ts, event_id)
+    ordering."""
+    from geotrellis_server_spark.operators.trajectory import od_flows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts",
+        F.expr(sqlgen.lon_sql("event_id")).alias("lon"),
+        F.expr(sqlgen.lat_sql("event_id")).alias("lat"))
+    return od_flows(ev, res=4)
+
+
+def _od_flows_oracle(res: int = 4) -> str:
+    cell = sqlgen.cell_key_sql(sqlgen.lon_sql("event_id"),
+                               sqlgen.lat_sql("event_id"), res)
+    return f"""
+    WITH p AS (SELECT user_id, ts, event_id, {cell} AS dst_cell
+               FROM events),
+    l AS (SELECT dst_cell,
+                 lag(dst_cell) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS src_cell
+          FROM p)
+    SELECT src_cell, dst_cell, count(*) AS n_trips
+    FROM l WHERE src_cell IS NOT NULL GROUP BY 1, 2"""
+
+
 def _q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities (operators/graph.py:
     label_propagation, Raghavan et al. 2007) over the undirected
@@ -3472,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top3": _q_tfidf_top3,
         "pipeline_ccnet_buckets": _q_ccnet_buckets,
         "graph_label_prop_communities": _q_label_prop,
+        "geo_od_flows_r4": _q_od_flows,
     }
 
 
@@ -3763,6 +3793,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_top3": _tfidf_top3_oracle(),
         "pipeline_ccnet_buckets": _ccnet_buckets_oracle(),
         "graph_label_prop_communities": _label_prop_oracle(),
+        "geo_od_flows_r4": _od_flows_oracle(),
     }
 
 

@@ -111,3 +111,31 @@ def test_multipolygon_components_validated(spark):
         parse_wkt_multipolygon(
             "MULTIPOLYGON(((0 0, 1 0, 1 1)), "
             "((2 2, 3 2, 3 3), (2.2 2.2, 2.4 2.2, 2.4 2.4)))")
+
+
+def test_od_flows_consecutive_pairs(spark):
+    from geotrellis_server_spark.operators.trajectory import od_flows
+
+    # user 1 walks cell A -> B -> A; user 2 sits in C twice
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 0.0, 0.0),
+        (2, 1, "2024-01-01 00:01:00", 120.0, 40.0),
+        (3, 1, "2024-01-01 00:02:00", 0.0, 0.0),
+        (4, 2, "2024-01-01 00:00:30", -120.0, -40.0),
+        (5, 2, "2024-01-01 00:00:45", -120.0, -40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, lon double, lat double"
+    ).withColumn("ts", __import__("pyspark").sql.functions.to_timestamp("ts"))
+    got = {(r.src_cell, r.dst_cell): r.n_trips
+           for r in od_flows(df, res=2).collect()}
+    import numpy as np
+
+    from geotrellis_server_spark.grids.layout import tile_key_np
+
+    def key(lon, lat):
+        tx, ty = tile_key_np(np.array([lon]), np.array([lat]), 2)
+        return int(tx[0]) * 4 + int(ty[0])
+
+    a = key(0.0, 0.0); b = key(120.0, 40.0); c = key(-120.0, -40.0)
+    assert got == {(a, b): 1, (b, a): 1, (c, c): 1}
