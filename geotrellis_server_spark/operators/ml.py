@@ -45,12 +45,6 @@ def quantize_expr(vec_col: str, scale: int) -> str:
             f"{float(scale)!r}D) AS BIGINT))")
 
 
-def _sq_dist_expr(a: str, b: str) -> str:
-    """Exact BIGINT squared distance between two quantized vectors."""
-    return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
-            f"0L, (acc, v) -> acc + v)")
-
-
 def kmeans(
     df: DataFrame,
     vec_col: str = "embedding",
