@@ -866,14 +866,90 @@ CRS_REGISTRY: dict[int, tuple[str, dict]] = {
 _BESSEL_F = 1.0 / 299.1528128
 CRS_REGISTRY[28992][1]["e2"] = _BESSEL_F * (2.0 - _BESSEL_F)
 
+# --- oblique stereographic, conformal-latitude formulation ------------------
+#
+# PROJ's ``+proj=stere`` oblique aspect (Snyder 1987 §21, eqs. 3-1,
+# 21-27..21-29 forward and 21-38..21-40 + iterated 3-4 inverse): the
+# ellipsoid maps to the conformal SPHERE BY LATITUDE (chi), then the
+# spherical oblique stereographic about (chi1, lam0) with radius scale
+# a*m1/cos(chi1). This is DISTINCT from EPSG 9809 (Roussilhe / "double"
+# stereographic, ``sterea`` above): both are conformal with scale k0 at
+# the origin, so they agree to third order near it — the consistency
+# test in tests/test_proj4.py exploits exactly that.
+
+
+def _conformal_lat(lat, e: float):
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    sphi = np.sin(phi)
+    return 2.0 * np.arctan(
+        np.tan(np.pi / 4.0 + phi / 2.0)
+        * ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0)) - np.pi / 2.0
+
+
+def _stere_obl_constants(p: dict):
+    e = float(np.sqrt(p["e2"]))
+    phi1 = np.radians(p["lat0"])
+    chi1 = float(_conformal_lat(p["lat0"], e))
+    m1 = np.cos(phi1) / np.sqrt(1.0 - p["e2"] * np.sin(phi1) ** 2)
+    akm1 = 2.0 * p["a"] * p.get("k0", 1.0) * m1  # 2*a*k0*m1
+    return e, chi1, akm1, np.radians(p["lon0"])
+
+
+def stere_obl_forward(lon, lat, p: dict):
+    """Oblique/equatorial stereographic forward, conformal-latitude
+    formulation (Snyder 21-27..21-29; PROJ stere oblique)."""
+    e, chi1, akm1, lam0 = _stere_obl_constants(p)
+    chi = _conformal_lat(lat, e)
+    dlam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+    b = np.cos(chi1) * (1.0 + np.sin(chi1) * np.sin(chi)
+                        + np.cos(chi1) * np.cos(chi) * np.cos(dlam))
+    a_fac = akm1 / b
+    x = p["fe"] + a_fac * np.cos(chi) * np.sin(dlam)
+    y = p["fn"] + a_fac * (np.cos(chi1) * np.sin(chi)
+                           - np.sin(chi1) * np.cos(chi) * np.cos(dlam))
+    return x, y
+
+
+def stere_obl_inverse(x, y, p: dict):
+    """Oblique stereographic inverse (Snyder 21-38..21-40; geodetic
+    latitude recovered from chi by iterating the isometric latitude)."""
+    e, chi1, akm1, lam0 = _stere_obl_constants(p)
+    xp = np.asarray(x, dtype=np.float64) - p["fe"]
+    yp = np.asarray(y, dtype=np.float64) - p["fn"]
+    rho = np.hypot(xp, yp)
+    ce = 2.0 * np.arctan(rho * np.cos(chi1) / akm1)
+    safe = np.where(rho == 0.0, 1.0, rho)
+    chi = np.where(
+        rho == 0.0, chi1,
+        np.arcsin(np.clip(np.cos(ce) * np.sin(chi1)
+                          + yp * np.sin(ce) * np.cos(chi1) / safe,
+                          -1.0, 1.0)))
+    lam = lam0 + np.arctan2(
+        xp * np.sin(ce),
+        rho * np.cos(chi1) * np.cos(ce) - yp * np.sin(chi1) * np.sin(ce))
+    # chi -> phi: iterate the isometric latitude (same scheme as sto)
+    psi = np.log(np.tan(np.pi / 4.0 + chi / 2.0))
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    for _ in range(8):
+        sphi = np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2.0 + np.pi / 4.0)
+                       * ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0))
+        dphi = ((psi - psi_i) * np.cos(phi)
+                * (1.0 - e * e * sphi * sphi) / (1.0 - e * e))
+        phi = phi + dphi
+        if np.all(np.abs(dphi) < 1e-14):
+            break
+    return np.degrees(lam), np.degrees(phi)
+
+
 _KIND_FWD = {"laea": laea_forward, "ps": ps_forward, "lcc": lcc_forward,
              "tm": tm_forward_generic, "aea": aea_forward, "eqc": eqc_forward,
              "laea_polar": laea_polar_forward, "moll": mollweide_forward,
-             "sto": stere_oblique_forward}
+             "sto": stere_oblique_forward, "stere_obl": stere_obl_forward}
 _KIND_INV = {"laea": laea_inverse, "ps": ps_inverse, "lcc": lcc_inverse,
              "tm": tm_inverse_generic, "aea": aea_inverse, "eqc": eqc_inverse,
              "laea_polar": laea_polar_inverse, "moll": mollweide_inverse,
-             "sto": stere_oblique_inverse}
+             "sto": stere_oblique_inverse, "stere_obl": stere_obl_inverse}
 
 
 # --- CRS registry / generic transform --------------------------------------

@@ -202,10 +202,13 @@ def params_from_proj4(proj4: str) -> tuple[str, dict]:
         # silently minted as polar
         lat0 = _fl(toks, "lat_0", 0.0)
         if abs(lat0) != 90.0:
-            raise NotImplementedError(
-                "oblique +proj=stere (conformal-latitude formulation); "
-                "the EPSG 9809 double stereographic is +proj=sterea")
-        if "lat_ts" not in toks:
+            # oblique/equatorial aspect: PROJ's conformal-latitude
+            # formulation (Snyder §21 — proj.py stere_obl_*), distinct
+            # from EPSG 9809 / +proj=sterea (Roussilhe)
+            kind, p = "stere_obl", {
+                "a": a, "e2": e2, "lat0": lat0, "lon0": lon0,
+                "k0": _fl(toks, "k_0", 1.0), "fe": fe, "fn": fn}
+        elif "lat_ts" not in toks:
             # variant A (method 9810: scale defined AT the pole, e.g. UPS)
             lat_ts = lat0
             kind, p = "ps", {"a": a, "e2": e2, "lat_ts": lat_ts,

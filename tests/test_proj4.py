@@ -93,14 +93,13 @@ def test_proj4_polar_and_cylindrical_families():
 
 
 def test_proj4_rejections():
-    with pytest.raises(NotImplementedError):
-        proj4.crs_from_proj4("+proj=stere +lat_0=52 +lon_0=5 +k_0=0.9999")
+    # oblique/equatorial +proj=stere is SUPPORTED since round 5
+    # (conformal-latitude kernel) — including the PROJ default lat_0=0
+    assert proj4.crs_from_proj4(
+        "+proj=stere +lat_0=52 +lon_0=5 +k_0=0.9999")
+    assert proj4.crs_from_proj4("+proj=stere +lon_0=10 +ellps=WGS84")
     with pytest.raises(NotImplementedError):
         proj4.crs_from_proj4("+proj=omerc +lat_0=4 +lonc=102")
-    with pytest.raises(NotImplementedError):
-        # omitted lat_0 means EQUATORIAL stereographic in PROJ — must
-        # reject, not silently mint a polar CRS
-        proj4.crs_from_proj4("+proj=stere +lon_0=10 +ellps=WGS84")
     with pytest.raises(NotImplementedError):
         # linear units outside PROJ's catalog reject (known ones work)
         proj4.crs_from_proj4("+proj=utm +zone=15 +units=smoot")
@@ -365,3 +364,63 @@ def test_units_and_to_meter_scaling():
     # unknown unit name rejects
     with pytest.raises(NotImplementedError):
         proj4.crs_from_proj4(base + " +units=parsec")
+
+
+def test_stere_oblique_conformal_latitude_formulation():
+    """PROJ-style oblique +proj=stere (Snyder §21 conformal-latitude
+    formulation). No EPSG worked example exists for this variant (EPSG
+    blesses only 9809/sterea for oblique), so the battery is:
+    (a) origin maps to the false origin exactly, (b) agreement with the
+    independently-derived sterea kernel to THIRD order near the origin
+    (two conformal maps sharing k0 at the same origin), (c) machine-
+    precision roundtrip, (d) numeric scale factor at the origin == k0."""
+    import math
+
+    import numpy as np
+
+    from geotrellis_server_spark.grids import proj, proj4
+
+    s = ("+lat_0=52.15 +lon_0=5.38 +k_0=0.9999079 +x_0=155000 "
+         "+y_0=463000 +ellps=bessel")
+    c_st = proj4.crs_from_proj4("+proj=stere " + s)
+    c_sa = proj4.crs_from_proj4("+proj=sterea " + s)
+
+    x, y = proj.transform(np.array([5.38]), np.array([52.15]), 4326, c_st)
+    assert abs(x[0] - 155000.0) < 1e-6 and abs(y[0] - 463000.0) < 1e-6
+
+    # third-order divergence: ~0.4 mm at 0.01 deg, ~2 cm at 0.1 deg
+    for d, tol in [(0.01, 0.002), (0.1, 0.05)]:
+        lon, lat = np.array([5.38 + d]), np.array([52.15 + d / 2])
+        xa, ya = proj.transform(lon, lat, 4326, c_st)
+        xb, yb = proj.transform(lon, lat, 4326, c_sa)
+        assert abs(xa[0] - xb[0]) < tol and abs(ya[0] - yb[0]) < tol
+
+    lons = np.array([-10.0, 5.38, 20.0, 5.0])
+    lats = np.array([40.0, 52.15, 60.0, 45.0])
+    xx, yy = proj.transform(lons, lats, 4326, c_st)
+    lo, la = proj.transform(xx, yy, c_st, 4326)
+    assert np.max(np.abs(lo - lons)) < 1e-9
+    assert np.max(np.abs(la - lats)) < 1e-9
+
+    eps = 1e-7
+    y1 = proj.transform(np.array([5.38]), np.array([52.15 + eps]),
+                        4326, c_st)[1][0]
+    a, e2, phi = 6377397.155, 0.006674372230614, math.radians(52.15)
+    m = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+    k = (y1 - y[0]) / (math.radians(eps) * m)
+    assert abs(k - 0.9999079) < 1e-4
+
+
+def test_stere_equatorial_aspect():
+    """lat_0=0 equatorial stereographic: symmetric about the equator,
+    roundtrips, and scale at the tangent point is k0=1."""
+    import numpy as np
+
+    from geotrellis_server_spark.grids import proj, proj4
+
+    c = proj4.crs_from_proj4("+proj=stere +lat_0=0 +lon_0=0 +ellps=WGS84")
+    xn, yn = proj.transform(np.array([10.0]), np.array([20.0]), 4326, c)
+    xs, ys = proj.transform(np.array([10.0]), np.array([-20.0]), 4326, c)
+    assert abs(xn[0] - xs[0]) < 1e-6 and abs(yn[0] + ys[0]) < 1e-6
+    lo, la = proj.transform(xn, yn, c, 4326)
+    assert abs(lo[0] - 10.0) < 1e-9 and abs(la[0] - 20.0) < 1e-9
