@@ -339,9 +339,11 @@ def test_sterea_matches_rd_new_registry():
     x1, y1 = proj.project_geodetic(6.0, 53.0, code)
     x2, y2 = proj.project_geodetic(6.0, 53.0, 28992)
     assert abs(float(x1 - x2)) < 1e-4 and abs(float(y1 - y2)) < 1e-4
-    # oblique +proj=stere (conformal-latitude formulation) still rejects
-    with pytest.raises(NotImplementedError):
-        proj4.crs_from_proj4("+proj=stere +lat_0=52.15 +lon_0=5.38")
+    # oblique +proj=stere mints the conformal-latitude kernel (round 5)
+    # and is a DIFFERENT projection from sterea (same origin scale,
+    # third-order divergence — see test_stere_oblique_*)
+    assert proj4.crs_from_proj4(
+        "+proj=stere +lat_0=52.15 +lon_0=5.38") != code
 
 
 def test_units_and_to_meter_scaling():
