@@ -134,3 +134,70 @@ class ResumableTilingJob:
             m["lineage"],
             "job_id STRING, bucket INT, input_path STRING, output_path STRING, transform STRING",
         )
+
+
+class IterativeCheckpoint:
+    """Per-round checkpointing for iterative operators (k-means,
+    PageRank, label propagation): each round's state commits atomically
+    under ``out_dir`` — small driver states (centroid matrices) as JSON
+    in the manifest, big states (rank/label tables) as parquet round
+    dirs registered in the manifest AFTER a successful write. A re-run
+    resumes at the first uncommitted round; because every operator in
+    this engine is exactly deterministic, the resumed run produces the
+    bit-identical result the uninterrupted run would have (tested).
+
+    This is the iterative complement of :class:`ResumableTilingJob`'s
+    bucket commits — same Iceberg-snapshot-equivalent manifest
+    discipline, keyed by round instead of bucket."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, job_id: str):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.job_id = job_id
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, f"_iter_manifest_{job_id}.json")
+
+    def _load(self) -> dict:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return json.load(f)
+        return {"rounds": {}}
+
+    def _save(self, m: dict) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self.path)  # atomic commit
+
+    def resume_round(self) -> int:
+        """First round that has NOT committed (0 = fresh start)."""
+        rounds = self._load()["rounds"]
+        r = 0
+        while str(r) in rounds:
+            r += 1
+        return r
+
+    def state(self, rnd: int):
+        """The committed JSON state of round ``rnd`` (None if absent)."""
+        e = self._load()["rounds"].get(str(rnd))
+        return None if e is None else e.get("value")
+
+    def commit_json(self, rnd: int, value) -> None:
+        m = self._load()
+        m["rounds"][str(rnd)] = {"value": value, "ts": time.time()}
+        self._save(m)
+
+    def commit_df(self, rnd: int, df: DataFrame) -> str:
+        """Write a round's DataFrame state, then register it — a crash
+        mid-write leaves the round uncommitted (the manifest is the
+        snapshot pointer, the parquet dir the data file set)."""
+        p = os.path.join(self.out_dir, f"{self.job_id}_round_{rnd}")
+        df.write.mode("overwrite").parquet(p)
+        m = self._load()
+        m["rounds"][str(rnd)] = {"df": p, "ts": time.time()}
+        self._save(m)
+        return p
+
+    def load_df(self, rnd: int) -> DataFrame:
+        e = self._load()["rounds"][str(rnd)]
+        return self.spark.read.parquet(e["df"])

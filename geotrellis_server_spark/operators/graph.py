@@ -34,6 +34,7 @@ def pagerank(
     damping_den: int = 100,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint=None,
 ) -> DataFrame:
     """PageRank over a directed edge list: (node, rank_q) after
     ``n_iter`` synchronous rounds, rank_q in 2⁻²⁰ quanta (divide by
@@ -46,6 +47,11 @@ def pagerank(
     Update rule, all BIGINT:
         contrib(u→v) = pr[u] DIV out_deg(u)
         pr'[v] = (1−d)·S DIV 1 + d · Σ contrib  (rational d, floor)
+
+    ``checkpoint`` (lineage.IterativeCheckpoint): each round's rank
+    table commits as a parquet snapshot; a re-run resumes at the first
+    uncommitted round and — the iteration being exact-integer — lands
+    on the bit-identical result (north-rule resumability).
 
     Scale shape per round: one equi-join of the rank table onto the
     edge list (both sides partitioned by the join key; AQE broadcasts
@@ -69,7 +75,13 @@ def pagerank(
     pr = base.select("node", F.lit(int(SCALE)).cast("long").alias("pr_q"))
     e = edges.select(F.col(src_col).alias("node"),
                      F.col(dst_col).alias("dst"))
-    for _ in range(n_iter):
+    start = 0
+    if checkpoint is not None:
+        # manifest round i = rank table AFTER iteration i (0-based)
+        start = min(checkpoint.resume_round(), n_iter)
+        if start >= 1:
+            pr = checkpoint.load_df(start - 1)
+    for _it in range(start, n_iter):
         contrib = (
             pr.join(base.where("deg IS NOT NULL").select("node", "deg"),
                     "node")
@@ -88,6 +100,8 @@ def pagerank(
                     f"DIV {damping_den} AS BIGINT)").alias("pr_q"))
             .localCheckpoint(eager=True)
         )
+        if checkpoint is not None:
+            checkpoint.commit_df(_it, pr)
     return pr.select("node", F.col("pr_q").cast("long").alias("rank_q"))
 
 

@@ -53,6 +53,7 @@ def kmeans(
     n_iter: int = 3,
     scale: int = KMEANS_SCALE,
     dim: int | None = None,
+    checkpoint=None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column, fully deterministic:
     (id, cluster_id, dist_q) after ``n_iter`` synchronous rounds.
@@ -102,14 +103,23 @@ def kmeans(
                          "for exact float64 distance arithmetic")
     src = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    # bounded driver collect: exactly k rows (TakeOrderedAndProject)
-    init = (src.select("_id", F.expr(quantize_expr("_v", scale))
-                       .alias("q"))
-            .orderBy(F.expr("md5(CAST(_id AS STRING))"), F.col("_id"))
-            .limit(int(k)).collect())
-    if len(init) < k:
-        raise ValueError(f"need >= {k} rows, got {len(init)}")
-    cents = [list(r["q"]) for r in init]
+    # round 0 state = init centroids; resumable via lineage.py's
+    # IterativeCheckpoint (north rule: checkpointed iterative jobs) —
+    # the k*dim-int centroid matrix IS the whole round state, so a
+    # resumed run is bit-identical by determinism of every round
+    if checkpoint is not None and checkpoint.state(0) is not None:
+        cents = [list(map(int, c)) for c in checkpoint.state(0)]
+    else:
+        # bounded driver collect: exactly k rows (TakeOrderedAndProject)
+        init = (src.select("_id", F.expr(quantize_expr("_v", scale))
+                           .alias("q"))
+                .orderBy(F.expr("md5(CAST(_id AS STRING))"), F.col("_id"))
+                .limit(int(k)).collect())
+        if len(init) < k:
+            raise ValueError(f"need >= {k} rows, got {len(init)}")
+        cents = [list(r["q"]) for r in init]
+        if checkpoint is not None:
+            checkpoint.commit_json(0, cents)
     fscale = float(scale)
 
     def _dists(E, C, cc):
@@ -160,7 +170,12 @@ def kmeans(
 
         return src.mapInPandas(fn, "_id long, cid int, dist_q long")
 
-    for _ in range(n_iter):
+    for it in range(n_iter):
+        if checkpoint is not None:
+            done = checkpoint.state(it + 1)
+            if done is not None:  # round already committed: skip work
+                cents = [list(map(int, c)) for c in done]
+                continue
         # k*dim-row exchange: per-batch partials -> per-cluster totals
         sums = (_partials(cents)
                 .select("cid", "n", F.posexplode("s").alias("i", "si"))
@@ -177,6 +192,8 @@ def kmeans(
             [math.floor(float(s) / nof[c + 1]) for s in byc[c + 1]]
             if (c + 1) in byc else cents[c]
             for c in range(len(cents))]
+        if checkpoint is not None:
+            checkpoint.commit_json(it + 1, cents)
     return _assign(cents).select(
         F.col("_id").alias(id_col),
         F.col("cid").alias("cluster_id"),

@@ -186,3 +186,40 @@ def test_nb_classify_null_label_rows_ignored(spark):
     assert got[0].pred == "en"
     with pytest.raises(ValueError):
         nb_classify(tr.where("lang IS NULL"), dd)
+
+
+def test_kmeans_checkpoint_resume_bit_identical(spark, tmp_path):
+    from geotrellis_server_spark.lineage import IterativeCheckpoint
+
+    rows = _toy_vecs(n=30, seed=11)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    plain = sorted(map(tuple, kmeans(df, k=3, n_iter=3).collect()))
+
+    # interrupted run: commit init + 2 of 3 rounds, then "crash"
+    ck = IterativeCheckpoint(spark, str(tmp_path / "km"), "job1")
+    kmeans(df, k=3, n_iter=2, checkpoint=ck)
+    assert ck.resume_round() == 3  # init(0) + rounds 1..2 committed
+
+    # resumed run: rounds 0..2 replayed from the manifest, round 3 live
+    resumed = sorted(map(tuple, kmeans(df, k=3, n_iter=3,
+                                       checkpoint=ck).collect()))
+    assert resumed == plain
+    assert ck.resume_round() == 4
+
+
+def test_pagerank_checkpoint_resume_bit_identical(spark, tmp_path):
+    from geotrellis_server_spark.lineage import IterativeCheckpoint
+    from geotrellis_server_spark.operators.graph import pagerank
+
+    E = [(i, (i * 7) % 19) for i in range(19)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    plain = sorted(map(tuple, pagerank(edges, n_iter=5).collect()))
+
+    ck = IterativeCheckpoint(spark, str(tmp_path / "pr"), "job1")
+    pagerank(edges, n_iter=3, checkpoint=ck)  # "crash" after round 3
+    assert ck.resume_round() == 3
+    resumed = sorted(map(tuple, pagerank(edges, n_iter=5,
+                                         checkpoint=ck).collect()))
+    assert resumed == plain
