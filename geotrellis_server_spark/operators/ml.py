@@ -426,30 +426,34 @@ def nb_classify(
     prior_q = [int(math.floor(
         math.log(prior.get(c, 0) / n_docs) * S)) for c in classes]
 
+    # scoring stream: the doc's tokens PLUS one NULL sentinel row per
+    # doc, contributing 0 — so every doc (even token-less / NULL-text)
+    # reaches the aggregation and the prior-only fallback falls out of
+    # the same argmax, with NO corpus-sized join-back (a left join of
+    # ids onto scores here planned as a full SortMergeJoin — the plan
+    # test pins its absence)
+    tok_stream = (docs.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"concat(coalesce(split({text_col}, ' '), array()), "
+            f"array(CAST(NULL AS STRING)))")).alias("tok"))
+        .where(F.col("tok").isNull() | (F.col("tok") != "")))
     scored = (
-        _toks(docs, F.col(id_col))
-        .join(F.broadcast(mq), "tok", "left")
+        tok_stream
+        .join(F.broadcast(mq), "tok", "left")  # NULL tok never matches
         .groupBy(id_col)
-        .agg(*[(F.sum(F.coalesce(F.col(f"q{i}"), F.lit(floors[i])))
+        .agg(*[(F.sum(F.when(F.col("tok").isNull(), F.lit(0)).otherwise(
+                    F.coalesce(F.col(f"q{i}"), F.lit(floors[i]))))
                 + F.lit(prior_q[i])).alias(f"s{i}") for i in range(k)])
     )
     arr = "array(" + ", ".join(f"s{i}" for i in range(k)) + ")"
     cls_arr = "array(" + ", ".join(
         "'" + c.replace("'", "''") + "'" for c in classes) + ")"
-    out = scored.select(
+    return scored.select(
         F.col(id_col),
         F.expr(f"element_at({cls_arr}, CAST(array_position({arr}, "
                f"array_max({arr})) AS INT))").alias("pred"),
         F.expr(f"array_max({arr})").cast("long").alias("score_q"))
-    # every doc comes out: token-less docs score prior-only, argmax
-    # over priors alone (same tie-break)
-    prior_pred = max(range(k), key=lambda i: (prior_q[i], -i))
-    return (docs.select(id_col).join(out, id_col, "left")
-            .select(F.col(id_col),
-                    F.coalesce("pred",
-                               F.lit(classes[prior_pred])).alias("pred"),
-                    F.coalesce("score_q", F.lit(prior_q[prior_pred]))
-                    .cast("long").alias("score_q")))
 
 
 def nb_classify_oracle_sql(

@@ -124,3 +124,41 @@ def test_focal_halo_reuses_input_partitioning(spark):
         r"Join [^\n]*\n\s*:- InMemoryTableScan", plan
     ), plan[:4000]
     tiles.unpersist()
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """The final k-means assignment pass must be scan -> Arrow kernel
+    with NO Exchange: centroids ride inside the kernel closure."""
+    from geotrellis_server_spark.operators.ml import kmeans
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(kmeans(emb, k=4, n_iter=0))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_nb_scoring_broadcasts_the_model(spark):
+    """NB classification joins the vocab-sized model BROADCAST onto the
+    token stream — a sort-merge join here would shuffle the corpus."""
+    from geotrellis_server_spark.operators.ml import nb_classify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(nb_classify(docs.where("doc_id % 2 = 0"), docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_od_flows_single_user_exchange_then_partial_agg(spark):
+    """OD flows: one exchange keyed by user for the lag window, then a
+    hash aggregate WITH a partial (map-side) phase before the flow-key
+    exchange — the hot-pair absorber."""
+    from geotrellis_server_spark.operators.trajectory import od_flows
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "ts",
+        F.expr("CAST(event_id % 360 AS DOUBLE) - 180.0").alias("lon"),
+        F.expr("CAST(event_id % 170 AS DOUBLE) - 85.0").alias("lat"))
+    plan = _plan(od_flows(ev, res=4))
+    # partial_count before the final agg = map-side combine present
+    assert "partial_count" in plan or "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # user + flow key
