@@ -3195,6 +3195,46 @@ def _pagerank_oracle(n_iter: int = 5) -> str:
             + f"\n    SELECT node, pr_q AS rank_q FROM pr{n_iter}")
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/text.py:winnow_fingerprints,
+    Schleimer et al. 2003 / MOSS): k=4-token grams, w=4 windows,
+    rightmost-minimum selection — row-local, 52-bit md5-prefix hashes
+    identical in both engines."""
+    from geotrellis_server_spark.operators.text import winnow_fingerprints
+
+    docs = _read_documents(spark, sf_dir)
+    return winnow_fingerprints(docs, k=4, w=4)
+
+
+def _winnow_oracle(k: int = 4, w: int = 4) -> str:
+    hexmap = "'0123456789abcdef'"
+    h13 = (f"CAST(list_sum([CAST(instr({hexmap}, h[p:p]) - 1 AS DOUBLE)"
+           f" * 16.0 ** (13 - p) for p in range(1, 14)]) AS BIGINT)")
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 [{h13.replace("h[", "md5(array_to_string(toks[i:i + "
+                               + str(k - 1) + "], ' '))[")}
+                  for i in range(1, len(toks) - {k} + 2)] AS hs
+          FROM t WHERE len(toks) >= {k}),
+    sel AS (SELECT doc_id,
+                   unnest([struct_pack(
+                       pos := j + least({w}, len(hs))
+                              - list_position(
+                                    list_reverse(hs[j : j + least({w},
+                                        len(hs)) - 1]),
+                                    list_min(hs[j : j + least({w},
+                                        len(hs)) - 1])),
+                       fp := list_min(hs[j : j + least({w},
+                                        len(hs)) - 1]))
+                           for j in range(1, greatest(len(hs) - {w} + 1,
+                                                      1) + 1)]) AS s
+            FROM g)
+    SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, s.fp AS fp
+    FROM sel"""
+
+
 def _q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin→destination trip matrix on the res-4 cell grid
     (operators/trajectory.py:od_flows): per-user time-ordered event
@@ -3502,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_ccnet_buckets": _q_ccnet_buckets,
         "graph_label_prop_communities": _q_label_prop,
         "geo_od_flows_r4": _q_od_flows,
+        "text_winnow_fingerprints": _q_winnow,
     }
 
 
@@ -3794,6 +3835,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_ccnet_buckets": _ccnet_buckets_oracle(),
         "graph_label_prop_communities": _label_prop_oracle(),
         "geo_od_flows_r4": _od_flows_oracle(),
+        "text_winnow_fingerprints": _winnow_oracle(),
     }
 
 

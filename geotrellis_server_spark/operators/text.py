@@ -806,3 +806,53 @@ def tfidf_top_terms(
             .where(F.col("rank") <= k)
             .select(id_col, "term", F.col("rank").cast("int"),
                     F.col("score_q").cast("long")))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local-similarity algorithm): hash every k-token
+    gram, slide a window of ``w`` consecutive hashes, select each
+    window's minimum (ties to the RIGHTMOST occurrence), deduplicate
+    positions. Any shared token run of length >= k + w - 1 between two
+    documents is GUARANTEED to share a selected fingerprint — the
+    density/guarantee trade-off the paper proves optimal.
+
+    Returns (id, pos, fp): pos = 1-based gram index of the selection,
+    fp = the 52-bit md5-prefix hash (conv(substring(md5, 1, 13)) —
+    exact in both engines, so selections match bit-for-bit). Docs with
+    fewer than k tokens emit nothing; docs with fewer than w grams get
+    one whole-doc window.
+
+    Scale shape: completely ROW-LOCAL — gram hashing and window
+    selection are array lambdas inside one projection, zero shuffle at
+    any corpus size; the only exchange is the final per-doc distinct
+    (bounded by selections-per-doc ~ 2·m/w). Downstream near-dup joins
+    group on fp, exactly like the repeated-span hash join."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    toks = f"split({text_col}, ' ')"
+    gram = f"concat_ws(' ', slice({toks}, i, {k}))"
+    hashes = (f"transform(sequence(1, size({toks}) - {k} + 1), i -> "
+              f"CAST(conv(substring(md5({gram}), 1, 13), 16, 10) "
+              f"AS BIGINT))")
+    # lw = actual window (whole doc when m < w); n_win windows
+    sel = (
+        f"transform(sequence(1, greatest(size(hs) - {w} + 1, 1)), j -> "
+        f"named_struct("
+        f"'pos', j + least({w}, size(hs)) - array_position("
+        f"reverse(slice(hs, j, least({w}, size(hs)))), "
+        f"array_min(slice(hs, j, least({w}, size(hs))))), "
+        f"'fp', array_min(slice(hs, j, least({w}, size(hs))))))")
+    return (docs
+            .where(F.expr(f"size({toks}) >= {k}"))
+            .select(F.col(id_col), F.expr(hashes).alias("hs"))
+            .select(F.col(id_col), F.explode(F.expr(sel)).alias("s"))
+            .select(F.col(id_col), F.col("s.pos").cast("int").alias("pos"),
+                    F.col("s.fp").alias("fp"))
+            .distinct())

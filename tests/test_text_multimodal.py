@@ -1129,3 +1129,52 @@ def test_tfidf_top_terms(spark):
     # corpus-wide term ('a', df=N) scores exactly 0, still ranked
     with __import__("pytest").raises(ValueError):
         tfidf_top_terms(df, k=0)
+
+
+def _ref_winnow(text, k, w):
+    import hashlib
+
+    toks = text.split(" ")
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:13], 16) for g in grams]
+    lw = min(w, len(hs))
+    out = set()
+    for j in range(max(len(hs) - w + 1, 1)):
+        win = hs[j:j + lw]
+        m = min(win)
+        # rightmost occurrence of the minimum
+        pos = j + lw - 1 - win[::-1].index(m)
+        out.add((pos + 1, m))  # 1-based
+    return out
+
+
+def test_winnow_matches_scalar_reference(spark):
+    from geotrellis_server_spark.operators.text import winnow_fingerprints
+
+    docs = [(1, "a b c d e f g h i j k"),
+            (2, "x y z w"),           # exactly k tokens -> one window
+            (3, "q r s"),             # < k tokens -> nothing
+            (4, "m m m m m m m m")]   # all-equal hashes -> tie rule
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=4, w=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, t in docs:
+        ref = _ref_winnow(t, 4, 4) if len(t.split(" ")) >= 4 else set()
+        assert got.get(i, set()) == ref, i
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The paper's guarantee: a shared token run of >= k + w - 1 tokens
+    forces at least one COMMON selected fingerprint."""
+    from geotrellis_server_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = k + w - 1
+    docs = [(1, "p q r s " + shared + " t u"),
+            (2, shared + " zz yy xx ww vv")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = winnow_fingerprints(df, k=4, w=4).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared run must share a fingerprint"
