@@ -242,3 +242,89 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- streaming OD flows: watermark-exact trajectory pairs -------------------
+
+OD_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("src_cell", T.LongType()),
+    T.StructField("dst_cell", T.LongType()),
+])
+# per-user state: the latest FINALIZED event + the pending (> watermark)
+# events as parallel arrays
+OD_STATE = T.StructType([
+    T.StructField("last_ts", T.LongType()),      # -1 = none yet
+    T.StructField("last_tb", T.LongType()),
+    T.StructField("last_cell", T.LongType()),
+    T.StructField("p_ts", T.ArrayType(T.LongType())),
+    T.StructField("p_tb", T.ArrayType(T.LongType())),
+    T.StructField("p_cell", T.ArrayType(T.LongType())),
+])
+
+
+def streaming_od_flows(
+    stream: DataFrame,
+    res: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    lateness_minutes: int = 60,
+) -> DataFrame:
+    """Streaming twin of operators/trajectory.od_flows: one trip row per
+    consecutive (by event time, tiebreak) event pair per user. EXACT
+    under out-of-order arrival within the watermark: an event pair is
+    emitted only once BOTH sides are <= the watermark — no later event
+    can land between two finalized ones, so the emitted trips are
+    precisely the batch operator's pairs (asserted batch-equivalent in
+    tests). State per user = the latest finalized event + the pending
+    (still-reorderable) events: O(events inside the lateness window),
+    not O(history). Expects lon/lat already resolved to ``cell``
+    upstream (row-local — sqlgen.cell_key_sql)."""
+
+    def _update(key: tuple, pdfs: Any, state: GroupState) -> Any:
+        last = (-1, -1, -1)
+        pend: list[tuple[int, int, int]] = []
+        if state.exists:
+            lt, lb, lc, pts, ptb, pcell = state.get
+            last = (int(lt), int(lb), int(lc))
+            pend = [(int(a), int(b), int(c))
+                    for a, b, c in zip(pts, ptb, pcell)]
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ms = (pdf[ts_col].astype("int64") // 1_000_000)
+            for t, tb, c in zip(ms, pdf[tiebreak_col], pdf["cell"]):
+                pend.append((int(t), int(tb), int(c)))
+        pend.sort()
+        wm = state.getCurrentWatermarkMs()
+        final = [e for e in pend if e[0] <= wm]
+        pend = [e for e in pend if e[0] > wm]
+        out = []
+        for e in final:
+            if last[0] >= 0:
+                out.append((last[2], e[2]))
+            last = e
+        if pend or last[0] >= 0:
+            state.update((last[0], last[1], last[2],
+                          [e[0] for e in pend], [e[1] for e in pend],
+                          [e[2] for e in pend]))
+            if pend:
+                state.setTimeoutTimestamp(min(e[0] for e in pend) + 1)
+        if out:
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(out),
+                "src_cell": [s for s, _ in out],
+                "dst_cell": [d for _, d in out],
+            })
+
+    keyed = stream.withWatermark(ts_col, f"{lateness_minutes} minutes") \
+        .select(F.col(user_col).alias("user_id"), F.col(ts_col),
+                F.col(tiebreak_col), F.col("cell"))
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OD_SCHEMA,
+        stateStructType=OD_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

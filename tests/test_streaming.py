@@ -428,3 +428,65 @@ def test_streaming_sessionize_equals_batch(spark, tmp_path, variant):
     # the cross-batch continuation merged: user 1's session spans waves
     assert [s for s in got if s[0] == 1] == [
         (1, dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 1, 10, 30), 3)]
+
+
+# --- streaming OD flows: watermark-exact trajectory pairs -------------------
+
+
+def _write_od_events(spark, path, rows):
+    """rows: (event_id, user_id, hour, minute, lon, lat)"""
+    import datetime as dt
+
+    from geotrellis_server_spark import sqlgen
+
+    data = [(int(e), int(u), dt.datetime(2024, 1, 1, h, m),
+             float(lo), float(la)) for e, u, h, m, lo, la in rows]
+    (spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, "
+              "lon double, lat double")
+     .withColumn("cell", F.expr(sqlgen.cell_key_sql("lon", "lat", 4)))
+     .drop("lon", "lat")
+     .coalesce(1).write.mode("append").parquet(path))
+
+
+def test_streaming_od_flows_equals_batch(spark, tmp_path):
+    from geotrellis_server_spark.operators.trajectory import od_flows
+    from geotrellis_server_spark.streaming.windowed import streaming_od_flows
+
+    src, out, ckpt = (str(tmp_path / p) for p in ("ev", "out", "ckpt"))
+    # wave 1 arrives OUT OF ORDER within the hour lateness window
+    real = [
+        (1, 1, 10, 0, 0.0, 0.0),
+        (3, 1, 10, 20, 40.0, 20.0),   # id 3 arrives before id 2
+        (2, 1, 10, 10, 120.0, 40.0),
+        (4, 2, 10, 5, -120.0, -40.0),
+        (5, 2, 10, 6, -120.0, -40.0),
+    ]
+    _write_od_events(spark, src, real)
+    # wave 2: far-future flusher per user pushes the watermark past
+    # every real event (the flushers themselves stay pending)
+    _write_od_events(spark, src, [(90, 1, 23, 0, 0.0, 0.0),
+                                  (91, 2, 23, 0, 0.0, 0.0)])
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, cell long"
+    ).parquet(src)
+    q = (streaming_od_flows(stream, lateness_minutes=60)
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r.src_cell, r.dst_cell): r.n for r in
+           spark.read.parquet(out).groupBy("src_cell", "dst_cell")
+           .agg(F.count("*").alias("n")).collect()}
+
+    import datetime as dt
+    ev = spark.createDataFrame(
+        [(int(e), int(u), dt.datetime(2024, 1, 1, h, m), float(lo),
+          float(la)) for e, u, h, m, lo, la in real],
+        "event_id long, user_id long, ts timestamp, lon double, "
+        "lat double")
+    want = {(r.src_cell, r.dst_cell): r.n_trips
+            for r in od_flows(ev, res=4).collect()}
+    assert got == want and got  # out-of-order id2/id3 ordered by TS
