@@ -3235,6 +3235,37 @@ def _winnow_oracle(k: int = 4, w: int = 4) -> str:
     FROM sel"""
 
 
+def _q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs over winnowing fingerprints (operators/
+    text.py:winnow_containment_pairs): the smaller doc shares >= 1/4 of
+    its selected fingerprints — the MOSS report step, asymmetric so a
+    short doc quoted inside a long one is caught."""
+    from geotrellis_server_spark.operators.text import (
+        winnow_containment_pairs)
+
+    docs = _read_documents(spark, sf_dir)
+    return winnow_containment_pairs(docs, theta_num=1, theta_den=4)
+
+
+def _winnow_containment_oracle(theta_num: int = 1,
+                               theta_den: int = 4) -> str:
+    return f"""
+    WITH fp0 AS MATERIALIZED ({_winnow_oracle()}),
+    fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM fp0),
+    counts AS MATERIALIZED (
+        SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT s.id_a, s.id_b, s.shared,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b
+    FROM shared s
+    JOIN counts ca ON ca.doc_id = s.id_a
+    JOIN counts cb ON cb.doc_id = s.id_b
+    WHERE s.shared * {theta_den} >= {theta_num} * least(ca.n, cb.n)"""
+
+
 def _q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin→destination trip matrix on the res-4 cell grid
     (operators/trajectory.py:od_flows): per-user time-ordered event
@@ -3543,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_prop_communities": _q_label_prop,
         "geo_od_flows_r4": _q_od_flows,
         "text_winnow_fingerprints": _q_winnow,
+        "dedup_winnow_containment": _q_winnow_containment,
     }
 
 
@@ -3836,6 +3868,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_label_prop_communities": _label_prop_oracle(),
         "geo_od_flows_r4": _od_flows_oracle(),
         "text_winnow_fingerprints": _winnow_oracle(),
+        "dedup_winnow_containment": _winnow_containment_oracle(),
     }
 
 

@@ -856,3 +856,50 @@ def winnow_fingerprints(
             .select(F.col(id_col), F.col("s.pos").cast("int").alias("pos"),
                     F.col("s.fp").alias("fp"))
             .distinct())
+
+
+def winnow_containment_pairs(
+    docs: DataFrame,
+    theta_num: int = 1,
+    theta_den: int = 2,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric containment detection over winnowing fingerprints —
+    the MOSS report step: pairs (a, b), a < b, where the SMALLER
+    fingerprint set shares at least theta_num/theta_den of itself with
+    the other document. Catches quote/wrapper/boilerplate containment
+    that symmetric Jaccard misses (a short doc fully quoted inside a
+    long one has tiny Jaccard but containment 1.0).
+
+    Returns (id_a, id_b, shared, n_a, n_b) for pairs passing
+        shared * theta_den >= theta_num * least(n_a, n_b)
+    — all integers, engine-exact.
+
+    Scale shape: the candidate generator is an equi-join ON fp of the
+    two distinct-fingerprint relations (never all-pairs; a corpus-wide
+    boilerplate fingerprint is a hot key — AQE skew-split absorbs it,
+    and the distinct-fps-per-doc bound caps each doc's join fan-out at
+    ~2m/w). The verify is a groupBy(a, b) count with map-side partials
+    joined back to the tiny per-doc fingerprint counts."""
+    fps = winnow_fingerprints(docs, k=k, w=w, text_col=text_col,
+                              id_col=id_col).select(
+        F.col(id_col), "fp").distinct()
+    counts = fps.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    shared = (a.join(b, "fp")
+              .where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count("*").alias("shared")))
+    return (shared
+            .join(counts.select(F.col(id_col).alias("id_a"),
+                                F.col("n").alias("n_a")), "id_a")
+            .join(counts.select(F.col(id_col).alias("id_b"),
+                                F.col("n").alias("n_b")), "id_b")
+            .where(F.expr(f"shared * {theta_den} >= "
+                          f"{theta_num} * least(n_a, n_b)"))
+            .select("id_a", "id_b", "shared",
+                    F.col("n_a").cast("long"), F.col("n_b").cast("long")))

@@ -1178,3 +1178,23 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     for r in rows:
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps[1] & fps[2], "shared run must share a fingerprint"
+
+
+def test_winnow_containment_catches_quoted_doc(spark):
+    from geotrellis_server_spark.operators.text import (
+        winnow_containment_pairs)
+
+    quote = "one two three four five six seven eight nine ten"
+    docs = [(1, quote),
+            (2, "intro words here " + quote + " closing remarks follow "
+                "with much more unrelated content trailing after that"),
+            (3, "totally different text about other things entirely "
+                "nothing shared with anyone here at all")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.shared, r.n_a, r.n_b)
+           for r in winnow_containment_pairs(df, theta_num=1,
+                                             theta_den=2).collect()}
+    assert (1, 2) in got          # the quote is contained
+    sh, na, nb = got[(1, 2)]
+    assert sh * 2 >= min(na, nb) and na < nb
+    assert all(3 not in pair for pair in got)  # unrelated doc clean
