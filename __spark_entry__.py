@@ -3235,6 +3235,69 @@ def _winnow_oracle(k: int = 4, w: int = 4) -> str:
     FROM sel"""
 
 
+# deterministic messy-URL synthesis for the url-dedup gate (the test
+# corpus text carries no URLs): four surface variants of the same
+# logical URL — www. prefix, host case, default ports, trailing slash,
+# unsorted query params — collapse to one canonical form; ~210 groups
+# over 500 docs. Spark and DuckDB build the IDENTICAL string.
+_URL_SCHEMES = ["'http://www.SITE'", "'http://site'",
+                "'https://SITE'", "'https://www.site'"]
+_URL_PORTS = ["':80'", "''", "':443'", "''"]
+
+
+def _synth_url_text(cast_str: str) -> str:
+    def arr(items, idx):
+        return f"(ARRAY[{', '.join(items)}])[{idx}]" if cast_str == \
+            "VARCHAR" else \
+            f"element_at(array({', '.join(items)}), CAST({idx} AS INT))"
+
+    i4 = "(doc_id % 4) + 1" if cast_str == "VARCHAR" else \
+        "pmod(doc_id, 4) + 1"
+    c = lambda e: f"CAST({e} AS {cast_str})"
+    mod = (lambda n: f"doc_id % {n}") if cast_str == "VARCHAR" else \
+        (lambda n: f"pmod(doc_id, {n})")
+    return ("concat('see ', " + arr(_URL_SCHEMES, i4) + ", "
+            + c(mod(7)) + ", '.example.com', "
+            + arr(_URL_PORTS, i4) + ", '/p/', " + c(mod(5))
+            + ", CASE WHEN " + mod(2) + " = 0 THEN '/' ELSE '' END, "
+            + "'?b=', " + c(mod(3)) + ", '&a=', " + c(mod(3))
+            + ", ', done')")
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup groups (operators/text.py:url_dedup_groups):
+    extract from text (tail punctuation stripped) -> canonicalize
+    (lowercase host, strip fragment / default port / www. / trailing
+    slash, sort query params) -> group; the crawl pipeline's
+    one-fetch-per-canonical-URL pass, over deterministically
+    synthesized messy URLs (4 surface variants per logical URL)."""
+    from geotrellis_server_spark.operators.text import url_dedup_groups
+
+    docs = _read_documents(spark, sf_dir).select(
+        "doc_id", F.expr(_synth_url_text("STRING")).alias("text"))
+    return url_dedup_groups(docs)
+
+
+def _url_dedup_oracle() -> str:
+    from geotrellis_server_spark.operators.text import canonical_url_expr
+
+    canon = canonical_url_expr("url", dialect="duckdb")
+    return f"""
+    WITH synth AS (
+        SELECT doc_id, {_synth_url_text("VARCHAR")} AS text
+        FROM documents),
+    raw AS (
+        SELECT doc_id,
+               regexp_replace(u, '[.,;:!?)\\]''"]+$', '') AS url
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                            'https?://[^\\s]+', 0)) AS u
+              FROM synth)),
+    c AS (SELECT doc_id, {canon} AS canon_url FROM raw)
+    SELECT canon_url, count(*) AS n_refs, min(doc_id) AS survivor_id
+    FROM c GROUP BY canon_url"""
+
+
 def _q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment pairs over winnowing fingerprints (operators/
     text.py:winnow_containment_pairs): the smaller doc shares >= 1/4 of
@@ -3575,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_od_flows_r4": _q_od_flows,
         "text_winnow_fingerprints": _q_winnow,
         "dedup_winnow_containment": _q_winnow_containment,
+        "curation_url_dedup": _q_url_dedup,
     }
 
 
@@ -3869,6 +3933,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_od_flows_r4": _od_flows_oracle(),
         "text_winnow_fingerprints": _winnow_oracle(),
         "dedup_winnow_containment": _winnow_containment_oracle(),
+        "curation_url_dedup": _url_dedup_oracle(),
     }
 
 

@@ -903,3 +903,49 @@ def winnow_containment_pairs(
                           f"{theta_num} * least(n_a, n_b)"))
             .select("id_a", "id_b", "shared",
                     F.col("n_a").cast("long"), F.col("n_b").cast("long")))
+
+
+def canonical_url_expr(url_col: str, dialect: str = "spark") -> str:
+    """SQL expression canonicalizing a URL column — the crawl-dedup
+    key normalization (lowercase scheme+host, strip #fragment, default
+    :80/:443 ports, leading www., trailing path slashes; sort query
+    parameters). Pure string/regex builtins evaluated identically by
+    Spark and DuckDB (the oracle uses this same string)."""
+    # regex hygiene for engine portability: Spark SQL string literals
+    # process backslash escapes, DuckDB's do not — so the SAME string
+    # only means the same regex if it contains no backslashes; character
+    # classes ([.] [?]) replace \. \? and (?i) supplies case folding
+    u = f"regexp_replace({url_col}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '(?i)^(https?)://', 1))"
+    host = (f"regexp_replace(regexp_replace(lower(regexp_extract({u}, "
+            f"'(?i)^https?://([^/?#]+)', 1)), '^www[.]', ''), "
+            f"':(80|443)$', '')")
+    path = (f"regexp_replace(regexp_extract({u}, "
+            f"'(?i)^https?://[^/?#]+([^?#]*)', 1), '/+$', '')")
+    q = f"regexp_extract({u}, '[?]([^#]*)', 1)"
+    # split/array_sort are shared names; ONLY the list-join differs
+    # (Spark array_join vs DuckDB array_to_string) — the single
+    # dialect-switched token in an otherwise engine-identical string
+    join_fn = "array_join" if dialect == "spark" else "array_to_string"
+    qsorted = f"{join_fn}(array_sort(split({q}, '&')), '&')"
+    return (f"concat({scheme}, '://', {host}, {path}, "
+            f"CASE WHEN {q} = '' THEN '' "
+            f"ELSE concat('?', {qsorted}) END)")
+
+
+def url_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact URL-level dedup over canonicalized URLs (the first pass of
+    every crawl pipeline — one fetch per canonical URL): extract ->
+    canonicalize (row-local) -> groupBy canonical form. Returns
+    (canon_url, n_refs, survivor_id) with the smallest referencing doc
+    as survivor. One map-side-combined exchange keyed by the canonical
+    string; hot boilerplate URLs collapse in the partial aggregate."""
+    urls = extract_urls(docs, text_col=text_col, id_col=id_col)
+    return (urls
+            .select(F.col(id_col),
+                    F.expr(canonical_url_expr("url")).alias("canon_url"))
+            .groupBy("canon_url")
+            .agg(F.count("*").alias("n_refs"),
+                 F.min(id_col).alias("survivor_id")))

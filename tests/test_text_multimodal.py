@@ -1198,3 +1198,41 @@ def test_winnow_containment_catches_quoted_doc(spark):
     sh, na, nb = got[(1, 2)]
     assert sh * 2 >= min(na, nb) and na < nb
     assert all(3 not in pair for pair in got)  # unrelated doc clean
+
+
+def test_canonical_url_cross_engine_and_rules(spark):
+    import duckdb
+
+    from geotrellis_server_spark.operators.text import canonical_url_expr
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/a/b/?b=2&a=1#frag", "http://ex.com/a/b?a=1&b=2"),
+        ("https://ex.com:443/path/", "https://ex.com/path"),
+        ("http://sub.ex.com/", "http://sub.ex.com"),
+        ("http://ex.com?x=1", "http://ex.com?x=1"),
+        ("https://Ex.Com/CasePath?z=9&y=8&x=7#x",
+         "https://ex.com/CasePath?x=7&y=8&z=9"),
+    ]
+    sp = [r[0] for r in spark.createDataFrame(
+        [(u,) for u, _ in cases], "u string")
+        .selectExpr(canonical_url_expr("u", "spark")).collect()]
+    du = [r[0] for r in duckdb.sql(
+        f"SELECT {canonical_url_expr('u', 'duckdb')} FROM (SELECT "
+        f"unnest({[u for u, _ in cases]!r}) AS u)").fetchall()]
+    for (_, want), s, d in zip(cases, sp, du):
+        assert s == want and d == want
+
+
+def test_url_dedup_groups_collapses_variants(spark):
+    from geotrellis_server_spark.operators.text import url_dedup_groups
+
+    docs = [(1, "see http://www.Ex.com:80/a/?b=2&a=1 now"),
+            (2, "ref https://ex.com/a, ok"),     # different scheme!
+            (3, "and http://ex.com/a?a=1&b=2."),
+            (4, "x http://other.com/q y")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.canon_url: (r.n_refs, r.survivor_id)
+           for r in url_dedup_groups(df).collect()}
+    assert got["http://ex.com/a?a=1&b=2"] == (2, 1)   # docs 1 + 3
+    assert got["https://ex.com/a"] == (1, 2)           # scheme differs
+    assert got["http://other.com/q"] == (1, 4)
