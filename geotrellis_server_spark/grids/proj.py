@@ -1123,3 +1123,95 @@ def warp_block(
         )
         out[ok] = v[ok]
     return out.reshape(out_h, out_w)
+
+
+# --- Hotine oblique Mercator, variant B (EPSG method 9815) ------------------
+#
+# EPSG Guidance 7-2 §1.3.6 (also Snyder 1987 §9): the aposphere-based
+# oblique Mercator about an initial line through the projection centre
+# (phi_c, lam_c) at azimuth alpha_c, scale k_c on the line; variant B
+# places the false grid coordinates AT THE PROJECTION CENTRE (the
+# Timbalai / RSO family; PROJ +proj=omerc without +no_off). Validated
+# structurally (centre -> (Ec, Nc) exactly, initial-line direction,
+# k = k_c on the centre, roundtrip) in tests/test_proj4.py.
+
+
+def _omerc_constants(p: dict):
+    a, e2 = p["a"], p["e2"]
+    e = np.sqrt(e2)
+    phic = np.radians(p["lat0"])
+    alc = np.radians(p["alpha"])
+    gmc = np.radians(p.get("gamma", p["alpha"]))
+    kc = p.get("k0", 1.0)
+    s, c = np.sin(phic), np.cos(phic)
+    B = np.sqrt(1.0 + e2 * c ** 4 / (1.0 - e2))
+    A = a * B * kc * np.sqrt(1.0 - e2) / (1.0 - e2 * s * s)
+    t0 = (np.tan(np.pi / 4.0 - phic / 2.0)
+          / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+    D = B * np.sqrt(1.0 - e2) / (c * np.sqrt(1.0 - e2 * s * s))
+    D2 = max(D * D, 1.0)
+    sign = 1.0 if p["lat0"] >= 0 else -1.0
+    Fc = D + np.sqrt(D2 - 1.0) * sign
+    H = Fc * t0 ** B
+    G = (Fc - 1.0 / Fc) / 2.0
+    g0 = np.arcsin(np.sin(alc) / D)
+    lam0 = np.radians(p["lon0"]) - np.arcsin(G * np.tan(g0)) / B
+    uc = ((A / B) * np.arctan2(np.sqrt(D2 - 1.0), np.cos(alc)) * sign)
+    return e, B, A, H, g0, lam0, gmc, uc
+
+
+def omerc_forward(lon, lat, p: dict):
+    e, B, A, H, g0, lam0, gmc, uc = _omerc_constants(p)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    sphi = np.sin(phi)
+    t = (np.tan(np.pi / 4.0 - phi / 2.0)
+         / ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0))
+    Q = H / t ** B
+    S = (Q - 1.0 / Q) / 2.0
+    Tq = (Q + 1.0 / Q) / 2.0
+    dl = B * (np.radians(np.asarray(lon, dtype=np.float64)) - lam0)
+    V = np.sin(dl)
+    U = (-V * np.cos(g0) + S * np.sin(g0)) / Tq
+    v = A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+    u = A * np.arctan2(S * np.cos(g0) + V * np.sin(g0), np.cos(dl)) / B
+    if not p.get("no_off"):  # variant B: natural origin at the centre
+        u = u - np.abs(uc) * (1.0 if p["lat0"] >= 0 else -1.0)
+    x = p["fe"] + v * np.cos(gmc) + u * np.sin(gmc)
+    y = p["fn"] + u * np.cos(gmc) - v * np.sin(gmc)
+    return x, y
+
+
+def omerc_inverse(x, y, p: dict):
+    e, B, A, H, g0, lam0, gmc, uc = _omerc_constants(p)
+    xp = np.asarray(x, dtype=np.float64) - p["fe"]
+    yp = np.asarray(y, dtype=np.float64) - p["fn"]
+    v = xp * np.cos(gmc) - yp * np.sin(gmc)
+    u = yp * np.cos(gmc) + xp * np.sin(gmc)
+    if not p.get("no_off"):
+        u = u + np.abs(uc) * (1.0 if p["lat0"] >= 0 else -1.0)
+    Qp = np.exp(-B * v / A)
+    Sp = (Qp - 1.0 / Qp) / 2.0
+    Tp = (Qp + 1.0 / Qp) / 2.0
+    Vp = np.sin(B * u / A)
+    Up = (Vp * np.cos(g0) + Sp * np.sin(g0)) / Tp
+    tp = (H / np.sqrt((1.0 + Up) / (1.0 - Up))) ** (1.0 / B)
+    chi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+    # chi -> phi by iterating the isometric latitude (shared scheme)
+    psi = np.log(np.tan(np.pi / 4.0 + chi / 2.0))
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    for _ in range(8):
+        sphi = np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2.0 + np.pi / 4.0)
+                       * ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0))
+        dphi = ((psi - psi_i) * np.cos(phi)
+                * (1.0 - e * e * sphi * sphi) / (1.0 - e * e))
+        phi = phi + dphi
+        if np.all(np.abs(dphi) < 1e-14):
+            break
+    lam = lam0 - np.arctan2(Sp * np.cos(g0) - Vp * np.sin(g0),
+                            np.cos(B * u / A)) / B
+    return np.degrees(lam), np.degrees(phi)
+
+
+_KIND_FWD["omerc"] = omerc_forward
+_KIND_INV["omerc"] = omerc_inverse

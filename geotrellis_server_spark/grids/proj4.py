@@ -226,6 +226,21 @@ def params_from_proj4(proj4: str) -> tuple[str, dict]:
                           "lon0": lon0, "fe": fe, "fn": fn}
     elif kind_in == "moll":
         kind, p = "moll", {"a": a, "lon0": lon0, "fe": fe, "fn": fn}
+    elif kind_in == "omerc":
+        # Hotine oblique Mercator (EPSG 9815 variant B by default; PROJ
+        # +no_off selects variant A's natural-origin offsets). PROJ
+        # spells the centre longitude +lonc; +gamma defaults to +alpha.
+        if "alpha" not in toks:
+            raise NotImplementedError(
+                "+proj=omerc needs +alpha (two-point variant "
+                "+lat_1/+lon_1/+lat_2/+lon_2 unsupported)")
+        alpha = _fl(toks, "alpha")
+        kind, p = "omerc", {
+            "a": a, "e2": e2, "lat0": _fl(toks, "lat_0", 0.0),
+            "lon0": _fl(toks, "lonc", _fl(toks, "lon_0", 0.0)),
+            "alpha": alpha, "gamma": _fl(toks, "gamma", alpha),
+            "k0": _fl(toks, "k_0", 1.0), "fe": fe, "fn": fn,
+            "no_off": bool(toks.get("no_off", False))}
     else:
         raise NotImplementedError(f"+proj={kind_in!r} has no kernel "
                                   "(supported: utm tmerc lcc laea aea "

