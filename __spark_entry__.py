@@ -3264,6 +3264,39 @@ def _synth_url_text(cast_str: str) -> str:
             + ", ', done')")
 
 
+def _q_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-probe sufficient statistics (operators/ml.py:gram_stats):
+    exact quantized Gram matrix / moments / column sums / scalars for
+    ridge-fitting label ~ embedding, one pass, engine-exact BIGINTs."""
+    from geotrellis_server_spark.operators.ml import gram_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return gram_stats(emb)
+
+
+def _probe_stats_oracle(dim: int = 64, scale: int = 1 << 10) -> str:
+    qx = (f"list_transform(embedding, x -> CAST(floor(CAST(x AS "
+          f"DOUBLE) * {float(scale)!r}) AS BIGINT))")
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT {qx} AS q, CAST(label AS BIGINT) AS y FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL)
+    SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+           CAST(sum(q[a.i + 1] * q[b.i + 1]) AS BIGINT) AS v
+    FROM e, range(0, {dim}) a(i), range(0, {dim}) b(i)
+    WHERE a.i <= b.i GROUP BY 1, 2
+    UNION ALL
+    SELECT CAST(t.i AS INT), -1, CAST(sum(q[t.i + 1] * y) AS BIGINT)
+    FROM e, range(0, {dim}) t(i) GROUP BY 1
+    UNION ALL
+    SELECT CAST(t.i AS INT), -3, CAST(sum(q[t.i + 1]) AS BIGINT)
+    FROM e, range(0, {dim}) t(i) GROUP BY 1
+    UNION ALL
+    SELECT -1, -1, count(*) FROM e
+    UNION ALL
+    SELECT -1, -2, CAST(sum(y) AS BIGINT) FROM e"""
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup groups (operators/text.py:url_dedup_groups):
     extract from text (tail punctuation stripped) -> canonicalize
@@ -3639,6 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprints": _q_winnow,
         "dedup_winnow_containment": _q_winnow_containment,
         "curation_url_dedup": _q_url_dedup,
+        "ml_linear_probe_stats": _q_probe_stats,
     }
 
 
@@ -3934,6 +3968,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow_fingerprints": _winnow_oracle(),
         "dedup_winnow_containment": _winnow_containment_oracle(),
         "curation_url_dedup": _url_dedup_oracle(),
+        "ml_linear_probe_stats": _probe_stats_oracle(),
     }
 
 

@@ -534,3 +534,103 @@ def nb_classify_oracle_sql(
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id = t.{id_col}
     CROSS JOIN (SELECT * FROM prior_best WHERE rn = 1) pb
     WHERE ({docs_where})"""
+
+
+def gram_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = COS_SCALE,
+) -> DataFrame:
+    """Sufficient statistics for a ridge/least-squares linear probe
+    over an embedding column — the distributed 99% of fitting
+    ``label ~ embedding``: ONE corpus pass emits the exact quantized
+    second-moment statistics as BIGINT rows (i, j, v):
+
+        (i, j,  sum q[i]*q[j])   upper triangle i <= j   (Gram)
+        (i, -1, sum q[i]*y)                              (moments)
+        (i, -3, sum q[i])                                (column sums)
+        (-1, -1, n)   (-1, -2, sum y)                    (scalars)
+
+    over floor-quantized coordinates. Integer sums are order- and
+    partition-invariant, so the statistics — hence the downstream
+    :func:`ridge_fit` solve — are engine-exact (DuckDB-gated).
+
+    Scale shape: identical to the k-means rounds — a mapInPandas
+    kernel computes per-BATCH partials with float64 BLAS (products
+    <= scale^2 quanta, per-batch sums < 2^53: every intermediate an
+    exactly-representable integer), emits dim*(dim+1)/2 + 2*dim + 2
+    rows per batch, and ONE map-side-combined groupBy reduces them.
+    Nothing wide moves at any corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    fscale = float(scale)
+    src = (df.where(F.col(vec_col).isNotNull()
+                    & F.col(label_col).isNotNull())
+           .select(F.col(vec_col).alias("_v"),
+                   F.col(label_col).cast("long").alias("_y")))
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["_v"].to_numpy())
+            Q = np.floor(E.astype(np.float64) * fscale)
+            y = pdf["_y"].to_numpy().astype(np.float64)
+            G = Q.T @ Q          # dim x dim, exact integers
+            m = Q.T @ y
+            sx = Q.sum(axis=0)
+            d = G.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame({
+                "i": np.concatenate([iu, np.arange(d), np.arange(d),
+                                     [-1, -1]]).astype("int32"),
+                "j": np.concatenate([ju, np.full(d, -1), np.full(d, -3),
+                                     [-1, -2]]).astype("int32"),
+                "v": np.concatenate([G[iu, ju], m, sx,
+                                     [len(pdf), y.sum()]])
+                .astype("int64")})
+
+    return (src.mapInPandas(fn, "i int, j int, v long")
+            .groupBy("i", "j").agg(F.sum("v").alias("v")))
+
+
+def ridge_fit(stats_rows, dim: int, lam: float = 1e-3,
+              scale: int = COS_SCALE):
+    """Driver-side ridge solve from collected :func:`gram_stats` rows:
+    (weights[dim], intercept) in ORIGINAL embedding units, centered —
+    minimizes sum (y - w.x - b)^2 + lam*n*|w|^2. A dim x dim solve,
+    trivial next to the scan that produced the statistics."""
+    import numpy as np
+
+    G = np.zeros((dim, dim))
+    m = np.zeros(dim)
+    sx = np.zeros(dim)
+    n, sy = 0, 0.0
+    for r in stats_rows:
+        i, j, v = int(r["i"]), int(r["j"]), float(r["v"])
+        if i == -1:
+            if j == -1:
+                n = int(v)
+            else:
+                sy = v
+        elif j == -1:
+            m[i] = v
+        elif j == -3:
+            sx[i] = v
+        else:
+            G[i, j] = v
+            G[j, i] = v
+    if n == 0:
+        raise ValueError("no rows")
+    s = float(scale)
+    G /= s * s
+    m /= s
+    sx /= s
+    mu = sx / n
+    gc = G - np.outer(sx, sx) / n          # centered Gram
+    mc = m - sx * (sy / n)                 # centered moments
+    w = np.linalg.solve(gc + lam * n * np.eye(dim), mc)
+    b = sy / n - float(w @ mu)
+    return w, b

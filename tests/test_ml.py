@@ -223,3 +223,42 @@ def test_pagerank_checkpoint_resume_bit_identical(spark, tmp_path):
     resumed = sorted(map(tuple, pagerank(edges, n_iter=5,
                                          checkpoint=ck).collect()))
     assert resumed == plain
+
+
+def test_gram_stats_and_ridge_fit_learn_planted_signal(spark):
+    import numpy as np
+
+    from geotrellis_server_spark.operators.ml import gram_stats, ridge_fit
+
+    # planted linear model: y = round(3*x0 - 2*x1 + 1) over 4 dims
+    rng = np.random.RandomState(7)
+    X = rng.uniform(-1, 1, size=(200, 4)).astype(np.float32)
+    y = np.rint(3.0 * X[:, 0] - 2.0 * X[:, 1] + 1.0).astype(int)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]], int(y[i])) for i in range(200)],
+        "vec_id long, embedding array<float>, label int")
+    rows = gram_stats(df).collect()
+    w, b = ridge_fit(rows, dim=4, lam=1e-6)
+    assert abs(w[0] - 3.0) < 0.2 and abs(w[1] + 2.0) < 0.2
+    assert abs(w[2]) < 0.2 and abs(w[3]) < 0.2
+    assert abs(b - 1.0) < 0.2
+    # exactness: statistics identical under repartitioning
+    a = sorted(map(tuple, rows))
+    bb = sorted(map(tuple, gram_stats(df.repartition(13)).collect()))
+    assert a == bb
+
+
+def test_gram_stats_scalar_rows(spark):
+    from geotrellis_server_spark.operators.ml import gram_stats
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 2), (2, [0.0, 1.0], 4), (3, None, 9),
+         (4, [1.0, 1.0], None)],
+        "vec_id long, embedding array<float>, label int")
+    got = {(r.i, r.j): r.v for r in gram_stats(df).collect()}
+    assert got[(-1, -1)] == 2          # NULL vec / NULL label dropped
+    assert got[(-1, -2)] == 6          # 2 + 4
+    assert got[(0, -3)] == 1024 and got[(1, -3)] == 1024
+    assert got[(0, 1)] == 0            # orthogonal rows
+    assert got[(0, 0)] == 1024 * 1024
+    assert got[(0, -1)] == 2 * 1024    # x0 appears with y=2
