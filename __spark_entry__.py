@@ -3391,6 +3391,42 @@ def _od_flows_oracle(res: int = 4) -> str:
     FROM l WHERE src_cell IS NOT NULL GROUP BY 1, 2"""
 
 
+def _q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory stats (operators/trajectory.py:
+    trajectory_stats): hop haversine metres floor-quantized to 2^-10 m
+    before the per-user sum/max — exact integer aggregates."""
+    from geotrellis_server_spark.operators.trajectory import (
+        trajectory_stats)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts",
+        F.expr(sqlgen.lon_sql("event_id")).alias("lon"),
+        F.expr(sqlgen.lat_sql("event_id")).alias("lat"))
+    return trajectory_stats(ev)
+
+
+def _trajectory_stats_oracle() -> str:
+    from geotrellis_server_spark.operators.trajectory import (
+        _haversine_q_expr)
+
+    lon = sqlgen.lon_sql("event_id")
+    lat = sqlgen.lat_sql("event_id")
+    hop = _haversine_q_expr("_plon", "_plat", "_lon", "_lat")
+    return f"""
+    WITH p AS (SELECT user_id, ts, event_id, {lon} AS _lon,
+                      {lat} AS _lat FROM events),
+    l AS (SELECT user_id, _lon, _lat,
+                 lag(_lon) OVER w AS _plon, lag(_lat) OVER w AS _plat
+          FROM p WINDOW w AS (PARTITION BY user_id
+                              ORDER BY ts, event_id)),
+    h AS (SELECT user_id, {hop} AS hop_q FROM l
+          WHERE _plon IS NOT NULL)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_trips,
+           CAST(sum(hop_q) AS BIGINT) AS total_dist_q,
+           max(hop_q) AS max_hop_q
+    FROM h GROUP BY user_id"""
+
+
 def _q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities (operators/graph.py:
     label_propagation, Raghavan et al. 2007) over the undirected
@@ -3673,6 +3709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_containment": _q_winnow_containment,
         "curation_url_dedup": _q_url_dedup,
         "ml_linear_probe_stats": _q_probe_stats,
+        "geo_trajectory_stats": _q_trajectory_stats,
     }
 
 
@@ -3969,6 +4006,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow_containment": _winnow_containment_oracle(),
         "curation_url_dedup": _url_dedup_oracle(),
         "ml_linear_probe_stats": _probe_stats_oracle(),
+        "geo_trajectory_stats": _trajectory_stats_oracle(),
     }
 
 

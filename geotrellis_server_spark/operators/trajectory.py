@@ -52,3 +52,53 @@ def od_flows(
             .where(F.col("src_cell").isNotNull())
             .groupBy("src_cell", "dst_cell")
             .agg(F.count("*").alias("n_trips")))
+
+
+def _haversine_q_expr(lon1: str, lat1: str, lon2: str, lat2: str,
+                      scale: int = 1 << 10) -> str:
+    """Great-circle metres, floor-quantized to 1/scale m — the identical
+    IEEE expression tree in Spark and DuckDB (x*x, never pow; a 1-ULP
+    trig divergence only flips the floor within 2^-42 of a quantum
+    boundary — the dsir/ln doctrine applied to trig)."""
+    dlat = f"sin(radians(({lat2}) - ({lat1})) / 2)"
+    dlon = f"sin(radians(({lon2}) - ({lon1})) / 2)"
+    a = (f"({dlat}) * ({dlat}) + cos(radians({lat1})) * "
+         f"cos(radians({lat2})) * ({dlon}) * ({dlon})")
+    return (f"CAST(floor(2.0 * 6371000.0 * asin(sqrt({a})) * "
+            f"{float(scale)!r}) AS BIGINT)")
+
+
+def trajectory_stats(
+    events: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-user movement statistics over the time-ordered event
+    sequence: (user_id, n_trips, total_dist_q, max_hop_q) with each
+    hop's haversine metres floor-quantized to 2^-10 m BEFORE the
+    sum/max, so the aggregates are exact integers — partition- and
+    engine-invariant.
+
+    Scale shape: one exchange keyed by user for the lag window (free on
+    a user-partitioned event log), then a map-side-combined user-keyed
+    aggregate. The quantized-hop stream never widens."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col),
+                                             F.col(tiebreak_col))
+    hops = (events
+            .select(F.col(user_col), F.col(ts_col), F.col(tiebreak_col),
+                    F.col(lon_col).alias("_lon"),
+                    F.col(lat_col).alias("_lat"))
+            .withColumn("_plon", F.lag("_lon").over(w))
+            .withColumn("_plat", F.lag("_lat").over(w))
+            .where(F.col("_plon").isNotNull())
+            .select(F.col(user_col), F.expr(_haversine_q_expr(
+                "_plon", "_plat", "_lon", "_lat")).alias("hop_q")))
+    return hops.groupBy(user_col).agg(
+        F.count("*").cast("long").alias("n_trips"),
+        F.sum("hop_q").alias("total_dist_q"),
+        F.max("hop_q").alias("max_hop_q"))

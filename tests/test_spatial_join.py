@@ -139,3 +139,33 @@ def test_od_flows_consecutive_pairs(spark):
 
     a = key(0.0, 0.0); b = key(120.0, 40.0); c = key(-120.0, -40.0)
     assert got == {(a, b): 1, (b, a): 1, (c, c): 1}
+
+
+def test_trajectory_stats_known_distances(spark):
+    import math
+
+    from geotrellis_server_spark.operators.trajectory import (
+        trajectory_stats)
+
+    # user 1: two 1-degree hops along the equator (~111.19 km each);
+    # user 2: a single meridian hop of 2 degrees (~222.39 km)
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 0.0, 0.0),
+        (2, 1, "2024-01-01 00:01:00", 1.0, 0.0),
+        (3, 1, "2024-01-01 00:02:00", 2.0, 0.0),
+        (4, 2, "2024-01-01 00:00:00", 10.0, 10.0),
+        (5, 2, "2024-01-01 00:01:00", 10.0, 12.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, lon double, "
+              "lat double"
+    ).withColumn("ts", __import__("pyspark").sql.functions
+                 .to_timestamp("ts"))
+    got = {r.user_id: (r.n_trips, r.total_dist_q, r.max_hop_q)
+           for r in trajectory_stats(df).collect()}
+    deg = 2 * math.pi * 6371000.0 / 360.0  # great-circle metres/degree
+    assert got[1][0] == 2
+    assert abs(got[1][1] / 1024.0 - 2 * deg) < 1.0
+    assert abs(got[1][2] / 1024.0 - deg) < 1.0
+    assert got[2][0] == 1
+    assert abs(got[2][1] / 1024.0 - 2 * deg) < 1.0
