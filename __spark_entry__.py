@@ -3391,6 +3391,39 @@ def _od_flows_oracle(res: int = 4) -> str:
     FROM l WHERE src_cell IS NOT NULL GROUP BY 1, 2"""
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-sides-big interval overlap join (operators/asof.py:
+    interval_overlap_join): even-id event intervals vs odd-id event
+    intervals (ts .. ts + value minutes), chunked equi-join with the
+    report-once rule — each overlapping pair exactly once, no
+    broadcast, no distinct."""
+    from geotrellis_server_spark.operators.asof import (
+        interval_overlap_join)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000").alias("start_s"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000 + "
+               "CAST(floor(value * 60) AS BIGINT)").alias("end_s"))
+    joined = interval_overlap_join(
+        ev.where("event_id % 2 = 0"), ev.where("event_id % 2 = 1"),
+        chunk_s=3600)
+    return joined.select(F.col("event_id_a"), F.col("event_id_b"))
+
+
+def _interval_join_oracle() -> str:
+    return """
+    WITH ev AS MATERIALIZED (
+        SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   + CAST(floor(value * 60) AS BIGINT) AS e
+        FROM events)
+    SELECT a.event_id AS event_id_a, b.event_id AS event_id_b
+    FROM ev a JOIN ev b
+      ON a.event_id % 2 = 0 AND b.event_id % 2 = 1
+     AND a.s <= b.e AND b.s <= a.e"""
+
+
 def _q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user trajectory stats (operators/trajectory.py:
     trajectory_stats): hop haversine metres floor-quantized to 2^-10 m
@@ -3710,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_url_dedup": _q_url_dedup,
         "ml_linear_probe_stats": _q_probe_stats,
         "geo_trajectory_stats": _q_trajectory_stats,
+        "join_interval_overlap": _q_interval_join,
     }
 
 
@@ -4007,6 +4041,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_url_dedup": _url_dedup_oracle(),
         "ml_linear_probe_stats": _probe_stats_oracle(),
         "geo_trajectory_stats": _trajectory_stats_oracle(),
+        "join_interval_overlap": _interval_join_oracle(),
     }
 
 

@@ -162,3 +162,53 @@ def range_join(
     for banding tables."""
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return facts.join(F.broadcast(ranges), cond, how)
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+    chunk_s: int = 3600,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """Interval overlap join where BOTH sides are big — the case
+    broadcast non-equi (range_join) can't serve. Each interval
+    [start, end] (inclusive integer seconds) explodes to the chunks it
+    touches; the join is a plain chunk EQUI-join plus the overlap
+    predicate; each overlapping pair is emitted EXACTLY ONCE by the
+    report-once rule (only from the chunk containing the later start —
+    no distinct over the pair stream, the classic spatial/temporal
+    bin-join dedup trick).
+
+    Returns all columns of both sides suffixed. Exact integer
+    arithmetic throughout.
+
+    Scale shape: the shuffle is keyed by time chunk; chunk width trades
+    duplication factor (intervals spanning many chunks) against per-
+    chunk join fan-in — size it near the median interval length. A
+    hot chunk is AQE-skew-split; nothing is broadcast, nothing driver-
+    side. At 10^12 rows this is the only join shape that works."""
+    C = int(chunk_s)
+    if C <= 0:
+        raise ValueError("chunk_s must be > 0")
+    sa, sb = suffixes
+
+    def _chunked(df: DataFrame, sfx: str) -> DataFrame:
+        cols = [F.col(c).alias(c + sfx) for c in df.columns]
+        return df.select(
+            *cols,
+            F.explode(F.expr(
+                f"sequence(CAST(floor({start_col} / {C}) AS BIGINT), "
+                f"CAST(floor({end_col} / {C}) AS BIGINT))")).alias("_ch"))
+
+    ca = _chunked(a, sa)
+    cb = _chunked(b, sb)
+    s_a, e_a = start_col + sa, end_col + sa
+    s_b, e_b = start_col + sb, end_col + sb
+    return (ca.join(cb, "_ch")
+            .where(F.expr(f"{s_a} <= {e_b} AND {s_b} <= {e_a}"))
+            # report-once: only the chunk holding the LATER start emits
+            .where(F.expr(f"_ch = CAST(floor(greatest({s_a}, {s_b}) "
+                          f"/ {C}) AS BIGINT)"))
+            .drop("_ch"))

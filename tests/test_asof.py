@@ -102,3 +102,29 @@ def test_range_join_bands(spark):
     # broadcast plan: fact side must not shuffle
     plan = range_join(facts, bands, "v")._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan and "SortMergeJoin" not in plan
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    from geotrellis_server_spark.operators.asof import interval_overlap_join
+
+    # pairs engineered to span chunk boundaries (chunk = 10):
+    # a1 [5, 25] overlaps b1 [8, 12] and b2 [24, 40] (b2 across 3 chunks)
+    # a2 [100, 101] overlaps nothing
+    a = spark.createDataFrame([(1, 5, 25), (2, 100, 101)],
+                              "id long, start_s long, end_s long")
+    b = spark.createDataFrame([(1, 8, 12), (2, 24, 40), (3, 50, 60)],
+                              "id long, start_s long, end_s long")
+    rows = interval_overlap_join(a, b, chunk_s=10).collect()
+    pairs = sorted((r.id_a, r.id_b) for r in rows)
+    assert pairs == [(1, 1), (1, 2)]          # each exactly ONCE
+    assert len(rows) == len(pairs)            # report-once, no dups
+    # touching endpoints count as overlap (inclusive semantics)
+    t = interval_overlap_join(
+        spark.createDataFrame([(1, 0, 10)], "id long, start_s long, end_s long"),
+        spark.createDataFrame([(9, 10, 20)], "id long, start_s long, end_s long"),
+        chunk_s=7).collect()
+    assert [(r.id_a, r.id_b) for r in t] == [(1, 9)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        interval_overlap_join(a, b, chunk_s=0)
