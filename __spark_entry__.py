@@ -3391,6 +3391,40 @@ def _od_flows_oracle(res: int = 4) -> str:
     FROM l WHERE src_cell IS NOT NULL GROUP BY 1, 2"""
 
 
+def _q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward-fill (operators/asof.py:
+    resample_ffill): hourly slots per user between the first and last
+    event, each carrying the latest observation at-or-before it (the
+    engine's as-of join underneath); oracle = DuckDB native ASOF."""
+    from geotrellis_server_spark.operators.asof import resample_ffill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000")
+        .alias("s"),
+        "value")
+    return resample_ffill(ev, ["user_id"], "s", "value", step_s=3600)
+
+
+def _resample_ffill_oracle(step: int = 3600) -> str:
+    return f"""
+    WITH ev AS MATERIALIZED (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+        FROM events),
+    d AS MATERIALIZED (
+        SELECT user_id, s, max(value) AS value FROM ev
+        GROUP BY user_id, s),
+    b AS (SELECT user_id, (min(s) + {step - 1}) // {step} AS a,
+                 max(s) // {step} AS z
+          FROM d GROUP BY user_id),
+    slots AS (SELECT user_id, (a + u.i) * {step} AS t
+              FROM b, unnest(range(0, z - a + 1)) u(i)
+              WHERE a <= z)
+    SELECT sl.user_id, sl.t, e.value
+    FROM slots sl ASOF LEFT JOIN d e
+      ON sl.user_id = e.user_id AND sl.t >= e.s"""
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both-sides-big interval overlap join (operators/asof.py:
     interval_overlap_join): even-id event intervals vs odd-id event
@@ -3744,6 +3778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_linear_probe_stats": _q_probe_stats,
         "geo_trajectory_stats": _q_trajectory_stats,
         "join_interval_overlap": _q_interval_join,
+        "events_resample_1h_ffill": _q_resample_ffill,
     }
 
 
@@ -4042,6 +4077,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_linear_probe_stats": _probe_stats_oracle(),
         "geo_trajectory_stats": _trajectory_stats_oracle(),
         "join_interval_overlap": _interval_join_oracle(),
+        "events_resample_1h_ffill": _resample_ffill_oracle(),
     }
 
 

@@ -212,3 +212,43 @@ def interval_overlap_join(
             .where(F.expr(f"_ch = CAST(floor(greatest({s_a}, {s_b}) "
                           f"/ {C}) AS BIGINT)"))
             .drop("_ch"))
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    step_s: int = 3600,
+) -> DataFrame:
+    """Resample an irregular event series to a regular grid with
+    forward-fill — the time-series gap-filler: per key, slots every
+    ``step_s`` seconds between ceil(min/step) and floor(max/step), each
+    carrying the latest observation at-or-before it (LEFT ASOF).
+    Events sharing a slot-resolution timestamp collapse to max(value)
+    FIRST, so the as-of tie rule is explicit and engine-portable.
+    Returns (keys..., t, value).
+
+    Scale shape: bounds are a map-side-combined per-key aggregate; slot
+    explosion is row-local from those bounds (never wider than the
+    OUTPUT grid); the fill is the engine's as_of_join — union + one
+    key-partitioned sort, no join operator (operators/asof.py:26).
+    Keys whose span covers no whole slot emit nothing (guarded — a
+    descending sequence() would throw)."""
+    if step_s <= 0:
+        raise ValueError("step_s must be > 0")
+    C = int(step_s)
+    dedup = events.groupBy(*key_cols, time_col).agg(
+        F.max(value_col).alias(value_col))
+    b = (dedup.groupBy(*key_cols)
+         .agg(F.min(time_col).alias("_mn"), F.max(time_col).alias("_mx"))
+         .select(*key_cols,
+                 F.expr(f"(_mn + {C - 1}) DIV {C}").alias("_a"),
+                 F.expr(f"_mx DIV {C}").alias("_b"))
+         .where(F.col("_a") <= F.col("_b")))
+    slots = (b.select(*key_cols,
+                      F.explode(F.expr("sequence(_a, _b)")).alias("_i"))
+             .select(*key_cols, (F.col("_i") * C).alias(time_col)))
+    out = as_of_join(slots, dedup, key_cols, time_col, [value_col])
+    return out.select(*key_cols, F.col(time_col).alias("t"),
+                      F.col(value_col).alias("value"))

@@ -128,3 +128,23 @@ def test_interval_overlap_join_exactly_once(spark):
 
     with pytest.raises(ValueError):
         interval_overlap_join(a, b, chunk_s=0)
+
+
+def test_resample_ffill_semantics(spark):
+    from geotrellis_server_spark.operators.asof import resample_ffill
+
+    # user 1: events at t=95, 205, 210 (tie at slot resolution is
+    # pre-collapsed to max), user 2: span inside one step -> one slot
+    ev = spark.createDataFrame(
+        [(1, 95, 5.0), (1, 205, 7.0), (1, 210, 9.0), (1, 350, 1.0),
+         (2, 100, 2.0), (2, 150, 3.0)],
+        "user_id long, s long, value double")
+    got = {(r.user_id, r.t): r.value
+           for r in resample_ffill(ev, ["user_id"], "s", "value",
+                                   step_s=100).collect()}
+    assert got[(1, 100)] == 5.0      # ffill from t=95
+    assert got[(1, 200)] == 5.0      # before the 205 event
+    assert got[(1, 300)] == 9.0      # latest of 205/210
+    assert got[(2, 100)] == 2.0      # slot exactly at first event
+    assert (2, 200) not in got       # span ends at 150
+    assert len(got) == 4
