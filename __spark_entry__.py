@@ -3578,6 +3578,41 @@ def _ccnet_buckets_oracle() -> str:
     FROM r"""
 
 
+def _q_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-downstream corpus mixing: keep ALL of the per-language
+    'head' tercile, a deterministic md5-threshold 50% of 'middle',
+    drop 'tail'; report per (lang, bucket) kept doc and token counts —
+    the standard quality-weighted pretraining mix, every decision a
+    pure function of (doc_id, salt)."""
+    docs = _read_documents(spark, sf_dir)
+    buckets = _q_ccnet_buckets(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.expr("size(split(text, ' '))").alias("n_toks"))
+    keep = F.expr(
+        "bucket = 'head' OR (bucket = 'middle' AND "
+        "substring(md5(concat(CAST(doc_id AS STRING), '#mix-v1')), "
+        "1, 4) < '8000')")
+    return (buckets.join(toks, "doc_id")
+            .where(keep)
+            .groupBy("lang", "bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_toks").alias("total_tokens")))
+
+
+def _quality_mix_oracle() -> str:
+    return f"""
+    WITH buckets AS MATERIALIZED ({_ccnet_buckets_oracle()}),
+    toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks
+             FROM documents)
+    SELECT b.lang, b.bucket, count(*) AS n_docs,
+           CAST(sum(t.n_toks) AS BIGINT) AS total_tokens
+    FROM buckets b JOIN toks t ON b.doc_id = t.doc_id
+    WHERE b.bucket = 'head' OR (b.bucket = 'middle' AND
+          substring(md5(CAST(b.doc_id AS VARCHAR) || '#mix-v1'),
+                    1, 4) < '8000')
+    GROUP BY b.lang, b.bucket"""
+
+
 def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized Lloyd's k-means (operators/ml.py:kmeans), k=8,
     3 rounds over the embeddings table: every coordinate floor-
@@ -3779,6 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_trajectory_stats": _q_trajectory_stats,
         "join_interval_overlap": _q_interval_join,
         "events_resample_1h_ffill": _q_resample_ffill,
+        "pipeline_quality_mix": _q_quality_mix,
     }
 
 
@@ -4078,6 +4114,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_trajectory_stats": _trajectory_stats_oracle(),
         "join_interval_overlap": _interval_join_oracle(),
         "events_resample_1h_ffill": _resample_ffill_oracle(),
+        "pipeline_quality_mix": _quality_mix_oracle(),
     }
 
 
