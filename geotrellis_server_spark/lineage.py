@@ -148,7 +148,9 @@ class IterativeCheckpoint:
 
     This is the iterative complement of :class:`ResumableTilingJob`'s
     bucket commits — same Iceberg-snapshot-equivalent manifest
-    discipline, keyed by round instead of bucket."""
+    discipline, keyed by round instead of bucket. The caller owns
+    (out_dir, job_id) uniqueness: reusing a manifest across different
+    inputs/parameters replays the WRONG committed rounds."""
 
     def __init__(self, spark: SparkSession, out_dir: str, job_id: str):
         self.spark = spark

@@ -182,7 +182,9 @@ def interval_overlap_join(
     bin-join dedup trick).
 
     Returns all columns of both sides suffixed. Exact integer
-    arithmetic throughout.
+    arithmetic throughout; chunk indices use true floor division
+    (floor(x / C) on the double quotient — exact for |x| < 2^53), so
+    negative timestamps bucket correctly.
 
     Scale shape: the shuffle is keyed by time chunk; chunk width trades
     duplication factor (intervals spanning many chunks) against per-
@@ -234,7 +236,8 @@ def resample_ffill(
     OUTPUT grid); the fill is the engine's as_of_join — union + one
     key-partitioned sort, no join operator (operators/asof.py:26).
     Keys whose span covers no whole slot emit nothing (guarded — a
-    descending sequence() would throw)."""
+    descending sequence() would throw). Times are assumed NONNEGATIVE
+    epoch seconds (the ceil uses truncating integer division)."""
     if step_s <= 0:
         raise ValueError("step_s must be > 0")
     C = int(step_s)
