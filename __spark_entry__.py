@@ -3391,6 +3391,57 @@ def _od_flows_oracle(res: int = 4) -> str:
     FROM l WHERE src_cell IS NOT NULL GROUP BY 1, 2"""
 
 
+def _q_zone_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence visit analytics — the geo x temporal composite: events
+    placed on the map (deterministic sqlgen positions), broadcast-PIP
+    joined to the zone grid, gap-sessionized (1h) per (user, zone),
+    aggregated to (user_id, zone_id, n_visits, n_events). Every stage
+    is an already-gated operator (pip_join_rect + sessionize)."""
+    from geotrellis_server_spark.operators.asof import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000")
+        .alias("s"),
+        F.expr(sqlgen.lon_sql("event_id")).alias("lon"),
+        F.expr(sqlgen.lat_sql("event_id")).alias("lat"))
+    inz = (spatial_join.pip_join_rect(ev, synth.zone_grid(spark))
+           .select("event_id", "user_id", "s", "zone_id"))
+    sess = sessionize(inz, ["user_id", "zone_id"], "s", 3600.0)
+    return (sess.groupBy("user_id", "zone_id")
+            .agg(F.countDistinct("session_id").cast("long")
+                 .alias("n_visits"),
+                 F.count("*").cast("long").alias("n_events")))
+
+
+def _zone_visits_oracle() -> str:
+    zone = sqlgen.zone_id_for_point_sql(sqlgen.lon_sql("event_id"),
+                                        sqlgen.lat_sql("event_id"))
+    return f"""
+    WITH inz AS MATERIALIZED (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               {zone} AS zone_id
+        FROM events),
+    flagged AS (
+        SELECT user_id, zone_id, s,
+               CASE WHEN s - lag(s) OVER w IS NULL
+                         OR s - lag(s) OVER w <= 3600 THEN 0
+                    ELSE 1 END AS boundary
+        FROM inz
+        WINDOW w AS (PARTITION BY user_id, zone_id ORDER BY s)),
+    sess AS (
+        SELECT user_id, zone_id,
+               sum(boundary) OVER (PARTITION BY user_id, zone_id
+                                   ORDER BY s ROWS UNBOUNDED PRECEDING)
+               AS session_id
+        FROM flagged)
+    SELECT user_id, zone_id,
+           CAST(count(DISTINCT session_id) AS BIGINT) AS n_visits,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, zone_id"""
+
+
 def _q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-grid resampling with forward-fill (operators/asof.py:
     resample_ffill): hourly slots per user between the first and last
