@@ -3866,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_interval_overlap": _q_interval_join,
         "events_resample_1h_ffill": _q_resample_ffill,
         "pipeline_quality_mix": _q_quality_mix,
+        "events_zone_visits": _q_zone_visits,
     }
 
 
@@ -4166,6 +4167,7 @@ def oracle_sql() -> dict[str, str]:
         "join_interval_overlap": _interval_join_oracle(),
         "events_resample_1h_ffill": _resample_ffill_oracle(),
         "pipeline_quality_mix": _quality_mix_oracle(),
+        "events_zone_visits": _zone_visits_oracle(),
     }
 
 
