@@ -3391,6 +3391,38 @@ def _od_flows_oracle(res: int = 4) -> str:
     FROM l WHERE src_cell IS NOT NULL GROUP BY 1, 2"""
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/dedup.py:snapshot_diff): old =
+    docs minus every 10th id, new = docs minus ids = 3 mod 7 with every
+    5th text amended — all four statuses exercised, content compared by
+    md5 only."""
+    from geotrellis_server_spark.operators.dedup import snapshot_diff
+
+    docs = _read_documents(spark, sf_dir)
+    old = docs.where("doc_id % 10 != 0")
+    new = docs.where("doc_id % 7 != 3").select(
+        "doc_id", F.expr("CASE WHEN doc_id % 5 = 0 THEN "
+                         "concat(text, ' v2') ELSE text END")
+        .alias("text"))
+    return snapshot_diff(old, new)
+
+
+def _snapshot_diff_oracle() -> str:
+    return """
+    WITH o AS (SELECT doc_id, md5(coalesce(text, '')) AS ho
+               FROM documents WHERE doc_id % 10 != 0),
+    n AS (SELECT doc_id,
+                 md5(coalesce(CASE WHEN doc_id % 5 = 0
+                     THEN text || ' v2' ELSE text END, '')) AS hn
+          FROM documents WHERE doc_id % 7 != 3)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN ho IS NULL THEN 'added'
+                WHEN hn IS NULL THEN 'removed'
+                WHEN ho = hn THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+
+
 def _q_zone_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence visit analytics — the geo x temporal composite: events
     placed on the map (deterministic sqlgen positions), broadcast-PIP
@@ -3867,6 +3899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample_1h_ffill": _q_resample_ffill,
         "pipeline_quality_mix": _q_quality_mix,
         "events_zone_visits": _q_zone_visits,
+        "pipeline_snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -4168,6 +4201,7 @@ def oracle_sql() -> dict[str, str]:
         "events_resample_1h_ffill": _resample_ffill_oracle(),
         "pipeline_quality_mix": _quality_mix_oracle(),
         "events_zone_visits": _zone_visits_oracle(),
+        "pipeline_snapshot_diff": _snapshot_diff_oracle(),
     }
 
 

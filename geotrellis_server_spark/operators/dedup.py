@@ -486,3 +486,33 @@ def decontaminate(
         .where(F.col("n_hits") >= min_hits)
     )
     return hits
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus snapshot diff — the audit step between two versions of a
+    100-TB lake: one row per doc id present in either snapshot with
+    status 'added' | 'removed' | 'changed' | 'unchanged' (content
+    compared by md5 of the text, never the text itself). Complements
+    :func:`incremental_new_docs` (which filters, this one reports).
+
+    Scale shape: each side reduces to (id, md5) row-locally before the
+    ONE full-outer equi-join on id — the join carries 33-char rows, not
+    documents; at rest both snapshots are typically id-bucketed so the
+    join is co-partitioned and shuffle-free."""
+    o = old.select(F.col(id_col),
+                   F.md5(F.coalesce(F.col(text_col), F.lit("")))
+                   .alias("_ho"))
+    n = new.select(F.col(id_col),
+                   F.md5(F.coalesce(F.col(text_col), F.lit("")))
+                   .alias("_hn"))
+    return (o.join(n, id_col, "full_outer")
+            .select(F.col(id_col), F.expr(
+                "CASE WHEN _ho IS NULL THEN 'added' "
+                "WHEN _hn IS NULL THEN 'removed' "
+                "WHEN _ho = _hn THEN 'unchanged' "
+                "ELSE 'changed' END").alias("status")))
