@@ -149,7 +149,10 @@ def kmeans(
                                     [int(v) for v in s]))
                 yield pd.DataFrame(out, columns=["cid", "n", "s"])
 
-        return src.mapInPandas(fn, "cid int, n long, s array<long>")
+        # ship ONLY the vector column into the training rounds — the id
+        # is dead weight there (the assign pass still carries it)
+        return src.select("_v").mapInPandas(
+            fn, "cid int, n long, s array<long>")
 
     def _assign(cents):
         C = np.asarray(cents, dtype=np.float64)
