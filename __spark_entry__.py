@@ -217,6 +217,19 @@ def _q_pixel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minmax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 min/max fold (operators/histogram.py:minmax — the color-ramp
+    break driver) over the DENSE z4 rasterized density layer: min is 0
+    whenever any touched tile has an uncovered pixel, the dense-tile
+    semantics the independent oracle reproduces arithmetically."""
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, zoom=4, tile_size=64) \
+        .withColumn("band", F.lit(1))
+    from geotrellis_server_spark.operators import histogram as hg
+
+    return hg.minmax(tiles)
+
+
 # --- training-data ops over the driver's documents/embeddings tables -----
 
 
@@ -3900,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_quality_mix": _q_quality_mix,
         "events_zone_visits": _q_zone_visits,
         "pipeline_snapshot_diff": _q_snapshot_diff,
+        "agg_minmax_fold_z4": _q_minmax_fold,
     }
 
 
@@ -3962,6 +3976,23 @@ def oracle_sql() -> dict[str, str]:
                    (({gpy}) - ({ty4}) * 64) * 64 + (({gpx}) - ({tx4}) * 64) AS pixel,
                    count(*) AS cnt
             FROM ({pts}) GROUP BY 1, 2, 3
+        """,
+        "agg_minmax_fold_z4": f"""
+            WITH pc AS (
+                SELECT {tx4} AS tile_x, {ty4} AS tile_y,
+                       (({gpy}) - ({ty4}) * 64) * 64
+                           + (({gpx}) - ({tx4}) * 64) AS pixel,
+                       count(*) AS cnt
+                FROM ({pts}) GROUP BY 1, 2, 3),
+            t AS (SELECT count(*) AS np, min(cnt) AS mn, max(cnt) AS mx
+                  FROM pc),
+            nt AS (SELECT count(*) AS n FROM (
+                  SELECT DISTINCT tile_x, tile_y FROM pc))
+            SELECT 1 AS band,
+                   CASE WHEN t.np < nt.n * 4096 THEN CAST(0 AS DOUBLE)
+                        ELSE CAST(t.mn AS DOUBLE) END AS min_value,
+                   CAST(t.mx AS DOUBLE) AS max_value
+            FROM t, nt
         """,
         "maml_focal_fsum_z2": _focal_fsum_oracle(),
         "maml_mask_polygon_z3": _mask_polygon_oracle(),
