@@ -217,6 +217,21 @@ def _q_pixel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering keys (sources/zorder.py) of the z8
+    tile assignment — the engine's ZORDER-BY layout key (GeoTrellis
+    Z-curve KeyIndex analog): docs per z-key, pure bit arithmetic,
+    engine-portable verbatim."""
+    from geotrellis_server_spark.sources.zorder import zorder_key_expr
+
+    d = _docs(spark, sf_dir)
+    tx = sqlgen.tile_x_sql("lon", 8)
+    ty = sqlgen.tile_y_sql("lat", 8)
+    return (d.select(F.expr(tx).alias("tx"), F.expr(ty).alias("ty"))
+            .select(F.expr(zorder_key_expr("tx", "ty")).alias("zkey"))
+            .groupBy("zkey").agg(F.count("*").alias("n_docs")))
+
+
 def _q_minmax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 min/max fold (operators/histogram.py:minmax — the color-ramp
     break driver) over the DENSE z4 rasterized density layer: min is 0
@@ -3914,6 +3929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zone_visits": _q_zone_visits,
         "pipeline_snapshot_diff": _q_snapshot_diff,
         "agg_minmax_fold_z4": _q_minmax_fold,
+        "geo_zorder_keys_z8": _q_zorder_keys,
     }
 
 
@@ -3976,6 +3992,14 @@ def oracle_sql() -> dict[str, str]:
                    (({gpy}) - ({ty4}) * 64) * 64 + (({gpx}) - ({tx4}) * 64) AS pixel,
                    count(*) AS cnt
             FROM ({pts}) GROUP BY 1, 2, 3
+        """,
+        "geo_zorder_keys_z8": f"""
+            SELECT {__import__('geotrellis_server_spark.sources.zorder',
+                               fromlist=['zorder_key_expr'])
+                    .zorder_key_expr(f'({sqlgen.tile_x_sql("lon", 8)})',
+                                     f'({sqlgen.tile_y_sql("lat", 8)})')}
+                   AS zkey, count(*) AS n_docs
+            FROM ({pts}) GROUP BY 1
         """,
         "agg_minmax_fold_z4": f"""
             WITH pc AS (
