@@ -270,6 +270,28 @@ def run_bench(cores: int, only: str | None = None) -> dict:
             lambda: _bk.tile_counts_from_keyed(spark, tbl)
             .write.mode("overwrite").format("noop").save(),
         )
+    # q24 — bbox analytics over the Z-ORDERED at-rest layout
+    # (sources/zorder.py): parquet min/max stats on (tile_x, tile_y)
+    # prune files/row-groups on BOTH axes, so the 1/16-area bbox scans
+    # a corresponding fraction of the lake — the steady-state cost of
+    # spatial slicing on a 100-TB table (cf. q19 for the agg exchange)
+    if wanted("q24_bbox_zordered"):
+        from geotrellis_server_spark.sources.zorder import write_zordered
+
+        zdir = os.path.join(CACHE_DIR, f"zorder_{_sf_of(SF_DIR)}_{n}.parquet")
+        if not os.path.exists(os.path.join(zdir, "_SUCCESS")):
+            write_zordered(
+                tiling.assign_tiles(load(), 8)
+                .select("doc_id", "tile_x", "tile_y", "lon", "lat"),
+                zdir, n_files=64, compression="zstd")
+        timed(
+            "q24_bbox_zordered",
+            lambda: spark.read.parquet(zdir)
+            .where("tile_x < 64 AND tile_y < 64")
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("n_docs"))
+            .write.mode("overwrite").format("noop").save(),
+        )
     timed(
         "q2_tile_counts_z8",
         lambda: tiling.tile_counts(load(), 8).write.mode("overwrite").format("noop").save(),
