@@ -3724,6 +3724,78 @@ def _quality_mix_oracle() -> str:
     GROUP BY b.lang, b.bucket"""
 
 
+def _q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern pretraining-curation recipe, end to end: exact
+    dedup survivors -> SemDeDup semantic drops (k-means + quantized
+    cosine over the embeddings table, vec_id == doc_id) -> benchmark
+    decontamination (word 5-grams vs the doc_id%10 eval split) -> CCNet
+    per-language LM terciles -> quality mix (head + hashed 50% of
+    middle). Output: per (lang, bucket) kept docs + tokens. Every stage
+    is an independently-gated operator; this composite gates their
+    COMPOSITION."""
+    from geotrellis_server_spark.operators import dedup
+    from geotrellis_server_spark.operators.ml import (
+        kmeans, semantic_dedup_pairs)
+
+    docs = _read_documents(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    surv = dedup.exact_dedup(docs).select(
+        F.col("survivor_id").alias("doc_id"))
+    clusters = kmeans(emb, k=8, n_iter=3)
+    sem_drops = (semantic_dedup_pairs(emb, clusters, theta_num=2,
+                                      theta_den=5)
+                 .select(F.col("drop_id").alias("doc_id")).distinct())
+    contam = dedup.decontaminate(
+        docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"),
+        n=DECON_N, min_hits=DECON_MIN_HITS).select("doc_id")
+    buckets = _q_ccnet_buckets(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.expr("size(split(text, ' '))").alias("n_toks"))
+    keep_mix = F.expr(
+        "bucket = 'head' OR (bucket = 'middle' AND "
+        "substring(md5(concat(CAST(doc_id AS STRING), '#mix-v1')), "
+        "1, 4) < '8000')")
+    kept = (buckets.join(surv, "doc_id")
+            .where("doc_id % 10 != 0")
+            .join(sem_drops, "doc_id", "left_anti")
+            .join(contam, "doc_id", "left_anti")
+            .where(keep_mix)
+            .join(toks, "doc_id"))
+    return (kept.groupBy("lang", "bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_toks").alias("total_tokens")))
+
+
+def _curation_v3_oracle() -> str:
+    from geotrellis_server_spark.operators.ml import (
+        kmeans_oracle_sql, semantic_dedup_oracle_sql)
+
+    sem = semantic_dedup_oracle_sql(
+        kmeans_oracle_sql(k=8, n_iter=3), theta_num=2, theta_den=5)
+    return f"""
+    WITH surv AS MATERIALIZED (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    sem_drops AS MATERIALIZED (
+        SELECT DISTINCT drop_id AS doc_id FROM ({sem})),
+    contam AS MATERIALIZED (
+        SELECT doc_id FROM ({_decontaminate_oracle()})),
+    buckets AS MATERIALIZED ({_ccnet_buckets_oracle()}),
+    toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks
+             FROM documents)
+    SELECT b.lang, b.bucket, count(*) AS n_docs,
+           CAST(sum(t.n_toks) AS BIGINT) AS total_tokens
+    FROM buckets b
+    JOIN surv s ON s.doc_id = b.doc_id
+    JOIN toks t ON t.doc_id = b.doc_id
+    WHERE b.doc_id % 10 != 0
+      AND b.doc_id NOT IN (SELECT doc_id FROM sem_drops)
+      AND b.doc_id NOT IN (SELECT doc_id FROM contam)
+      AND (b.bucket = 'head' OR (b.bucket = 'middle' AND
+           substring(md5(CAST(b.doc_id AS VARCHAR) || '#mix-v1'),
+                     1, 4) < '8000'))
+    GROUP BY b.lang, b.bucket"""
+
+
 def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized Lloyd's k-means (operators/ml.py:kmeans), k=8,
     3 rounds over the embeddings table: every coordinate floor-
@@ -3930,6 +4002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_snapshot_diff": _q_snapshot_diff,
         "agg_minmax_fold_z4": _q_minmax_fold,
         "geo_zorder_keys_z8": _q_zorder_keys,
+        "pipeline_curation_v3": _q_curation_v3,
     }
 
 
@@ -4257,6 +4330,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_quality_mix": _quality_mix_oracle(),
         "events_zone_visits": _zone_visits_oracle(),
         "pipeline_snapshot_diff": _snapshot_diff_oracle(),
+        "pipeline_curation_v3": _curation_v3_oracle(),
     }
 
 
