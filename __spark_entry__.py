@@ -3419,6 +3419,59 @@ def _od_flows_oracle(res: int = 4) -> str:
     FROM l WHERE src_cell IS NOT NULL GROUP BY 1, 2"""
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase (operators/
+    behavior.py:funnel): per-stage conditional-min aggregates keyed by
+    user, inclusive-tie ordering, monotone user counts."""
+    from geotrellis_server_spark.operators.behavior import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+def _funnel_oracle() -> str:
+    return """
+    WITH e AS (SELECT user_id AS u, ts AS t, event_type AS et
+               FROM events),
+    s1 AS (SELECT u, min(t) AS tk FROM e WHERE et = 'view' GROUP BY u),
+    s2 AS (SELECT e.u, min(e.t) AS tk FROM e JOIN s1 ON e.u = s1.u
+           WHERE e.et = 'click' AND e.t >= s1.tk GROUP BY e.u),
+    s3 AS (SELECT e.u, min(e.t) AS tk FROM e JOIN s2 ON e.u = s2.u
+           WHERE e.et = 'purchase' AND e.t >= s2.tk GROUP BY e.u)
+    SELECT 1 AS stage_idx, 'view' AS stage,
+           (SELECT count(*) FROM s1) AS n_users
+    UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"""
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (operators/behavior.py:
+    retention_cohorts): users bucketed by first-activity week, counted
+    per later active week — exact integer periods."""
+    from geotrellis_server_spark.operators.behavior import (
+        retention_cohorts)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000")
+        .alias("s"))
+    return retention_cohorts(ev)
+
+
+def _retention_oracle(period: int = 7 * 24 * 3600) -> str:
+    return f"""
+    WITH ev AS (SELECT user_id AS u,
+                       CAST(floor(floor(epoch(ts)) / {period})
+                            AS BIGINT) AS per
+                FROM events),
+    first AS (SELECT u, min(per) AS cohort FROM ev GROUP BY u),
+    active AS (SELECT DISTINCT u, per FROM ev)
+    SELECT f.cohort, a.per - f.cohort AS period_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active a JOIN first f ON a.u = f.u
+    GROUP BY f.cohort, a.per - f.cohort"""
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/dedup.py:snapshot_diff): old =
     docs minus every 10th id, new = docs minus ids = 3 mod 7 with every
@@ -4003,6 +4056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_minmax_fold_z4": _q_minmax_fold,
         "geo_zorder_keys_z8": _q_zorder_keys,
         "pipeline_curation_v3": _q_curation_v3,
+        "events_funnel_3stage": _q_funnel,
+        "events_retention_weekly": _q_retention,
     }
 
 
@@ -4331,6 +4386,8 @@ def oracle_sql() -> dict[str, str]:
         "events_zone_visits": _zone_visits_oracle(),
         "pipeline_snapshot_diff": _snapshot_diff_oracle(),
         "pipeline_curation_v3": _curation_v3_oracle(),
+        "events_funnel_3stage": _funnel_oracle(),
+        "events_retention_weekly": _retention_oracle(),
     }
 
 

@@ -148,3 +148,42 @@ def test_resample_ffill_semantics(spark):
     assert got[(2, 100)] == 2.0      # slot exactly at first event
     assert (2, 200) not in got       # span ends at 150
     assert len(got) == 4
+
+
+def test_funnel_ordering_and_monotonicity(spark):
+    from geotrellis_server_spark.operators.behavior import funnel
+
+    # user 1 converts in order; user 2 clicked BEFORE viewing (click
+    # must not count); user 3 views only
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        (2, "click", 5), (2, "view", 10), (2, "purchase", 50),
+        (3, "view", 7),
+    ]
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [(u, e, dt.datetime(2024, 1, 1, 0, 0, t)) for u, e, t in rows],
+        "user_id long, event_type string, ts timestamp")
+    got = {r.stage: r.n_users
+           for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+    import pytest
+
+    with pytest.raises(ValueError):
+        funnel(ev, [])
+
+
+def test_retention_cohorts_offsets(spark):
+    from geotrellis_server_spark.operators.behavior import (
+        retention_cohorts)
+
+    # periods of 10s: user 1 active periods 0,1,3; user 2 first at 1,
+    # active 1 and 2
+    ev = spark.createDataFrame(
+        [(1, 5), (1, 12), (1, 18), (1, 35), (2, 11), (2, 25)],
+        "user_id long, s long")
+    got = {(r.cohort, r.period_offset): r.n_users
+           for r in retention_cohorts(ev, period_s=10).collect()}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1,
+                   (1, 0): 1, (1, 1): 1}
