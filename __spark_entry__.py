@@ -3419,6 +3419,74 @@ def _od_flows_oracle(res: int = 4) -> str:
     FROM l WHERE src_cell IS NOT NULL GROUP BY 1, 2"""
 
 
+def _q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group nearest-rank quantiles (operators/sketch.py:
+    quantiles_by_group): p50/p90/p99 of event value per event_type —
+    always actual data values, engine-exact."""
+    from geotrellis_server_spark.operators.sketch import (
+        quantiles_by_group)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return quantiles_by_group(ev, "value", ["event_type"],
+                              [0.5, 0.9, 0.99])
+
+
+def _group_quantiles_oracle() -> str:
+    return """
+    WITH v AS (SELECT event_type, value FROM events
+               WHERE value IS NOT NULL),
+    ranked AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value) AS rn
+               FROM v),
+    n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+    t AS (SELECT n.event_type, p.p,
+                 CAST(ceil(p.p * n.n) AS INT) AS rn
+          FROM n CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p) p)
+    SELECT t.event_type, CAST(t.p AS DOUBLE) AS p, r.value
+    FROM t JOIN ranked r
+      ON r.event_type = t.event_type AND r.rn = t.rn"""
+
+
+def _q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (operators/text.py:pmi_pairs, Church & Hanks
+    1990): window-5 unordered co-occurrence pairs with count >= 5,
+    quantized-ln PMI — exact BIGINT scores."""
+    from geotrellis_server_spark.operators.text import pmi_pairs
+
+    return pmi_pairs(_read_documents(spark, sf_dir), window=5,
+                     min_count=5)
+
+
+def _pmi_pairs_oracle(window: int = 5, min_count: int = 5) -> str:
+    w = window - 1
+    return f"""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+    p1 AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+    ps AS MATERIALIZED (
+        SELECT CASE WHEN toks[i] <= toks[j]
+                    THEN toks[i] || ' ' || toks[j]
+                    ELSE toks[j] || ' ' || toks[i] END AS pair
+        FROM (SELECT toks, i,
+                     unnest(range(i + 1,
+                                  least(i + {w}, len(toks)) + 1)) AS j
+              FROM p1)),
+    c_xy AS (SELECT pair, count(*) AS c_xy FROM ps GROUP BY pair),
+    c_w AS (SELECT w, count(*) AS c_w FROM (
+            SELECT unnest(string_split(pair, ' ')) AS w FROM ps)
+            GROUP BY w),
+    n AS (SELECT count(*) AS n FROM ps)
+    SELECT k.pair, k.c_xy,
+           CAST(floor(ln(CAST(n.n AS DOUBLE) * k.c_xy /
+                (CAST(a.c_w AS DOUBLE) * b.c_w)) * 1048576.0)
+                AS BIGINT) AS pmi_q
+    FROM (SELECT * FROM c_xy WHERE c_xy >= {min_count}) k
+    JOIN c_w a ON a.w = string_split(k.pair, ' ')[1]
+    JOIN c_w b ON b.w = string_split(k.pair, ' ')[2]
+    CROSS JOIN n"""
+
+
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase (operators/
     behavior.py:funnel): per-stage conditional-min aggregates keyed by
@@ -4058,6 +4126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curation_v3": _q_curation_v3,
         "events_funnel_3stage": _q_funnel,
         "events_retention_weekly": _q_retention,
+        "text_pmi_collocations": _q_pmi_pairs,
+        "agg_group_quantiles": _q_group_quantiles,
     }
 
 
@@ -4388,6 +4458,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curation_v3": _curation_v3_oracle(),
         "events_funnel_3stage": _funnel_oracle(),
         "events_retention_weekly": _retention_oracle(),
+        "text_pmi_collocations": _pmi_pairs_oracle(),
+        "agg_group_quantiles": _group_quantiles_oracle(),
     }
 
 

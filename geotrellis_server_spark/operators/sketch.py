@@ -585,3 +585,41 @@ def hash_sample_per_group(
         .where(F.col("_rn") <= k)
         .drop("_hk", "_rn")
     )
+
+
+def quantiles_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    probs: list[float],
+) -> DataFrame:
+    """EXACT per-group nearest-rank quantiles: for each group and each
+    p the value at rank ceil(p * n) of the group's sorted non-NULL
+    values (nearest-rank definition — always an actual data value, so
+    results are engine-exact with no interpolation ambiguity).
+    Returns (group..., p, value).
+
+    Scale shape: one row_number window per group key (external sort,
+    spills) + a tiny per-group count aggregate; the rank targets join
+    back on (group, rank) — only |groups| x |probs| rows move in the
+    final join. The global-sample alternative is quantile_sketch; this
+    is the exact small-cardinality-groups path (per-source latency
+    percentiles, per-language length quantiles)."""
+    if not probs or any(not (0.0 < p <= 1.0) for p in probs):
+        raise ValueError("probs must be in (0, 1]")
+    from pyspark.sql import Window
+
+    vals = df.where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    ranked = vals.select(*group_cols,
+                         F.col(value_col).alias("_v")) \
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy(*group_cols).orderBy("_v")))
+    counts = vals.groupBy(*group_cols).agg(F.count("*").alias("_n"))
+    probs_df = df.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "p double")
+    targets = counts.crossJoin(F.broadcast(probs_df)).select(
+        *group_cols, "p",
+        F.expr("CAST(ceil(p * _n) AS INT)").alias("_rn"))
+    return (targets.join(ranked, [*group_cols, "_rn"])
+            .select(*group_cols, "p", F.col("_v").alias("value")))

@@ -949,3 +949,60 @@ def url_dedup_groups(
             .groupBy("canon_url")
             .agg(F.count("*").alias("n_refs"),
                  F.min(id_col).alias("survivor_id")))
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    window: int = 5,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990): unordered token pairs co-occurring within a ``window``
+    of positions, scored
+
+        pmi_q = floor( ln(N * c_xy / (c_x * c_y)) * 2^20 )
+
+    where N = total co-occurrence pair count, c_x = times x appears in
+    any pair, c_xy = the pair count. Pairs are canonically ordered
+    (w1 <= w2); only pairs with c_xy >= min_count emerge. The ln is
+    floor-quantized (the dsir doctrine) so scores are exact BIGINTs.
+
+    Scale shape: pair generation is row-local (array lambdas emit each
+    position's <= window-1 forward partners); the only exchanges are
+    map-side-combined counts keyed by pair and by word, plus the final
+    broadcast of the vocabulary-sized word counts onto the
+    min_count-filtered pair table. The min_count filter applies BEFORE
+    the join, so rare noise never travels."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    toks = f"split({text_col}, ' ')"
+    pairs_expr = (
+        f"flatten(transform(sequence(1, size({toks}) - 1), i -> "
+        f"transform(sequence(i + 1, least(i + {window - 1}, "
+        f"size({toks}))), j -> CASE WHEN element_at({toks}, i) <= "
+        f"element_at({toks}, CAST(j AS INT)) THEN "
+        f"concat(element_at({toks}, i), ' ', element_at({toks}, "
+        f"CAST(j AS INT))) ELSE concat(element_at({toks}, "
+        f"CAST(j AS INT)), ' ', element_at({toks}, i)) END)))")
+    pair_stream = (docs
+                   .where(F.expr(f"size({toks}) >= 2"))
+                   .select(F.explode(F.expr(pairs_expr)).alias("pair")))
+    c_xy = pair_stream.groupBy("pair").agg(F.count("*").alias("c_xy"))
+    words = pair_stream.select(
+        F.explode(F.split("pair", " ")).alias("w"))
+    c_w = words.groupBy("w").agg(F.count("*").alias("c_w"))
+    n_tot = pair_stream.count()  # one scalar
+    kept = c_xy.where(F.col("c_xy") >= int(min_count))
+    return (kept
+            .withColumn("w1", F.expr("split(pair, ' ')[0]"))
+            .withColumn("w2", F.expr("split(pair, ' ')[1]"))
+            .join(F.broadcast(c_w.withColumnRenamed("w", "w1")
+                              .withColumnRenamed("c_w", "c1")), "w1")
+            .join(F.broadcast(c_w.withColumnRenamed("w", "w2")
+                              .withColumnRenamed("c_w", "c2")), "w2")
+            .select("pair", "c_xy", F.expr(
+                f"CAST(floor(ln(CAST({n_tot} AS DOUBLE) * c_xy / "
+                f"(CAST(c1 AS DOUBLE) * c2)) * 1048576.0D) AS BIGINT)")
+                .alias("pmi_q")))

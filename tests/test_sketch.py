@@ -372,3 +372,20 @@ def test_hash_sample_per_group(spark):
     tiny = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
                                  "id int, g string")
     assert hash_sample_per_group(tiny, ["g"], ["id"], k=10).count() == 3
+
+
+def test_quantiles_by_group_nearest_rank(spark):
+    from geotrellis_server_spark.operators.sketch import quantiles_by_group
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r.g, r.p): r.value for r in quantiles_by_group(
+        df, "v", ["g"], [0.5, 0.9, 1.0]).collect()}
+    # nearest-rank: ceil(.5*10)=5 -> 5.0; ceil(.9*10)=9 -> 9.0; 10 -> 10.0
+    assert got[("a", 0.5)] == 5.0 and got[("a", 0.9)] == 9.0
+    assert got[("a", 1.0)] == 10.0
+    assert got[("b", 0.5)] == 5.0  # single-element group
+    import pytest
+
+    with pytest.raises(ValueError):
+        quantiles_by_group(df, "v", ["g"], [0.0])

@@ -1236,3 +1236,23 @@ def test_url_dedup_groups_collapses_variants(spark):
     assert got["http://ex.com/a?a=1&b=2"] == (2, 1)   # docs 1 + 3
     assert got["https://ex.com/a"] == (1, 2)           # scheme differs
     assert got["http://other.com/q"] == (1, 4)
+
+
+def test_pmi_pairs_scores_collocation(spark):
+    import math
+
+    from geotrellis_server_spark.operators.text import pmi_pairs
+
+    # "new york" always adjacent; "a b" co-occur but both are everywhere
+    docs = [(i, "new york a b c" + (" a" if i % 2 else " b"))
+            for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.pair: (r.c_xy, r.pmi_q) for r in pmi_pairs(
+        df, window=3, min_count=5).collect()}
+    assert "new york" in got and got["new york"][0] == 10
+    # the exclusive pair outranks the promiscuous one
+    assert got["new york"][1] > got["a b"][1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        pmi_pairs(df, window=1)
