@@ -3419,6 +3419,66 @@ def _od_flows_oracle(res: int = 4) -> str:
     FROM l WHERE src_cell IS NOT NULL GROUP BY 1, 2"""
 
 
+def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type Markov transition matrix (operators/behavior.py:
+    transition_matrix): per-user time-ordered consecutive event-type
+    pairs, counted — the user-journey model."""
+    from geotrellis_server_spark.operators.behavior import (
+        transition_matrix)
+
+    return transition_matrix(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _transitions_oracle() -> str:
+    return """
+    WITH l AS (SELECT event_type AS to_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS from_type
+               FROM events)
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2"""
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (operators/graph.py:kcore, k=3, 6
+    synchronous rounds) over the undirected purchase graph — survivors
+    with residual degree, round count part of the definition so the
+    unrolled oracle replays it exactly."""
+    from geotrellis_server_spark.operators.graph import kcore
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + 1000000).alias("dst"))
+        .distinct())
+    return kcore(edges, k=3, n_rounds=6)
+
+
+def _kcore_oracle(k: int = 3, n_rounds: int = 6) -> str:
+    parts = ["""
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM e0
+            UNION ALL SELECT dst, src FROM e0))"""]
+    for i in range(1, n_rounds + 1):
+        parts.append(f"""
+    k{i} AS MATERIALIZED (
+        SELECT a FROM l{i - 1} GROUP BY a HAVING count(*) >= {k}),
+    l{i} AS MATERIALIZED (
+        SELECT l.a, l.b FROM l{i - 1} l
+        JOIN k{i} ka ON l.a = ka.a
+        JOIN k{i} kb ON l.b = kb.a)""")
+    return (",".join(parts)
+            + f"\n    SELECT a AS node, CAST(count(*) AS BIGINT) AS "
+              f"degree FROM l{n_rounds} GROUP BY a")
+
+
 def _q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group nearest-rank quantiles (operators/sketch.py:
     quantiles_by_group): p50/p90/p99 of event value per event_type —
@@ -4128,6 +4188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_weekly": _q_retention,
         "text_pmi_collocations": _q_pmi_pairs,
         "agg_group_quantiles": _q_group_quantiles,
+        "events_transition_matrix": _q_transitions,
+        "graph_kcore_3": _q_kcore,
     }
 
 
@@ -4460,6 +4522,8 @@ def oracle_sql() -> dict[str, str]:
         "events_retention_weekly": _retention_oracle(),
         "text_pmi_collocations": _pmi_pairs_oracle(),
         "agg_group_quantiles": _group_quantiles_oracle(),
+        "events_transition_matrix": _transitions_oracle(),
+        "graph_kcore_3": _kcore_oracle(),
     }
 
 

@@ -83,3 +83,31 @@ def retention_cohorts(
                      (F.col("per") - F.col("cohort"))
                      .alias("period_offset"))
             .agg(F.count("*").cast("long").alias("n_users")))
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over each user's time-
+    ordered event-type sequence: (from_type, to_type, n_transitions) —
+    the user-journey model behind path analysis. Total (ts, tiebreak)
+    ordering makes lag() deterministic.
+
+    Scale shape: one user-keyed window exchange (free on user-
+    partitioned logs), then a map-side-combined count onto at most
+    |types|^2 rows — the od_flows shape with types for cells."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col),
+                                             F.col(tiebreak_col))
+    return (events
+            .select(F.col(user_col), F.col(ts_col), F.col(tiebreak_col),
+                    F.col(type_col).alias("to_type"))
+            .withColumn("from_type", F.lag("to_type").over(w))
+            .where(F.col("from_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count("*").alias("n_transitions")))

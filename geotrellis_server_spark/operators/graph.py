@@ -148,3 +148,41 @@ def label_propagation(
                .select("node", F.col("m.l").alias("label"))
                .localCheckpoint(eager=True))
     return lab.select("node", F.col("label").cast("long").alias("label"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    n_rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling over the undirected graph: ``n_rounds``
+    synchronous rounds each removing every node whose CURRENT degree is
+    < k (Matula & Beck 1983 peeling, synchronized). Returns the nodes
+    still standing with their residual degree: (node, degree). With
+    enough rounds this IS the k-core; the round count is part of the
+    operator's definition so the result is deterministic and an
+    unrolled SQL oracle can replay it (convergence typically takes a
+    handful of rounds — each round removes whole shells).
+
+    Scale shape per round: one map-side-combined degree count + one
+    semi-join of the edge list against the surviving nodes (both sides
+    keyed by node; AQE broadcasts the survivor side when small).
+    localCheckpoint keeps lineage flat."""
+    if k < 1 or n_rounds < 0:
+        raise ValueError("k >= 1 and n_rounds >= 0 required")
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .unionByName(edges.select(F.col(dst_col).alias("a"),
+                                     F.col(src_col).alias("b")))
+           .distinct().localCheckpoint(eager=True))
+    live = und
+    for _ in range(n_rounds):
+        deg = live.groupBy("a").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= int(k)).select("a")
+        live = (live.join(keep, "a")
+                .join(keep.withColumnRenamed("a", "b"), "b")
+                .select("a", "b").localCheckpoint(eager=True))
+    return (live.groupBy(F.col("a").alias("node"))
+            .agg(F.count("*").cast("long").alias("degree")))

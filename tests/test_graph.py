@@ -90,3 +90,19 @@ def test_label_propagation_partition_invariant(spark):
     b = sorted(map(tuple,
                    label_propagation(edges.coalesce(1), 3).collect()))
     assert a == b
+
+
+def test_kcore_peels_tail_and_keeps_core(spark):
+    from geotrellis_server_spark.operators.graph import kcore
+
+    # K4 core (1,2,3,4 fully connected) with a pendant chain 4-10-11
+    E = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 10), (10, 11)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {r.node: r.degree for r in kcore(edges, k=3,
+                                           n_rounds=5).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert all(d == 3 for d in got.values())
+    # k=2: the chain still dies (10 loses 11 then drops), K4 stays
+    got2 = {r.node for r in kcore(edges, k=2, n_rounds=5).collect()}
+    assert got2 == {1, 2, 3, 4}
