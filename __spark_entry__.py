@@ -3419,6 +3419,36 @@ def _od_flows_oracle(res: int = 4) -> str:
     FROM l WHERE src_cell IS NOT NULL GROUP BY 1, 2"""
 
 
+def _q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-sigma anomaly flags per event_type (operators/sketch.py:
+    value_outliers): the z-score test cross-multiplied into pure BIGINT
+    arithmetic over cent-quantized values — no float mean/stddev
+    anywhere."""
+    from geotrellis_server_spark.operators.sketch import value_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value")
+    return value_outliers(ev, "value", ["event_type"]).select(
+        "event_id", "event_type", "x_q")
+
+
+def _value_outliers_oracle(sigmas: int = 3, scale: int = 100) -> str:
+    s2 = sigmas * sigmas
+    return f"""
+    WITH q AS (SELECT event_id, event_type,
+                      CAST(floor(CAST(value AS DOUBLE) * {float(scale)!r})
+                           AS BIGINT) AS x
+               FROM events WHERE value IS NOT NULL),
+    st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS s,
+                  CAST(sum(x * x) AS BIGINT) AS ss
+           FROM q GROUP BY event_type)
+    SELECT q.event_id, q.event_type, q.x AS x_q
+    FROM q JOIN st ON q.event_type = st.event_type
+    WHERE (st.n * q.x - st.s) * (st.n * q.x - st.s) >
+          {s2} * (st.n * st.ss - st.s * st.s)"""
+
+
 def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type Markov transition matrix (operators/behavior.py:
     transition_matrix): per-user time-ordered consecutive event-type
@@ -4190,6 +4220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_group_quantiles": _q_group_quantiles,
         "events_transition_matrix": _q_transitions,
         "graph_kcore_3": _q_kcore,
+        "events_value_outliers": _q_value_outliers,
     }
 
 
@@ -4524,6 +4555,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_group_quantiles": _group_quantiles_oracle(),
         "events_transition_matrix": _transitions_oracle(),
         "graph_kcore_3": _kcore_oracle(),
+        "events_value_outliers": _value_outliers_oracle(),
     }
 
 

@@ -623,3 +623,46 @@ def quantiles_by_group(
         F.expr("CAST(ceil(p * _n) AS INT)").alias("_rn"))
     return (targets.join(ranked, [*group_cols, "_rn"])
             .select(*group_cols, "p", F.col("_v").alias("value")))
+
+
+def value_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    sigmas: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """EXACT z-score anomaly flags without ever computing a float mean
+    or stddev: quantize values to integers (x = floor(v * scale)), then
+    flag rows where
+
+        (n*x - S)^2 > sigmas^2 * (n*SS - S^2)
+
+    — the |x - mean| > sigmas * stddev_pop test cross-multiplied into
+    pure BIGINT arithmetic (LHS = n^2*(x-mean)^2, RHS = sigmas^2 * n^2 *
+    variance). Returns the flagged rows: (group..., id-columns..., x_q).
+    Engine-exact: both sides are integers, no rounding anywhere.
+
+    Magnitude bound: |n*x| and n*SS must stay below 2^63 — holds while
+    n * scale^2 * max_v^2 < 2^63 (e.g. a billion rows of values < 300
+    at scale 100). Beyond that, run per finer group or post-aggregate
+    DECIMAL. Scale shape: one map-side-combined (n, S, SS) aggregate
+    per group, broadcast back onto the row stream — one pass plus a
+    broadcast join, no sort."""
+    if sigmas < 1 or scale < 1:
+        raise ValueError("sigmas and scale must be >= 1")
+    x = (f"CAST(floor(CAST({value_col} AS DOUBLE) * {float(scale)!r}D) "
+         f"AS BIGINT)")
+    q = df.where(F.col(value_col).isNotNull()) \
+        .withColumn("_x", F.expr(x))
+    stats = q.groupBy(*group_cols).agg(
+        F.count("*").alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.expr("_x * _x")).alias("_ss"))
+    s2 = sigmas * sigmas
+    return (q.join(F.broadcast(stats), list(group_cols))
+            .where(F.expr(
+                f"(_n * _x - _s) * (_n * _x - _s) > "
+                f"{s2} * (_n * _ss - _s * _s)"))
+            .drop("_n", "_s", "_ss")
+            .withColumnRenamed("_x", "x_q"))

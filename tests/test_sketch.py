@@ -389,3 +389,17 @@ def test_quantiles_by_group_nearest_rank(spark):
 
     with pytest.raises(ValueError):
         quantiles_by_group(df, "v", ["g"], [0.0])
+
+
+def test_value_outliers_exact_flags(spark):
+    from geotrellis_server_spark.operators.sketch import value_outliers
+
+    # 20 values at 10.0 plus one wild 1000.0: only the wild one flags
+    rows = [(i, "a", 10.0) for i in range(20)] + [(99, "a", 1000.0)]
+    df = spark.createDataFrame(rows, "event_id long, g string, v double")
+    got = [r.event_id for r in value_outliers(df, "v", ["g"]).collect()]
+    assert got == [99]
+    # constant group: variance 0, nothing flags (strict >)
+    const = spark.createDataFrame([(i, "c", 5.0) for i in range(5)],
+                                  "event_id long, g string, v double")
+    assert value_outliers(const, "v", ["g"]).count() == 0
