@@ -3419,6 +3419,69 @@ def _od_flows_oracle(res: int = 4) -> str:
     FROM l WHERE src_cell IS NOT NULL GROUP BY 1, 2"""
 
 
+def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics in one pass family (the corpus-release
+    profiling artifact): per-language and per-source doc/token counts,
+    exact-duplicate count, and corpus totals as (metric, key, value)
+    rows — the numbers every dataset card publishes."""
+    docs = _read_documents(spark, sf_dir)
+    toks = docs.select("doc_id", "lang", "source",
+                       F.expr("size(split(text, ' '))").alias("nt"))
+    by_lang = toks.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("nt").alias("t"))
+    by_src = toks.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("nt").alias("t"))
+    dups = docs.groupBy(F.md5("text")).agg(
+        (F.count("*") - 1).alias("extra"))
+    rows = [
+        by_lang.select(F.lit("docs_per_lang").alias("metric"),
+                       F.col("lang").alias("key"),
+                       F.col("n").cast("long").alias("value")),
+        by_lang.select(F.lit("tokens_per_lang"), "lang",
+                       F.col("t").cast("long")),
+        by_src.select(F.lit("docs_per_source"), "source",
+                      F.col("n").cast("long")),
+        by_src.select(F.lit("tokens_per_source"), "source",
+                      F.col("t").cast("long")),
+        dups.agg(F.sum("extra").cast("long").alias("v")).select(
+            F.lit("exact_dup_docs"), F.lit("corpus"), F.col("v")),
+        toks.agg(F.count("*").cast("long").alias("v")).select(
+            F.lit("n_docs"), F.lit("corpus"), F.col("v")),
+        toks.agg(F.sum("nt").cast("long").alias("v")).select(
+            F.lit("n_tokens"), F.lit("corpus"), F.col("v")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r.toDF("metric", "key", "value"))
+    return out
+
+
+def _dataset_card_oracle() -> str:
+    return """
+    WITH toks AS (SELECT doc_id, lang, source,
+                         len(string_split(text, ' ')) AS nt
+                  FROM documents)
+    SELECT 'docs_per_lang' AS metric, lang AS key,
+           CAST(count(*) AS BIGINT) AS value FROM toks GROUP BY lang
+    UNION ALL
+    SELECT 'tokens_per_lang', lang, CAST(sum(nt) AS BIGINT)
+    FROM toks GROUP BY lang
+    UNION ALL
+    SELECT 'docs_per_source', source, CAST(count(*) AS BIGINT)
+    FROM toks GROUP BY source
+    UNION ALL
+    SELECT 'tokens_per_source', source, CAST(sum(nt) AS BIGINT)
+    FROM toks GROUP BY source
+    UNION ALL
+    SELECT 'exact_dup_docs', 'corpus',
+           CAST(sum(c - 1) AS BIGINT)
+    FROM (SELECT count(*) AS c FROM documents GROUP BY md5(text))
+    UNION ALL
+    SELECT 'n_docs', 'corpus', CAST(count(*) AS BIGINT) FROM toks
+    UNION ALL
+    SELECT 'n_tokens', 'corpus', CAST(sum(nt) AS BIGINT) FROM toks"""
+
+
 def _q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-sigma anomaly flags per event_type (operators/sketch.py:
     value_outliers): the z-score test cross-multiplied into pure BIGINT
@@ -4221,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transition_matrix": _q_transitions,
         "graph_kcore_3": _q_kcore,
         "events_value_outliers": _q_value_outliers,
+        "pipeline_dataset_card": _q_dataset_card,
     }
 
 
@@ -4556,6 +4620,7 @@ def oracle_sql() -> dict[str, str]:
         "events_transition_matrix": _transitions_oracle(),
         "graph_kcore_3": _kcore_oracle(),
         "events_value_outliers": _value_outliers_oracle(),
+        "pipeline_dataset_card": _dataset_card_oracle(),
     }
 
 
