@@ -637,3 +637,80 @@ def ridge_fit(stats_rows, dim: int, lam: float = 1e-3,
     w = np.linalg.solve(gc + lam * n * np.eye(dim), mc)
     b = sy / n - float(w @ mu)
     return w, b
+
+
+def pca_fit(stats_rows, dim: int, n_components: int,
+            scale: int = COS_SCALE):
+    """PCA from :func:`gram_stats` sufficient statistics — the same
+    one-pass Gram/moment/column-sum rows fit the covariance matrix, so
+    PCA costs NOTHING beyond the scan the probe already paid:
+
+        cov = (G - sx sx^T / n) / n        (population covariance)
+
+    Returns (components[k][dim], mean[dim], eigvals[k]) with a
+    deterministic sign convention (each component's largest-|entry|
+    coordinate is positive) so fits are reproducible across runs.
+    Driver-side dim x dim eigendecomposition — trivial next to the
+    scan."""
+    import numpy as np
+
+    G = np.zeros((dim, dim))
+    sx = np.zeros(dim)
+    n = 0
+    for r in stats_rows:
+        i, j, v = int(r["i"]), int(r["j"]), float(r["v"])
+        if i == -1:
+            if j == -1:
+                n = int(v)
+        elif j == -3:
+            sx[i] = v
+        elif j >= 0:
+            G[i, j] = v
+            G[j, i] = v
+    if n == 0:
+        raise ValueError("no rows")
+    s = float(scale)
+    G /= s * s
+    sx /= s
+    mu = sx / n
+    cov = G / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)      # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order].T              # k x dim
+    for c in comps:                       # deterministic sign
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return comps, mu, vals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    mean,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings onto fitted components: (id, proj array<k>
+    double) — the dimensionality-reduction / whitening step before
+    clustering or ANN. Arrow-batched (E - mean) @ W^T matmul, zero
+    shuffle; the k x dim component matrix rides in the closure like
+    k-means centroids."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    src = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            P = (E - mu[None, :]) @ W.T
+            yield pd.DataFrame({"_id": pdf["_id"],
+                                "proj": list(P)})
+
+    return (src.mapInPandas(fn, "_id long, proj array<double>")
+            .select(F.col("_id").alias(id_col), "proj"))

@@ -262,3 +262,37 @@ def test_gram_stats_scalar_rows(spark):
     assert got[(0, 1)] == 0            # orthogonal rows
     assert got[(0, 0)] == 1024 * 1024
     assert got[(0, -1)] == 2 * 1024    # x0 appears with y=2
+
+
+def test_pca_recovers_planted_principal_axis(spark):
+    import numpy as np
+
+    from geotrellis_server_spark.operators.ml import (
+        gram_stats, pca_fit, pca_project)
+
+    # variance overwhelmingly along (1, 1, 0, 0)/sqrt(2)
+    rng = np.random.RandomState(3)
+    t = rng.uniform(-1, 1, 400)
+    X = np.zeros((400, 4), dtype=np.float32)
+    X[:, 0] = t + rng.normal(0, 0.01, 400)
+    X[:, 1] = t + rng.normal(0, 0.01, 400)
+    X[:, 2] = rng.normal(0, 0.01, 400)
+    X[:, 3] = 0.3  # constant offset -> tests centering
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]], 0) for i in range(400)],
+        "vec_id long, embedding array<float>, label int")
+    comps, mu, vals = pca_fit(gram_stats(df).collect(), dim=4,
+                              n_components=2)
+    c0 = comps[0]
+    assert abs(abs(c0[0]) - 2 ** -0.5) < 0.05
+    assert abs(abs(c0[1]) - 2 ** -0.5) < 0.05
+    assert abs(c0[2]) < 0.1 and abs(c0[3]) < 0.1
+    assert vals[0] > 10 * vals[1]
+    assert abs(mu[3] - 0.3) < 0.01
+    # projection: first component carries ~all the variance
+    P = np.array([r.proj for r in
+                  pca_project(df, comps, mu).orderBy("vec_id").collect()])
+    assert P.shape == (400, 2)
+    assert P[:, 0].var() > 10 * P[:, 1].var()
+    # deterministic sign: largest-|entry| coordinate positive
+    assert c0[int(np.argmax(np.abs(c0)))] > 0
