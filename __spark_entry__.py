@@ -3419,6 +3419,39 @@ def _od_flows_oracle(res: int = 4) -> str:
     FROM l WHERE src_cell IS NOT NULL GROUP BY 1, 2"""
 
 
+def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang vs the marker-lexicon
+    prediction (operators/text.py:lang_id) — the eval artifact for the
+    classifier family; one equi-join + map-side-combined count."""
+    from geotrellis_server_spark.operators.text import lang_id
+
+    docs = _read_documents(spark, sf_dir)
+    pred = lang_id(docs).select("doc_id", "lang_pred")
+    return (docs.select("doc_id", "lang").join(pred, "doc_id")
+            .groupBy("lang", "lang_pred")
+            .agg(F.count("*").alias("n_docs")))
+
+
+def _langid_confusion_oracle() -> str:
+    # mirror of the gated text_lang_id oracle's scoring, aggregated
+    markers = {"en": ("the", "and", "of"), "es": ("el", "la", "de"),
+               "de": ("der", "die", "und"), "fr": ("le", "la", "et"),
+               "zh": ("de5",)}
+    score = ", ".join(
+        "len(list_filter(string_split(text, ' '), t -> t IN ({})))"
+        " AS s_{}".format(", ".join(f"'{m}'" for m in ms), lang)
+        for lang, ms in markers.items())
+    langs = list(markers)
+    best = "greatest({})".format(", ".join(f"s_{l}" for l in langs))
+    pred = "CASE WHEN {} = 0 THEN 'und' {} END".format(
+        best, " ".join(f"WHEN s_{l} = {best} THEN '{l}'" for l in langs))
+    return f"""
+    WITH sc AS (SELECT doc_id, lang, {score} FROM documents),
+    p AS (SELECT doc_id, lang, {pred} AS lang_pred FROM sc)
+    SELECT lang, lang_pred, count(*) AS n_docs
+    FROM p GROUP BY lang, lang_pred"""
+
+
 def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card statistics in one pass family (the corpus-release
     profiling artifact): per-language and per-source doc/token counts,
@@ -4294,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore_3": _q_kcore,
         "events_value_outliers": _q_value_outliers,
         "pipeline_dataset_card": _q_dataset_card,
+        "text_langid_confusion": _q_langid_confusion,
     }
 
 
@@ -4630,6 +4664,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore_3": _kcore_oracle(),
         "events_value_outliers": _value_outliers_oracle(),
         "pipeline_dataset_card": _dataset_card_oracle(),
+        "text_langid_confusion": _langid_confusion_oracle(),
     }
 
 
