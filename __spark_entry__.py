@@ -3419,6 +3419,35 @@ def _od_flows_oracle(res: int = 4) -> str:
     FROM l WHERE src_cell IS NOT NULL GROUP BY 1, 2"""
 
 
+def _q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster hotspot detection (Getis-Ord-style): the z2 focal-fsum
+    surface's pixels whose neighborhood sum deviates > 3 sigma from the
+    global pixel population — composed from the gated focal machinery
+    (halo join + fused kernel) and the gated exact-integer z-test, so
+    the flags are engine-exact end to end."""
+    from geotrellis_server_spark.operators.sketch import value_outliers
+
+    f = _q_focal_fsum(spark, sf_dir)  # (tile_x, tile_y, idx, value)
+    return value_outliers(f, "value", [], sigmas=3, scale=1).select(
+        "tile_x", "tile_y", "idx", "x_q")
+
+
+def _hotspots_oracle(sigmas: int = 3) -> str:
+    s2 = sigmas * sigmas
+    return f"""
+    WITH f AS MATERIALIZED ({_focal_fsum_oracle()}),
+    q AS (SELECT tile_x, tile_y, idx,
+                 CAST(floor(CAST(value AS DOUBLE)) AS BIGINT) AS x
+          FROM f WHERE value IS NOT NULL),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS s,
+                  CAST(sum(x * x) AS BIGINT) AS ss FROM q)
+    SELECT q.tile_x, q.tile_y, q.idx, q.x AS x_q
+    FROM q CROSS JOIN st
+    WHERE (st.n * q.x - st.s) * (st.n * q.x - st.s) >
+          {s2} * (st.n * st.ss - st.s * st.s)"""
+
+
 def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix: labeled lang vs the marker-lexicon
     prediction (operators/text.py:lang_id) — the eval artifact for the
@@ -4328,6 +4357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_outliers": _q_value_outliers,
         "pipeline_dataset_card": _q_dataset_card,
         "text_langid_confusion": _q_langid_confusion,
+        "raster_hotspots_z2": _q_hotspots,
     }
 
 
@@ -4665,6 +4695,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_outliers": _value_outliers_oracle(),
         "pipeline_dataset_card": _dataset_card_oracle(),
         "text_langid_confusion": _langid_confusion_oracle(),
+        "raster_hotspots_z2": _hotspots_oracle(),
     }
 
 

@@ -660,7 +660,9 @@ def value_outliers(
         F.sum("_x").alias("_s"),
         F.sum(F.expr("_x * _x")).alias("_ss"))
     s2 = sigmas * sigmas
-    return (q.join(F.broadcast(stats), list(group_cols))
+    joined = (q.crossJoin(F.broadcast(stats)) if not group_cols
+              else q.join(F.broadcast(stats), list(group_cols)))
+    return (joined
             .where(F.expr(
                 f"(_n * _x - _s) * (_n * _x - _s) > "
                 f"{s2} * (_n * _ss - _s * _s)"))
