@@ -232,6 +232,19 @@ def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("zkey").agg(F.count("*").alias("n_docs")))
 
 
+def _q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell keys (grids/geohash.py) at precision 6 — the public
+    textual SFC geocode (Niemeyer), encoded entirely in portable BIGINT
+    bit arithmetic + substr: docs per geohash cell. The prefix IS the
+    parent cell, so this key range-partitions by cell prefix exactly
+    like the engine's quadtree keys (north rule)."""
+    from geotrellis_server_spark.grids.geohash import geohash_expr
+
+    d = _docs(spark, sf_dir)
+    return (d.select(F.expr(geohash_expr("lon", "lat", 6)).alias("geohash"))
+            .groupBy("geohash").agg(F.count("*").alias("n_docs")))
+
+
 def _q_minmax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 min/max fold (operators/histogram.py:minmax — the color-ramp
     break driver) over the DENSE z4 rasterized density layer: min is 0
@@ -4347,6 +4360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_snapshot_diff": _q_snapshot_diff,
         "agg_minmax_fold_z4": _q_minmax_fold,
         "geo_zorder_keys_z8": _q_zorder_keys,
+        "geo_geohash_encode": _q_geohash,
         "pipeline_curation_v3": _q_curation_v3,
         "events_funnel_3stage": _q_funnel,
         "events_retention_weekly": _q_retention,
@@ -4427,6 +4441,13 @@ def oracle_sql() -> dict[str, str]:
                     .zorder_key_expr(f'({sqlgen.tile_x_sql("lon", 8)})',
                                      f'({sqlgen.tile_y_sql("lat", 8)})')}
                    AS zkey, count(*) AS n_docs
+            FROM ({pts}) GROUP BY 1
+        """,
+        "geo_geohash_encode": f"""
+            SELECT {__import__('geotrellis_server_spark.grids.geohash',
+                               fromlist=['geohash_expr'])
+                    .geohash_expr('lon', 'lat', 6)}
+                   AS geohash, count(*) AS n_docs
             FROM ({pts}) GROUP BY 1
         """,
         "agg_minmax_fold_z4": f"""
