@@ -232,6 +232,69 @@ def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("zkey").agg(F.count("*").alias("n_docs")))
 
 
+def _q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule filter (operators/text.py:gopher_rules — Rae
+    et al. 2021 App. A1.1): per-doc integer rule counts + keep verdict,
+    every flag decided by BIGINT cross-multiplication so the table is
+    engine-exact. min_words=8 on the gate corpus (driver docs are short
+    synthetic lines; the published 50 applies at web scale)."""
+    from geotrellis_server_spark.operators import text
+
+    d = text.gopher_rules(_read_documents(spark, sf_dir), min_words=8)
+    flags = [c for c in d.columns if c.startswith("ok_")] + ["keep"]
+    return d.select(
+        "doc_id", "n_words", "n_word_chars", "n_symbols", "n_alpha_words",
+        "n_stop_hits",
+        *[F.col(c).cast("int").alias(c) for c in flags])
+
+
+def _gopher_oracle(min_words: int = 8, max_words: int = 100_000) -> str:
+    from geotrellis_server_spark.operators.text import GOPHER_STOPWORDS
+
+    stop_arr = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    words = ("list_filter(string_split(translate(text, chr(10), ' '), ' '), "
+             "w -> w <> '')")
+    lines = "string_split(text, chr(10))"
+    rules = {
+        "ok_word_count": f"n_words >= {min_words} AND n_words <= {max_words}",
+        "ok_word_len": "3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words",
+        "ok_symbols": "10 * n_symbols <= n_words",
+        "ok_bullets": "10 * n_bullet_lines <= 9 * n_lines",
+        "ok_ellipsis": "10 * n_ellipsis_lines <= 3 * n_lines",
+        "ok_alpha": "5 * n_alpha_words >= 4 * n_words",
+        "ok_stopwords": "n_stop_hits >= 2",
+    }
+    flag_cols = ",\n                   ".join(
+        f"CAST({e} AS INT) AS {k}" for k, e in rules.items())
+    keep = " AND ".join(f"({e})" for e in rules.values())
+    return f"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len({words}) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform({words}, w -> len(w))), 0)
+                    AS BIGINT) AS n_word_chars,
+               CAST((len(text) - len(replace(text, '#', '')))
+                    + (len(text) - len(replace(text, '...', ''))) // 3
+                    AS BIGINT) AS n_symbols,
+               CAST(len({lines}) AS BIGINT) AS n_lines,
+               CAST(len(list_filter({lines},
+                    l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+                    AS BIGINT) AS n_bullet_lines,
+               CAST(len(list_filter({lines}, l -> l LIKE '%...'))
+                    AS BIGINT) AS n_ellipsis_lines,
+               CAST(len(list_filter({words},
+                    w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+                    AS n_alpha_words,
+               CAST(len(list_intersect(list_distinct({words}),
+                    [{stop_arr}])) AS BIGINT) AS n_stop_hits
+        FROM documents)
+    SELECT doc_id, n_words, n_word_chars, n_symbols, n_alpha_words,
+           n_stop_hits,
+           {flag_cols},
+           CAST({keep} AS INT) AS keep
+    FROM c"""
+
+
 def _q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash cell keys (grids/geohash.py) at precision 6 — the public
     textual SFC geocode (Niemeyer), encoded entirely in portable BIGINT
@@ -4361,6 +4424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_minmax_fold_z4": _q_minmax_fold,
         "geo_zorder_keys_z8": _q_zorder_keys,
         "geo_geohash_encode": _q_geohash,
+        "pipeline_gopher_filter": _q_gopher,
         "pipeline_curation_v3": _q_curation_v3,
         "events_funnel_3stage": _q_funnel,
         "events_retention_weekly": _q_retention,
@@ -4443,6 +4507,7 @@ def oracle_sql() -> dict[str, str]:
                    AS zkey, count(*) AS n_docs
             FROM ({pts}) GROUP BY 1
         """,
+        "pipeline_gopher_filter": _gopher_oracle(),
         "geo_geohash_encode": f"""
             SELECT {__import__('geotrellis_server_spark.grids.geohash',
                                fromlist=['geohash_expr'])

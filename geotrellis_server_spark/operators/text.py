@@ -1006,3 +1006,63 @@ def pmi_pairs(
                 f"CAST(floor(ln(CAST({n_tot} AS DOUBLE) * c_xy / "
                 f"(CAST(c1 AS DOUBLE) * c2)) * 1048576.0D) AS BIGINT)")
                 .alias("pmi_q")))
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """Gopher document-quality rule signals (Rae et al. 2021, App. A1.1
+    — the public MassiveWeb filter every modern pretraining pipeline
+    descends from), computed entirely in row-local codegen SQL with the
+    keep verdict decided by INTEGER cross-multiplication (never a float
+    ratio), so flags are partition- and engine-exact:
+
+    - word count in [min_words, max_words],
+    - mean word length in [3, 10]        -> 3*W <= chars <= 10*W,
+    - symbol-to-word ratio <= 0.1        -> 10*(#hash + #ellipsis) <= W,
+    - bullet-started lines <= 90%        -> 10*bullets <= 9*lines,
+    - ellipsis-ended lines <= 30%        -> 10*ellipses <= 3*lines,
+    - words with an alphabetic char >= 80% -> 5*alpha >= 4*W,
+    - >= 2 distinct Gopher stop words present.
+
+    Returns the full signal table (one row per doc: the counts plus the
+    per-rule flags and final ``keep``) — the artifact a curation run
+    audits; filtering is ``WHERE keep``. Zero shuffle: every column is
+    a scalar expression over the document row."""
+    t = text_col
+    words = f"filter(split(translate({t}, '\\n', ' '), ' '), w -> w <> '')"
+    lines = f"split({t}, '\\n')"
+    stop_arr = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    exprs = {
+        "n_words": f"size({words})",
+        "n_word_chars": f"aggregate({words}, 0L, (a, w) -> a + length(w))",
+        "n_symbols": (
+            f"(length({t}) - length(replace({t}, '#', ''))) + "
+            f"CAST((length({t}) - length(replace({t}, '...', ''))) / 3 AS BIGINT)"),
+        "n_lines": f"size({lines})",
+        "n_bullet_lines": (
+            f"size(filter({lines}, l -> substr(ltrim(l), 1, 1) IN "
+            f"('-', '*', '•')))"),
+        "n_ellipsis_lines": f"size(filter({lines}, l -> l LIKE '%...'))",
+        "n_alpha_words": f"size(filter({words}, w -> w RLIKE '[a-zA-Z]'))",
+        "n_stop_hits": (
+            f"size(array_intersect(array_distinct({words}), "
+            f"array({stop_arr})))"),
+    }
+    d = docs.select(F.col(id_col),
+                    *[F.expr(e).cast("long").alias(k)
+                      for k, e in exprs.items()])
+    rules = {
+        "ok_word_count": f"n_words >= {int(min_words)} AND n_words <= {int(max_words)}",
+        "ok_word_len": "3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words",
+        "ok_symbols": "10 * n_symbols <= n_words",
+        "ok_bullets": "10 * n_bullet_lines <= 9 * n_lines",
+        "ok_ellipsis": "10 * n_ellipsis_lines <= 3 * n_lines",
+        "ok_alpha": "5 * n_alpha_words >= 4 * n_words",
+        "ok_stopwords": "n_stop_hits >= 2",
+    }
+    d = d.select("*", *[F.expr(e).alias(k) for k, e in rules.items()])
+    return d.withColumn("keep", F.expr(" AND ".join(rules)))

@@ -1256,3 +1256,36 @@ def test_pmi_pairs_scores_collocation(spark):
 
     with pytest.raises(ValueError):
         pmi_pairs(df, window=1)
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from geotrellis_server_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox jumps over that lazy dog with vigor and grace today"
+    docs = [
+        (1, good),                                     # passes everything
+        (2, "too short that the"),                     # word count < 8
+        (3, "a b c d e f g h i j k l the of"),         # mean word len < 3
+        (4, good + " # # # # # # # # # #"),            # symbol ratio > 0.1
+        (5, "- one\n- two\n- three\n- four\nplain the that line here now ok"),  # 4/5 bullet lines still <= 90%
+        (6, "- a1\n- b2\n- c3\n- d4\n- e5\n- f6\n- g7\n- h8\n- i9\n- j10\n* k11\nthe that good line"),
+        (7, good.replace("the", "12345").replace("that", "67890")
+             .replace("with", "11111").replace("and", "22222")),  # stopwords < 2
+        (8, "one... two... three... the end that is here now...\nmore... text... the that\nclean line here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(df, min_words=8).collect()}
+    assert got[1].keep
+    assert not got[2].ok_word_count and not got[2].keep
+    assert not got[3].ok_word_len
+    assert not got[4].ok_symbols
+    assert got[5].ok_bullets                    # 4 of 5 lines = 80% <= 90%
+    assert not got[6].ok_bullets                # 11 of 12 lines > 90%
+    assert not got[7].ok_stopwords
+    # doc 8: ellipsis-ended LINES = 1 of 3 (33% > 30% -> fails) and six
+    # '...' occurrences count as symbols (6*10 > 16 words -> fails too)
+    assert not got[8].ok_ellipsis
+    assert got[8].n_symbols == 6 and not got[8].ok_symbols
+    # exact integer signal checks on the clean doc
+    assert got[1].n_words == 14
+    assert got[1].n_stop_hits >= 2
