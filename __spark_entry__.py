@@ -232,6 +232,52 @@ def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("zkey").agg(F.count("*").alias("n_docs")))
 
 
+def _q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I / LISA spatial autocorrelation
+    (operators/zonal.py:local_moran) over the z2 rasterized doc-count
+    layer: per-pixel (N·x−S)·(N·Σnbr−n·S) in exact BIGINTs through two
+    gated focal-fsum passes (values + in-domain neighbor counts)."""
+    from geotrellis_server_spark.operators.zonal import local_moran
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 2, tile_size=8)
+    return local_moran(tiles)
+
+
+def _local_moran_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 2, 8)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    return f"""
+    WITH pix AS (
+      SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px, count(*) AS cnt
+      FROM ({pts}) GROUP BY 1, 2, 3, 4),
+    tiles AS (SELECT DISTINCT tx, ty FROM pix),
+    dom AS (
+      SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py, CAST(j.j AS BIGINT) AS px
+      FROM tiles t CROSS JOIN range(8) i(i) CROSS JOIN range(8) j(j)),
+    gval AS (
+      SELECT d.tx, d.ty, d.py, d.px,
+             d.ty * 8 + d.py AS gy, d.tx * 8 + d.px AS gx,
+             CAST(COALESCE(p.cnt, 0) AS BIGINT) AS v
+      FROM dom d LEFT JOIN pix p
+        ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px),
+    nbr AS (
+      SELECT c.tx, c.ty, c.py, c.px, c.v,
+             sum(n.v) AS nb_sum, count(*) AS nb_cnt
+      FROM gval c
+      JOIN gval n ON n.gx BETWEEN c.gx - 1 AND c.gx + 1
+                 AND n.gy BETWEEN c.gy - 1 AND c.gy + 1
+                 AND NOT (n.gx = c.gx AND n.gy = c.gy)
+      GROUP BY 1, 2, 3, 4, 5),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n_pix,
+                  CAST(sum(v) AS BIGINT) AS s_sum FROM gval)
+    SELECT tx AS tile_x, ty AS tile_y, CAST(py * 8 + px AS INT) AS idx,
+           nbr.v AS v, CAST(nb_cnt AS BIGINT) AS nb_cnt,
+           (n_pix * nbr.v - s_sum)
+             * (n_pix * CAST(nb_sum AS BIGINT) - nb_cnt * s_sum) AS moran_q
+    FROM nbr, st"""
+
+
 def _q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule filter (operators/text.py:gopher_rules — Rae
     et al. 2021 App. A1.1): per-doc integer rule counts + keep verdict,
@@ -4425,6 +4471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_zorder_keys_z8": _q_zorder_keys,
         "geo_geohash_encode": _q_geohash,
         "pipeline_gopher_filter": _q_gopher,
+        "raster_local_moran_z2": _q_local_moran,
         "pipeline_curation_v3": _q_curation_v3,
         "events_funnel_3stage": _q_funnel,
         "events_retention_weekly": _q_retention,
@@ -4508,6 +4555,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts}) GROUP BY 1
         """,
         "pipeline_gopher_filter": _gopher_oracle(),
+        "raster_local_moran_z2": _local_moran_oracle(),
         "geo_geohash_encode": f"""
             SELECT {__import__('geotrellis_server_spark.grids.geohash',
                                fromlist=['geohash_expr'])

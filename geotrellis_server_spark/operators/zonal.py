@@ -78,3 +78,53 @@ def zonal_histogram_rect(
         f"CAST(floor(value / CAST({bin_width!r} AS DOUBLE)) AS BIGINT) AS bin",
     )
     return zoned.groupBy("zone_id", "bin").agg(F.count("*").alias("count"))
+
+
+def local_moran(tiles: DataFrame) -> DataFrame:
+    """Local Moran's I components per pixel (Anselin 1995 LISA — the
+    classic spatial-autocorrelation statistic; queen contiguity,
+    binary weights) over a dense tile table, cross-multiplied into
+    EXACT BIGINT arithmetic so the output is partition- and
+    engine-invariant:
+
+        moran_q = (N·x_i − S) · (N·Σ_{j∈nbr(i)} x_j − n_i·S)
+                = N² (x_i − μ) Σ_j (x_j − μ),   μ = S/N
+
+    Positive moran_q ⇒ the pixel sits in a like-valued cluster
+    (hot/cold spot); negative ⇒ a spatial outlier. The global Moran's I
+    numerator is Σ moran_q / N² — callers can aggregate this table.
+
+    Plan shape: two focal-fsum passes through the gated halo machinery
+    (one over the values, one over a constant-1 raster to count each
+    pixel's in-domain neighbors — edge pixels have fewer), a tile-key
+    equi-join between them (same partitioning, AQE-coalesced), and one
+    2-scalar global aggregate broadcast back. Bodies never shuffle;
+    only the focal edge strips move, exactly as in the gated focal
+    queries. Works on integer-valued rasters (doc-count densities);
+    values are cast to BIGINT."""
+    from ..maml import ast as M
+    from ..maml.eval import eval_expr
+
+    fs_v = eval_expr(M.focal("fsum", M.var("d"), radius=1), {"d": tiles}) \
+        .selectExpr("tile_x", "tile_y",
+                    "posexplode(cells) AS (idx, fsum_v)")
+    ones = tiles.withColumn("cells", F.expr("transform(cells, x -> 1.0D)"))
+    fs_1 = eval_expr(M.focal("fsum", M.var("d"), radius=1), {"d": ones}) \
+        .selectExpr("tile_x", "tile_y",
+                    "posexplode(cells) AS (idx, fsum_1)")
+    v = tiles.selectExpr("tile_x", "tile_y",
+                         "posexplode(cells) AS (idx, value)") \
+        .selectExpr("tile_x", "tile_y", "idx",
+                    "CAST(coalesce(value, 0.0D) AS BIGINT) AS v")
+    key = ["tile_x", "tile_y", "idx"]
+    joined = (v.join(fs_v, key).join(fs_1, key)
+              .selectExpr("tile_x", "tile_y", "idx", "v",
+                          "CAST(fsum_v AS BIGINT) - v AS nb_sum",
+                          "CAST(fsum_1 AS BIGINT) - 1 AS nb_cnt"))
+    stats = v.agg(F.count("*").cast("long").alias("n_pix"),
+                  F.sum("v").cast("long").alias("s_sum"))
+    return (joined.crossJoin(F.broadcast(stats))
+            .selectExpr(
+                "tile_x", "tile_y", "idx", "v", "nb_cnt",
+                "(n_pix * v - s_sum) * (n_pix * nb_sum - nb_cnt * s_sum) "
+                "AS moran_q"))
