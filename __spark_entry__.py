@@ -4350,6 +4350,71 @@ def _tfidf_top3_oracle() -> str:
     FROM s WHERE rank <= 3"""
 
 
+# --- kernel density + IDW (operators/density.py; GeoTrellis
+# KernelDensity / InverseDistanceWeighted parity) ---------------------------
+
+_IDW_WIN = (571, 743, 64, 64, 6)  # x0, y0, w, h, radius — z5/ts64 pixel
+# window over the (-74, 40) hot cluster (centre pixel ≈ (603, 775))
+
+
+def _q_kernel_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binomial-3×3 integer kernel density at z5 (operators/density.py —
+    GeoTrellis raster.density.KernelDensity semantics: stamp, sum,
+    drop off-grid): exact BIGINT per-pixel densities."""
+    from geotrellis_server_spark.operators import density as DN
+
+    return DN.kernel_density(_docs(spark, sf_dir), 5, 64)
+
+
+def _kernel_density_oracle() -> str:
+    from geotrellis_server_spark.operators import density as DN
+
+    pts = f"SELECT {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    return DN.kernel_density_oracle_sql(pts, 5, 64)
+
+
+def _idw_samples_sql() -> str:
+    from geotrellis_server_spark.operators import density as DN
+
+    x0, y0, w, h, r = _IDW_WIN
+    gpx, gpy = DN.global_pixel_sql("lon", "lat", 5, 64)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    return (
+        f"SELECT {gpx} AS sx, {gpy} AS sy, id % 97 AS v FROM ({pts}) p "
+        f"WHERE ({gpx}) BETWEEN {x0 - r} AND {x0 + w - 1 + r} "
+        f"AND ({gpy}) BETWEEN {y0 - r} AND {y0 + h - 1 + r}"
+    )
+
+
+def _q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW interpolation (operators/density.py — GeoTrellis
+    raster.interpolation.InverseDistanceWeighted semantics, radius-
+    bounded) of id%97 sample values onto a 64×64 cell window over the
+    (-74, 40) cluster; exact BIGINT weight sums (w = floor(2^20/(1+d²)))
+    — the interpolated value is wvsum/wsum at the consumer."""
+    from geotrellis_server_spark.operators import density as DN
+
+    x0, y0, w, h, r = _IDW_WIN
+    gpx, gpy = DN.global_pixel_sql("lon", "lat", 5, 64)
+    d = _docs(spark, sf_dir)
+    samples = d.select(
+        F.expr(gpx).alias("sx"),
+        F.expr(gpy).alias("sy"),
+        F.expr("CAST(substring(doc_id, 5) AS BIGINT) % 97").alias("v"),
+    ).where(
+        f"sx BETWEEN {x0 - r} AND {x0 + w - 1 + r} "
+        f"AND sy BETWEEN {y0 - r} AND {y0 + h - 1 + r}"
+    )
+    return DN.idw_grid(samples, x0, y0, w, h, r)
+
+
+def _idw_oracle() -> str:
+    from geotrellis_server_spark.operators import density as DN
+
+    x0, y0, w, h, r = _IDW_WIN
+    return DN.idw_oracle_sql(_idw_samples_sql(), x0, y0, w, h, r)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -4369,6 +4434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_price_histogram": _q_price_histogram,
         "geo_zoom_select": _q_zoom_select,
         "geo_cell_encode_r6": _q_cell_encode,
+        "geo_kernel_density_z5": _q_kernel_density,
+        "geo_idw_interpolate": _q_idw,
         "geo_tile_assign_z8": _q_tile_assign(8),
         "geo_tile_assign_z12": _q_tile_assign(12),
         "geo_tile_assign_golden": _q_tile_assign_golden,
@@ -4498,6 +4565,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT {sqlgen.cell_key_sql('lon', 'lat', 6)} AS cell, count(*) AS n_docs
             FROM ({pts}) GROUP BY 1
         """,
+        "geo_kernel_density_z5": _kernel_density_oracle(),
+        "geo_idw_interpolate": _idw_oracle(),
         "geo_tile_assign_z8": f"""
             SELECT {sqlgen.tile_x_sql('lon', 8)} AS tile_x, {sqlgen.tile_y_sql('lat', 8)} AS tile_y,
                    count(*) AS n_docs
