@@ -4415,6 +4415,61 @@ def _idw_oracle() -> str:
     return DN.idw_oracle_sql(_idw_samples_sql(), x0, y0, w, h, r)
 
 
+# --- cost distance (operators/costdistance.py; GeoTrellis CostDistance
+# parity, synchronized min-plus rounds) --------------------------------------
+
+_CD_WIN = (587, 759, 32, 32)  # x0, y0, w, h — z5/ts64 window, source centre
+_CD_SRC = (603, 775)
+_CD_ROUNDS = 8
+
+
+def _q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost distance from the hot-cluster centre over a doc-density
+    friction surface (fric = 1 + per-pixel doc count, ×2-integer edge
+    costs): exact ≤8-hop accumulated costs, INF (2^40) = unreached."""
+    from geotrellis_server_spark.operators import costdistance as CD
+    from geotrellis_server_spark.operators import density as DN
+
+    x0, y0, w, h = _CD_WIN
+    gpx, gpy = DN.global_pixel_sql("lon", "lat", 5, 64)
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.expr(gpx).alias("cx"), F.expr(gpy).alias("cy"))
+        .where(f"cx BETWEEN {x0} AND {x0 + w - 1} AND cy BETWEEN {y0} AND {y0 + h - 1}")
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dom = (
+        spark.range(w * h)
+        .select(F.expr(f"{x0} + id % {w}").alias("cx"),
+                F.expr(f"{y0} + id DIV {w}").alias("cy"))
+        .join(counts, ["cx", "cy"], "left")
+        .select("cx", "cy", F.expr("1 + coalesce(cnt, 0)").alias("fric"))
+    )
+    return CD.cost_distance(dom, [_CD_SRC], _CD_ROUNDS)
+
+
+def _cost_distance_oracle() -> str:
+    from geotrellis_server_spark.operators import costdistance as CD
+    from geotrellis_server_spark.operators import density as DN
+
+    x0, y0, w, h = _CD_WIN
+    gpx, gpy = DN.global_pixel_sql("lon", "lat", 5, 64)
+    pts = f"SELECT {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    dom = f"""
+      SELECT g.cx, g.cy, 1 + coalesce(pc.cnt, 0) AS fric
+      FROM (SELECT {x0} + j.j AS cx, {y0} + i.i AS cy
+            FROM range({h}) i(i) CROSS JOIN range({w}) j(j)) g
+      LEFT JOIN (
+        SELECT cx, cy, count(*) AS cnt FROM (
+          SELECT {gpx} AS cx, {gpy} AS cy FROM ({pts}) p) q
+        WHERE cx BETWEEN {x0} AND {x0 + w - 1}
+          AND cy BETWEEN {y0} AND {y0 + h - 1}
+        GROUP BY 1, 2) pc
+      ON pc.cx = g.cx AND pc.cy = g.cy"""
+    return CD.cost_distance_oracle_sql(dom, [_CD_SRC], _CD_ROUNDS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -4435,6 +4490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_zoom_select": _q_zoom_select,
         "geo_cell_encode_r6": _q_cell_encode,
         "geo_kernel_density_z5": _q_kernel_density,
+        "raster_cost_distance_z5": _q_cost_distance,
         "geo_idw_interpolate": _q_idw,
         "geo_tile_assign_z8": _q_tile_assign(8),
         "geo_tile_assign_z12": _q_tile_assign(12),
@@ -4566,6 +4622,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts}) GROUP BY 1
         """,
         "geo_kernel_density_z5": _kernel_density_oracle(),
+        "raster_cost_distance_z5": _cost_distance_oracle(),
         "geo_idw_interpolate": _idw_oracle(),
         "geo_tile_assign_z8": f"""
             SELECT {sqlgen.tile_x_sql('lon', 8)} AS tile_x, {sqlgen.tile_y_sql('lat', 8)} AS tile_y,
