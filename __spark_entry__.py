@@ -2428,6 +2428,78 @@ def _fslope_oracle() -> str:
     """
 
 
+def _q_faspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal faspect (kernels.py:_faspect — GeoTrellis Aspect: compass
+    azimuth of steepest descent) over the z2 doc-count pyramid, gated as
+    the 45°-sector OCTANT (0=N..7=NW): azimuth itself is transcendental,
+    but which sector it falls in is a pure sign/magnitude comparison of
+    the integer Horn gradient sums, so the oracle is exact. Cells ON a
+    sector boundary (gradient components equal/zero — the only way az
+    hits a multiple of 45°) are excluded on both sides: engine-side via
+    an epsilon test that is unambiguous because any off-boundary integer
+    gradient is ≥ ~0.005° from a boundary while float error is ~1e-12°;
+    NaN (flat or incomplete window) also drops."""
+    from geotrellis_server_spark.maml import ast as M
+    from geotrellis_server_spark.maml.eval import eval_expr
+
+    d = _docs(spark, sf_dir)
+    tiles = tiling.rasterize_count(d, 2, tile_size=8)
+    out = eval_expr(M.focal("faspect", M.var("d"), radius=1), {"d": tiles})
+    return (
+        out.selectExpr("tile_x", "tile_y", "posexplode(cells) AS (idx, value)")
+        .where("value IS NOT NULL AND NOT isnan(value)")
+        .where("abs(value / 45.0D - round(value / 45.0D)) > 1e-9")
+        .selectExpr(
+            "tile_x", "tile_y", "idx",
+            "CAST(floor(value / 45.0D) AS INT) % 8 AS octant",
+        )
+    )
+
+
+def _faspect_oracle() -> str:
+    tx, ty, px, py = tiling.pixel_index_sql("lon", "lat", 2, 8)
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    # descent vector (east, north) = (-dx8, dy8); octant k ⟺ az strictly
+    # inside (45k, 45(k+1)) — pure integer comparisons
+    return f"""
+    WITH pix AS (
+      SELECT {tx} AS tx, {ty} AS ty, ({py}) AS py, ({px}) AS px, count(*) AS cnt
+      FROM ({pts}) GROUP BY 1, 2, 3, 4),
+    tiles AS (SELECT DISTINCT tx, ty FROM pix),
+    dom AS (
+      SELECT t.tx, t.ty, CAST(i.i AS BIGINT) AS py, CAST(j.j AS BIGINT) AS px
+      FROM tiles t CROSS JOIN range(8) i(i) CROSS JOIN range(8) j(j)),
+    gval AS (
+      SELECT d.tx, d.ty, d.py, d.px,
+             d.ty * 8 + d.py AS gy, d.tx * 8 + d.px AS gx,
+             COALESCE(p.cnt, 0) AS v
+      FROM dom d LEFT JOIN pix p
+        ON p.tx = d.tx AND p.ty = d.ty AND p.py = d.py AND p.px = d.px),
+    horn AS (
+      SELECT c.tx, c.ty, c.py, c.px, count(*) AS n_nbrs,
+             sum((n.gx - c.gx) * (2 - abs(n.gy - c.gy)) * n.v) AS dx8,
+             sum((n.gy - c.gy) * (2 - abs(n.gx - c.gx)) * n.v) AS dy8
+      FROM gval c
+      JOIN gval n ON n.gx BETWEEN c.gx - 1 AND c.gx + 1
+                 AND n.gy BETWEEN c.gy - 1 AND c.gy + 1
+      GROUP BY 1, 2, 3, 4),
+    vec AS (
+      SELECT tx, ty, py, px, -dx8 AS e, dy8 AS n
+      FROM horn
+      WHERE n_nbrs = 9 AND dx8 <> 0 AND dy8 <> 0 AND abs(dx8) <> abs(dy8))
+    SELECT tx AS tile_x, ty AS tile_y, CAST(py * 8 + px AS INT) AS idx,
+           CASE WHEN e > 0 AND n > 0 AND e < n THEN 0
+                WHEN e > 0 AND n > 0 THEN 1
+                WHEN e > 0 AND n < 0 AND e > -n THEN 2
+                WHEN e > 0 AND n < 0 THEN 3
+                WHEN e < 0 AND n < 0 AND -e < -n THEN 4
+                WHEN e < 0 AND n < 0 THEN 5
+                WHEN e < 0 AND n > 0 AND -e > n THEN 6
+                ELSE 7 END AS octant
+    FROM vec
+    """
+
+
 def _q_extent_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 extent folds as a contract query: per-group doc envelopes →
     the union and intersection monoid folds (operators/histogram.py
@@ -4491,6 +4563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cell_encode_r6": _q_cell_encode,
         "geo_kernel_density_z5": _q_kernel_density,
         "raster_cost_distance_z5": _q_cost_distance,
+        "maml_faspect_octant_z2": _q_faspect,
         "geo_idw_interpolate": _q_idw,
         "geo_tile_assign_z8": _q_tile_assign(8),
         "geo_tile_assign_z12": _q_tile_assign(12),
@@ -4623,6 +4696,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "geo_kernel_density_z5": _kernel_density_oracle(),
         "raster_cost_distance_z5": _cost_distance_oracle(),
+        "maml_faspect_octant_z2": _faspect_oracle(),
         "geo_idw_interpolate": _idw_oracle(),
         "geo_tile_assign_z8": f"""
             SELECT {sqlgen.tile_x_sql('lon', 8)} AS tile_x, {sqlgen.tile_y_sql('lat', 8)} AS tile_y,

@@ -42,7 +42,7 @@ LOCAL_OPS = {
 
 FOCAL_OPS = {
     "fmax", "fmin", "fmean", "fmedian", "fmode", "fsum", "fstddev",
-    "fslope", "fhillshade",
+    "fslope", "faspect", "fhillshade",
 }
 
 LEAF_OPS = {"int", "dbl", "bool", "rasterV", "geomLit"}

@@ -136,6 +136,17 @@ def _fslope(a, radius, cellsize=1.0, z_factor=1.0):
     return np.degrees(np.arctan(z_factor * np.sqrt(dzdx * dzdx + dzdy * dzdy)))
 
 
+def _faspect(a, radius, cellsize=1.0):
+    """Compass azimuth of steepest DESCENT in degrees [0, 360), 0 = north,
+    clockwise (GeoTrellis focal Aspect semantics). Horn gradients:
+    dzdx = eastward, dzdy = southward (rows grow south), so the descent
+    vector in (east, north) components is (-dzdx, dzdy). Flat → NaN."""
+    dzdx, dzdy = _horn_gradients(a, cellsize)
+    az = np.degrees(np.arctan2(-dzdx, dzdy))
+    az = np.where(az < 0, az + 360.0, az)
+    return np.where((dzdx == 0) & (dzdy == 0), np.nan, az)
+
+
 def _fhillshade(a, radius, cellsize=1.0, z_factor=1.0, azimuth=315.0, altitude=45.0):
     dzdx, dzdy = _horn_gradients(a, cellsize)
     slope = np.arctan(z_factor * np.sqrt(dzdx * dzdx + dzdy * dzdy))
@@ -370,6 +381,14 @@ def _compile(e: Expr):
             def f(env):
                 (x,), m = arrs(env)
                 return _fslope(np.asarray(x, dtype=np.float64), 1, cs, zf), m - 1
+
+            return f, 1
+        if s == "faspect":
+            cs = float(e.p("cellsize", 1.0))
+
+            def f(env, cs=cs):
+                (x,), m = arrs(env)
+                return _faspect(np.asarray(x, dtype=np.float64), 1, cs), m - 1
 
             return f, 1
         if s == "fhillshade":

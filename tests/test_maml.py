@@ -279,3 +279,40 @@ def test_multivar_focal_per_var_halo(spark):
     assert got[1, 1] == 27.0
     assert got[1, 3] == 18.0  # not 18 + anything from a1
     assert got[0, 0] == 12.0  # corner: 4 cells
+
+
+def test_faspect_cardinal_planes():
+    """Aspect = compass azimuth of steepest descent (0=N, clockwise)."""
+    from geotrellis_server_spark.maml.kernels import _faspect
+
+    x = np.arange(6, dtype=np.float64)
+    east_up = np.tile(x, (6, 1))          # z grows east → descent west
+    assert np.allclose(_faspect(east_up, 1), 270.0)
+    south_up = np.tile(x, (6, 1)).T       # z grows south → descent north
+    assert np.allclose(_faspect(south_up, 1), 0.0)
+    west_up = east_up[:, ::-1]            # z grows west → descent east
+    assert np.allclose(_faspect(west_up, 1), 90.0)
+    north_up = south_up[::-1, :]          # z grows north → descent south
+    assert np.allclose(_faspect(north_up, 1), 180.0)
+    # diagonal: z grows NE → descent SW = 225
+    ne = east_up + north_up
+    assert np.allclose(_faspect(np.ascontiguousarray(ne), 1), 225.0)
+    # flat → NaN
+    assert np.all(np.isnan(_faspect(np.zeros((5, 5)), 1)))
+
+
+def test_faspect_via_eval(spark):
+    """faspect through the focal halo machinery: a west-dipping plane
+    (z = global x) yields 270 everywhere the 3x3 window is complete;
+    windows touching the layer edge yield NaN (halo semantics)."""
+    vals = lambda x0: [x0 + (i % 4) for i in range(16)]  # z = global col
+    tiles = (tile_df(spark, "d", vals(0), key=(1, 0, 0))
+             .union(tile_df(spark, "d", vals(4), key=(1, 1, 0)))
+             .union(tile_df(spark, "d", vals(8), key=(1, 2, 0))))
+    e = M.focal("faspect", M.var("d"), radius=1)
+    out = {(r.tile_x, r.tile_y): cells_np(r.cells).reshape(4, 4)
+           for r in eval_expr(e, {"d": tiles}).collect()}
+    strip = np.hstack([out[(0, 0)], out[(1, 0)], out[(2, 0)]])
+    assert np.all(np.isnan(strip[0, :])) and np.all(np.isnan(strip[-1, :]))
+    assert np.all(np.isnan(strip[:, 0])) and np.all(np.isnan(strip[:, -1]))
+    assert np.allclose(strip[1:-1, 1:-1], 270.0)
