@@ -4188,6 +4188,51 @@ def _label_prop_oracle(n_iter: int = 4) -> str:
               f"FROM l{n_iter}")
 
 
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-min connected components (operators/graph.py) over the
+    SPARSIFIED purchase graph (orders with o_orderkey % 11 = 0 —
+    sparsifying fragments the otherwise-giant component into many
+    islands), 6 synchronous rounds."""
+    from geotrellis_server_spark.operators.graph import connected_components
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        "o_orderkey % 11 = 0")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + 1000000).alias("dst"))
+        .distinct()
+    )
+    return connected_components(edges, n_iter=6)
+
+
+def _connected_components_oracle(n_iter: int = 6) -> str:
+    parts = ["""
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey % 11 = 0),
+    und AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM e0
+            UNION ALL SELECT dst, src FROM e0)),
+    c0 AS MATERIALIZED (
+        SELECT DISTINCT a AS node, a AS label FROM und)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    c{i} AS MATERIALIZED (
+        SELECT l.node,
+               least(l.label, coalesce(min(nl.label), l.label)) AS label
+        FROM c{i - 1} l
+        LEFT JOIN und u ON u.a = l.node
+        LEFT JOIN c{i - 1} nl ON nl.node = u.b
+        GROUP BY l.node, l.label)""")
+    return (",".join(parts)
+            + f"\n    SELECT node, CAST(label AS BIGINT) AS component "
+              f"FROM c{n_iter}")
+
+
 def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail corpus partitioning (Wenzek et al. 2020
     §4.3: per-language terciles of LM score — 'head' is the cleanest
@@ -4564,6 +4609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_kernel_density_z5": _q_kernel_density,
         "raster_cost_distance_z5": _q_cost_distance,
         "maml_faspect_octant_z2": _q_faspect,
+        "graph_connected_components": _q_connected_components,
         "geo_idw_interpolate": _q_idw,
         "geo_tile_assign_z8": _q_tile_assign(8),
         "geo_tile_assign_z12": _q_tile_assign(12),
@@ -4697,6 +4743,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_kernel_density_z5": _kernel_density_oracle(),
         "raster_cost_distance_z5": _cost_distance_oracle(),
         "maml_faspect_octant_z2": _faspect_oracle(),
+        "graph_connected_components": _connected_components_oracle(),
         "geo_idw_interpolate": _idw_oracle(),
         "geo_tile_assign_z8": f"""
             SELECT {sqlgen.tile_x_sql('lon', 8)} AS tile_x, {sqlgen.tile_y_sql('lat', 8)} AS tile_y,

@@ -186,3 +186,47 @@ def kcore(
                 .select("a", "b").localCheckpoint(eager=True))
     return (live.groupBy(F.col("a").alias("node"))
             .agg(F.count("*").cast("long").alias("degree")))
+
+
+def connected_components(
+    edges: DataFrame,
+    n_iter: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous hash-min connected components: every node starts
+    labeled with its own id; each round it takes the min of its label
+    and its neighbors' labels. After ``n_iter`` rounds each node holds
+    the min node-id within ``n_iter`` hops — the exact component id once
+    n_iter ≥ the graph diameter, and a deterministic engine-reproducible
+    object at any round count (the round count is part of the contract,
+    like kcore/pagerank). Monotone integer state → partition-invariant.
+
+    Returns (node, component).
+
+    Scale shape per round: ONE equi-join of the label table onto the
+    symmetrized edge list + a map-side-combined min keyed by node —
+    min is a set function, so hot nodes collapse in partials.
+    localCheckpoint keeps lineage flat. (Large-star/small-star halves
+    the round count at the price of mutating the edge list each round;
+    hash-min keeps the edge table static — the better trade when the
+    edge list is the 100-TB side and diameters are small.)"""
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .unionByName(edges.select(F.col(dst_col).alias("a"),
+                                     F.col(src_col).alias("b")))
+           .distinct().localCheckpoint(eager=True))
+    lab = (und.select(F.col("a").alias("node")).distinct()
+           .select("node", F.col("node").alias("label")))
+    for _ in range(n_iter):
+        nbr = (und.join(lab.withColumnRenamed("node", "b"), "b")
+               .groupBy(F.col("a").alias("node"))
+               .agg(F.min("label").alias("nm")))
+        lab = (lab.join(nbr, "node", "left")
+               .select("node",
+                       F.expr("least(label, coalesce(nm, label))")
+                       .alias("label"))
+               .localCheckpoint(eager=True))
+    return lab.select("node", F.col("label").cast("long").alias("component"))

@@ -106,3 +106,39 @@ def test_kcore_peels_tail_and_keeps_core(spark):
     # k=2: the chain still dies (10 loses 11 then drops), K4 stays
     got2 = {r.node for r in kcore(edges, k=2, n_rounds=5).collect()}
     assert got2 == {1, 2, 3, 4}
+
+
+def test_connected_components_two_islands(spark):
+    from geotrellis_server_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)], "src long, dst long")
+    out = {r.node: r.component
+           for r in connected_components(edges, n_iter=4).collect()}
+    assert {out[1], out[2], out[3], out[4]} == {1}
+    assert {out[10], out[11], out[12]} == {10}
+
+
+def test_connected_components_round_bound(spark):
+    from geotrellis_server_spark.operators.graph import connected_components
+
+    # path 1-2-3-4-5: node 5 is 4 hops from 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
+    out2 = {r.node: r.component
+            for r in connected_components(edges, n_iter=2).collect()}
+    assert out2[5] == 3  # min id within 2 hops
+    out4 = {r.node: r.component
+            for r in connected_components(edges, n_iter=4).collect()}
+    assert all(v == 1 for v in out4.values())
+
+
+def test_connected_components_partition_invariance(spark):
+    from geotrellis_server_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 40 + 40) for i in range(40)], "src long, dst long")
+    a = sorted(map(tuple, connected_components(edges, 5).collect()))
+    b = sorted(map(tuple,
+                   connected_components(edges.repartition(9), 5).collect()))
+    assert a == b
