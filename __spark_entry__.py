@@ -3094,6 +3094,73 @@ def _line_dedup_oracle() -> str:
     """
 
 
+# the C4 gate corpus: 10-token lines decorated with deterministic
+# terminal punctuation / boilerplate markers so every rule fires —
+# plain scalar SQL, evaluated identically by both engines
+_C4_DECORATE = """CASE
+  WHEN doc_id % 53 = 0 AND line_no = 0 THEN line || ' lorem ipsum.'
+  WHEN doc_id % 59 = 0 AND line_no = 0 THEN line || ' {.'
+  WHEN (doc_id * 7 + line_no) % 37 = 0 THEN 'javascript ' || line || '.'
+  ELSE line || CASE (doc_id * 31 + line_no * 17) % 6
+       WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
+       WHEN 3 THEN '"' WHEN 4 THEN '' ELSE '.' END
+END"""
+
+
+def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (operators/text.py:c4_line_rules — Raffel et
+    al. 2020 §2.2) over the decorated 10-token-line corpus: per-doc
+    audit row with integer-exact verdicts and an md5 fingerprint of the
+    retained cleaned content."""
+    from geotrellis_server_spark.operators.text import (c4_line_rules,
+                                                        chunk_documents)
+
+    docs = _read_documents(spark, sf_dir)
+    lines = (
+        chunk_documents(docs, size=10, overlap=0)
+        .select("doc_id", F.col("chunk_id").alias("line_no"),
+                F.col("chunk").alias("line"))
+        .select("doc_id", "line_no", F.expr(_C4_DECORATE).alias("line"))
+    )
+    return c4_line_rules(lines)
+
+
+def _c4_filter_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1) AS nw
+          FROM t),
+    w AS (SELECT doc_id, toks, unnest(range(0, nw)) AS i FROM n),
+    raw AS (SELECT doc_id, CAST(i AS INT) AS line_no,
+                   array_to_string(toks[(i*10+1):((i+1)*10)], ' ') AS line
+            FROM w),
+    lines AS (SELECT doc_id, line_no, {_C4_DECORATE} AS line FROM raw),
+    verd AS (
+      SELECT doc_id, line_no, line,
+             len(list_filter(string_split(line, ' '), x -> x <> '')) >= 5
+             AND right(rtrim(line), 1) IN ('.', '!', '?', '"')
+             AND NOT (lower(line) LIKE '%javascript%'
+                      OR lower(line) LIKE '%terms of use%'
+                      OR lower(line) LIKE '%privacy policy%'
+                      OR lower(line) LIKE '%cookie%') AS keep_line,
+             lower(line) LIKE '%lorem ipsum%' AS lorem,
+             line LIKE '%{{%' AS brace
+      FROM lines)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(coalesce(sum(CASE WHEN keep_line THEN 1 END), 0)
+                AS BIGINT) AS n_kept,
+           bool_or(lorem) AS has_lorem,
+           bool_or(brace) AS has_brace,
+           md5(coalesce(string_agg(line, '|' ORDER BY line_no)
+                        FILTER (WHERE keep_line), '')) AS clean_md5,
+           coalesce(sum(CASE WHEN keep_line THEN 1 END), 0) >= 3
+             AND NOT bool_or(lorem) AND NOT bool_or(brace) AS keep
+    FROM verd GROUP BY doc_id
+    """
+
+
 def _q_repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style repeated-span removal (operators/text.py:
     repeated_span_dedup): every 5-token window occurring >=2 times
@@ -4610,6 +4677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_cost_distance_z5": _q_cost_distance,
         "maml_faspect_octant_z2": _q_faspect,
         "graph_connected_components": _q_connected_components,
+        "pipeline_c4_filter": _q_c4_filter,
         "geo_idw_interpolate": _q_idw,
         "geo_tile_assign_z8": _q_tile_assign(8),
         "geo_tile_assign_z12": _q_tile_assign(12),
@@ -4744,6 +4812,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_cost_distance_z5": _cost_distance_oracle(),
         "maml_faspect_octant_z2": _faspect_oracle(),
         "graph_connected_components": _connected_components_oracle(),
+        "pipeline_c4_filter": _c4_filter_oracle(),
         "geo_idw_interpolate": _idw_oracle(),
         "geo_tile_assign_z8": f"""
             SELECT {sqlgen.tile_x_sql('lon', 8)} AS tile_x, {sqlgen.tile_y_sql('lat', 8)} AS tile_y,

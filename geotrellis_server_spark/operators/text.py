@@ -1066,3 +1066,62 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     }
     d = d.select("*", *[F.expr(e).alias(k) for k, e in rules.items()])
     return d.withColumn("keep", F.expr(" AND ".join(rules)))
+
+
+def c4_line_rules(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    line_col: str = "line",
+    line_no_col: str = "line_no",
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2 — the public Common
+    Crawl filter behind T5), re-expressed over a line table
+    ``(doc_id, line_no, line)``:
+
+    line kept iff (1) ≥ 5 words, (2) ends in terminal punctuation
+    (. ! ? or closing quote), (3) carries no policy/boilerplate marker
+    (javascript / terms of use / privacy policy / cookie);
+    doc kept iff ≥ 3 kept lines (the paper's ≥3-sentence rule, with
+    kept punctuated lines as the sentence proxy) and no line contains
+    "lorem ipsum" or "{" (the code marker).
+
+    Returns one audit row per doc: (doc_id, n_lines, n_kept, has_lorem,
+    has_brace, keep, clean_md5) where clean_md5 fingerprints the
+    retained lines in order ('|'-joined) — the gate hashes the actual
+    cleaned content without shipping it.
+
+    All verdicts are integer/string predicates (no floats), engine- and
+    partitioning-exact. Scale shape: every line verdict is row-local
+    codegen; the only exchange is ONE map-side-combined groupBy(doc) —
+    and the md5 reassembly is bounded by document size."""
+    w = f"size(filter(split({line_col}, ' '), x -> x <> ''))"
+    last = f"substr(rtrim({line_col}), -1, 1)"
+    lo = f"lower({line_col})"
+    keep = (
+        f"({w}) >= 5 AND ({last}) IN ('.', '!', '?', '\"') "
+        f"AND NOT ({lo} LIKE '%javascript%' OR {lo} LIKE '%terms of use%' "
+        f"OR {lo} LIKE '%privacy policy%' OR {lo} LIKE '%cookie%')"
+    )
+    per_line = lines.select(
+        F.col(id_col),
+        F.col(line_no_col).alias("_ln"),
+        F.col(line_col).alias("_line"),
+        F.expr(keep).alias("_keep"),
+        F.expr(f"{lo} LIKE '%lorem ipsum%'").alias("_lorem"),
+        F.expr(f"{line_col} LIKE '%{{%'").alias("_brace"),
+    )
+    agg = per_line.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.expr("CAST(_keep AS INT)")).alias("n_kept"),
+        F.max("_lorem").alias("has_lorem"),
+        F.max("_brace").alias("has_brace"),
+        F.expr(
+            "md5(CAST(array_join(transform(array_sort(collect_list("
+            "CASE WHEN _keep THEN struct(_ln, _line) END)), s -> s._line),"
+            " '|') AS BINARY))"
+        ).alias("clean_md5"),
+    )
+    return agg.withColumn(
+        "keep",
+        F.expr("n_kept >= 3 AND NOT has_lorem AND NOT has_brace"),
+    )

@@ -1289,3 +1289,52 @@ def test_gopher_rules_each_rule_fires(spark):
     # exact integer signal checks on the clean doc
     assert got[1].n_words == 14
     assert got[1].n_stop_hits >= 2
+
+
+def test_c4_line_rules_battery(spark):
+    from geotrellis_server_spark.operators.text import c4_line_rules
+
+    rows = [
+        # doc 1: three clean sentences -> kept
+        (1, 0, "alpha beta gamma delta epsilon."),
+        (1, 1, "one two three four five six!"),
+        (1, 2, "does this line have five words?"),
+        (1, 3, "too short."),                      # <5 words
+        (1, 4, "no terminal punctuation five words here"),
+        (1, 5, "we use cookie consent banners today."),  # policy
+        # doc 2: enough lines but lorem ipsum -> dropped
+        (2, 0, "alpha beta gamma delta epsilon."),
+        (2, 1, "one two three four five six."),
+        (2, 2, "lorem ipsum dolor sit amet friend."),
+        # doc 3: brace -> dropped
+        (3, 0, "alpha beta gamma delta epsilon."),
+        (3, 1, "code block follows right now { here."),
+        (3, 2, "one two three four five six."),
+        (3, 3, "seven eight nine ten eleven twelve."),
+        # doc 4: only two kept lines -> dropped
+        (4, 0, "alpha beta gamma delta epsilon."),
+        (4, 1, "one two three four five six."),
+        (4, 2, "short."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, line_no int, line string")
+    out = {r.doc_id: r for r in c4_line_rules(df).collect()}
+    assert out[1].keep and out[1].n_kept == 3 and out[1].n_lines == 6
+    assert not out[2].keep and out[2].has_lorem
+    assert not out[3].keep and out[3].has_brace and out[3].n_kept == 4
+    assert not out[4].keep and out[4].n_kept == 2
+    # fingerprint covers exactly the kept lines in order
+    import hashlib
+    want = hashlib.md5("|".join([rows[0][2], rows[1][2], rows[2][2]])
+                       .encode()).hexdigest()
+    assert out[1].clean_md5 == want
+
+
+def test_c4_line_rules_no_kept_lines_md5_empty(spark):
+    from geotrellis_server_spark.operators.text import c4_line_rules
+    import hashlib
+
+    df = spark.createDataFrame([(9, 0, "short.")],
+                               "doc_id long, line_no int, line string")
+    out = c4_line_rules(df).collect()[0]
+    assert out.n_kept == 0 and not out.keep
+    assert out.clean_md5 == hashlib.md5(b"").hexdigest()
