@@ -772,6 +772,13 @@ def _entry_ellipsoid(kind: str, p: dict) -> tuple[float, float]:
 
 
 def _datum_to_wgs84(lon, lat, kind: str, p: dict):
+    if "nadgrids" in p:
+        # NTv2 grid shift (grids/ntv2.py) operates directly in the
+        # geographic domain; wins over towgs84 when both are present
+        # (PROJ semantics)
+        from .ntv2 import load_gsb
+
+        return load_gsb(p["nadgrids"]).to_target(lon, lat)
     a, e2 = _entry_ellipsoid(kind, p)
     gx, gy, gz = geodetic_to_geocentric(lon, lat, a, e2)
     gx, gy, gz = helmert_apply(gx, gy, gz, p["towgs84"])
@@ -779,6 +786,10 @@ def _datum_to_wgs84(lon, lat, kind: str, p: dict):
 
 
 def _datum_from_wgs84(lon, lat, kind: str, p: dict):
+    if "nadgrids" in p:
+        from .ntv2 import load_gsb
+
+        return load_gsb(p["nadgrids"]).from_target(lon, lat)
     a, e2 = _entry_ellipsoid(kind, p)
     gx, gy, gz = geodetic_to_geocentric(lon, lat, A_WGS84, E2)
     gx, gy, gz = helmert_apply(gx, gy, gz, p["towgs84"], inverse=True)
@@ -985,7 +996,7 @@ def _to_lonlat(x, y, epsg: int):
     if epsg in CRS_REGISTRY:
         kind, p = CRS_REGISTRY[epsg]
         lon, lat = _kernel_inv(x, y, kind, p)
-        if "towgs84" in p:
+        if "towgs84" in p or "nadgrids" in p:
             lon, lat = _datum_to_wgs84(lon, lat, kind, p)
         return lon, lat
     lon0, fn = _utm_params(epsg)
@@ -1001,7 +1012,7 @@ def _from_lonlat(lon, lat, epsg: int):
         return lonlat_to_mercator(lon, lat)
     if epsg in CRS_REGISTRY:
         kind, p = CRS_REGISTRY[epsg]
-        if "towgs84" in p:
+        if "towgs84" in p or "nadgrids" in p:
             lon, lat = _datum_from_wgs84(lon, lat, kind, p)
         return _kernel_fwd(lon, lat, kind, p)
     lon0, fn = _utm_params(epsg)

@@ -141,11 +141,10 @@ def params_from_proj4(proj4: str) -> tuple[str, dict]:
     the same shape as a ``proj.CRS_REGISTRY`` entry. Raises
     NotImplementedError for projections/options outside the kernel set
     (non-polar ``+proj=stere`` — the EPSG 9809 double stereographic is
-    ``+proj=sterea``, which IS supported — and grid-shift datums)."""
+    ``+proj=sterea``, which IS supported). ``+nadgrids=<file.gsb>``
+    NTv2 grid-shift datums ARE supported (grids/ntv2.py)."""
     toks = _parse_tokens(proj4)
     to_m = _unit_to_m(toks)
-    if "nadgrids" in toks:
-        raise NotImplementedError("+nadgrids grid-shift datums")
     kind_in = str(toks.get("proj", ""))
     a, f, towgs84 = _ellipsoid_of(toks)
     e2 = f * (2.0 - f)
@@ -247,6 +246,18 @@ def params_from_proj4(proj4: str) -> tuple[str, dict]:
                                   "stere eqc moll)")
     if towgs84 is not None:
         p["towgs84"] = towgs84
+    if "nadgrids" in toks:
+        # NTv2 grid-shift datum (grids/ntv2.py); the shift applies in
+        # the geographic domain and WINS over towgs84 (PROJ semantics).
+        # @null (the explicit no-op grid) drops the datum shift.
+        path = str(toks["nadgrids"]).lstrip("@")
+        if path != "null":
+            from . import ntv2
+
+            ntv2.load_gsb(path)  # fail fast on a bad path/file
+            p["nadgrids"] = path
+        else:
+            p.pop("towgs84", None)
     if to_m != 1.0:
         # PROJ semantics: +x_0/+y_0 are metres; the unit conversion
         # applies to the FULL projected output (E_unit = E_m / to_meter)
@@ -280,7 +291,7 @@ def crs_from_proj4(proj4: str) -> int:
     kind_in = str(toks.get("proj", ""))
     if kind_in == "longlat":
         a, f, towgs84 = _ellipsoid_of(toks)
-        if towgs84 is not None:
+        if towgs84 is not None or "nadgrids" in toks:
             raise NotImplementedError("datum-shifted geographic CRS "
                                       "(only WGS84 longlat)")
         # the 4326 shortcut is only valid on a WGS84/GRS80-equivalent

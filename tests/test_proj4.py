@@ -104,7 +104,9 @@ def test_proj4_rejections():
     with pytest.raises(NotImplementedError):
         # linear units outside PROJ's catalog reject (known ones work)
         proj4.crs_from_proj4("+proj=utm +zone=15 +units=smoot")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(FileNotFoundError):
+        # +nadgrids is SUPPORTED since round 5 (grids/ntv2.py) and
+        # fails fast when the grid file is absent
         proj4.crs_from_proj4("+proj=tmerc +lat_0=0 +lon_0=9 "
                              "+nadgrids=@BETA2007.gsb")
     with pytest.raises(ValueError):
