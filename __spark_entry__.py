@@ -4599,6 +4599,46 @@ def _idw_oracle() -> str:
     return DN.idw_oracle_sql(_idw_samples_sql(), x0, y0, w, h, r)
 
 
+def _q_rasterize_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory linestring rasterization (operators/trajectory.py:
+    rasterize_hops — GeoTrellis Rasterizer.foreachCellByLineString
+    density via rounded DDA in exact integers) on the 256-px global
+    grid: per-pixel traversal counts over every user's event path."""
+    from geotrellis_server_spark.operators.trajectory import rasterize_hops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts",
+        F.expr(sqlgen.lon_sql("event_id")).alias("lon"),
+        F.expr(sqlgen.lat_sql("event_id")).alias("lat"))
+    return rasterize_hops(ev, zoom=2, tile_size=64)
+
+
+def _rasterize_hops_oracle() -> str:
+    from geotrellis_server_spark.operators.density import global_pixel_sql
+    from geotrellis_server_spark.operators.trajectory import _dda_coord_sql
+
+    gpx, gpy = global_pixel_sql(sqlgen.lon_sql("event_id"),
+                                sqlgen.lat_sql("event_id"), 2, 64)
+    px = _dda_coord_sql("x0", "x1", "n", "t")
+    py = _dda_coord_sql("y0", "y1", "n", "t")
+    return f"""
+    WITH p AS (
+      SELECT user_id, ts, event_id, {gpx} AS x1, {gpy} AS y1 FROM events),
+    h AS (
+      SELECT x1, y1,
+             lag(x1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x0,
+             lag(y1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y0
+      FROM p),
+    hn AS (
+      SELECT x0, y0, x1, y1,
+             greatest(abs(x1 - x0), abs(y1 - y0)) AS n
+      FROM h WHERE x0 IS NOT NULL),
+    s AS (SELECT x0, y0, x1, y1, n, unnest(range(0, n + 1)) AS t FROM hn)
+    SELECT {px} AS px, {py} AS py, count(*) AS n_traversals
+    FROM s GROUP BY 1, 2
+    """
+
+
 # --- cost distance (operators/costdistance.py; GeoTrellis CostDistance
 # parity, synchronized min-plus rounds) --------------------------------------
 
@@ -4678,6 +4718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maml_faspect_octant_z2": _q_faspect,
         "graph_connected_components": _q_connected_components,
         "pipeline_c4_filter": _q_c4_filter,
+        "geo_rasterize_hops_z2": _q_rasterize_hops,
         "geo_idw_interpolate": _q_idw,
         "geo_tile_assign_z8": _q_tile_assign(8),
         "geo_tile_assign_z12": _q_tile_assign(12),
@@ -4813,6 +4854,7 @@ def oracle_sql() -> dict[str, str]:
         "maml_faspect_octant_z2": _faspect_oracle(),
         "graph_connected_components": _connected_components_oracle(),
         "pipeline_c4_filter": _c4_filter_oracle(),
+        "geo_rasterize_hops_z2": _rasterize_hops_oracle(),
         "geo_idw_interpolate": _idw_oracle(),
         "geo_tile_assign_z8": f"""
             SELECT {sqlgen.tile_x_sql('lon', 8)} AS tile_x, {sqlgen.tile_y_sql('lat', 8)} AS tile_y,

@@ -102,3 +102,76 @@ def trajectory_stats(
         F.count("*").cast("long").alias("n_trips"),
         F.sum("hop_q").alias("total_dist_q"),
         F.max("hop_q").alias("max_hop_q"))
+
+
+def _dda_coord_sql(c0: str, c1: str, n: str, t: str) -> str:
+    """Rounded-DDA coordinate at step ``t`` of ``n``:
+    floor(c0 + t*(c1-c0)/n + 1/2) computed as the exact integer
+    floor((2*(c0*n + t*(c1-c0)) + n) / (2n)) — engine-portable (the
+    double division of integers ≪ 2^53 floors identically everywhere;
+    numerator is nonnegative because the interpolant stays inside
+    [min(c0,c1), max(c0,c1)])."""
+    num = f"(2 * (({c0}) * ({n}) + ({t}) * (({c1}) - ({c0}))) + ({n}))"
+    return (f"CASE WHEN ({n}) = 0 THEN ({c0}) ELSE "
+            f"CAST(floor({num} / (2.0 * ({n}))) AS BIGINT) END")
+
+
+def rasterize_hops(
+    events: DataFrame,
+    zoom: int,
+    tile_size: int = 64,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Linestring rasterization of per-user trajectories (GeoTrellis
+    rasterizes LineStrings cell-per-major-axis-step — Rasterizer
+    .foreachCellByLineString; same density here via rounded DDA, the
+    other classic public scan-conversion): every consecutive event pair
+    (total (ts, id) ordering) becomes a pixel run on the global grid at
+    ``zoom``; output (px, py, n_traversals) counts line cells, exactly.
+
+    Why DDA and not Bresenham: the rounded-DDA cell at step t is a
+    CLOSED-FORM exact-integer expression (one row-local explode of
+    sequence(0, n) — whole-stage codegen, no recurrence), while
+    Bresenham's error accumulator is inherently sequential. Same
+    one-cell-per-major-step contract.
+
+    Scale shape: hop building is one user-keyed window exchange (free
+    when the log is stored partitioned by user); the explode is
+    row-local and bounded by the grid diameter; the count is ONE
+    map-side-combined aggregate on the pixel key — hot corridors
+    collapse in partials."""
+    from .density import global_pixel_sql
+
+    gpx, gpy = global_pixel_sql(lon, lat, zoom, tile_size)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pts = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.expr(gpx).alias("x1"),
+        F.expr(gpy).alias("y1"),
+    )
+    hops = (
+        pts.select(
+            "x1", "y1",
+            F.lag("x1").over(w).alias("x0"),
+            F.lag("y1").over(w).alias("y0"),
+        )
+        .where("x0 IS NOT NULL")
+        .withColumn("n", F.expr("greatest(abs(x1 - x0), abs(y1 - y0))"))
+    )
+    px = _dda_coord_sql("x0", "x1", "n", "t")
+    py = _dda_coord_sql("y0", "y1", "n", "t")
+    return (
+        hops.select("x0", "y0", "x1", "y1", "n",
+                    F.expr("explode(sequence(0, n))").alias("t"))
+        .select(F.expr(px).alias("px"), F.expr(py).alias("py"))
+        .groupBy("px", "py")
+        .agg(F.count("*").alias("n_traversals"))
+    )

@@ -169,3 +169,55 @@ def test_trajectory_stats_known_distances(spark):
     assert abs(got[1][2] / 1024.0 - deg) < 1.0
     assert got[2][0] == 1
     assert abs(got[2][1] / 1024.0 - 2 * deg) < 1.0
+
+
+def test_rasterize_hops_straight_lines(spark):
+    """DDA line rasterization: axis-aligned and diagonal hops cover
+    exactly the expected cells, one per major-axis step."""
+    from datetime import datetime
+
+    from geotrellis_server_spark.operators.trajectory import rasterize_hops
+
+    # place events by known lon/lat: pixel = floor(merc * 256); pick
+    # points whose pixels are easy: lon -180..180 → px 0..255
+    rows = [
+        # user 1: horizontal run px 10→14 at the equator row
+        (1, 1, datetime(2024, 1, 1, 0, 0), -180.0 + 10.5 * 360 / 256, 0.001),
+        (2, 1, datetime(2024, 1, 1, 0, 1), -180.0 + 14.5 * 360 / 256, 0.001),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, lon double, lat double")
+    out = {(r.px, r.py): r.n_traversals
+           for r in rasterize_hops(ev, zoom=2, tile_size=64).collect()}
+    py = next(iter(out))[1]
+    assert {p for p, _ in out} == {10, 11, 12, 13, 14}
+    assert all(v == 1 for v in out.values())
+    assert all(y == py for _, y in out)
+
+
+def test_rasterize_hops_diagonal_and_revisit(spark):
+    from datetime import datetime
+
+    from geotrellis_server_spark.operators.trajectory import rasterize_hops
+
+    def lonlat(px, py):
+        import math
+        lon = -180.0 + (px + 0.5) * 360 / 256
+        # invert mercator for pixel row centre
+        y = (py + 0.5) / 256
+        lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y))))
+        return lon, lat
+
+    a = lonlat(20, 100)
+    b = lonlat(24, 104)
+    rows = [
+        (1, 7, datetime(2024, 1, 1, 0, 0), a[0], a[1]),
+        (2, 7, datetime(2024, 1, 1, 0, 1), b[0], b[1]),
+        (3, 7, datetime(2024, 1, 1, 0, 2), a[0], a[1]),  # back again
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, lon double, lat double")
+    out = {(r.px, r.py): r.n_traversals
+           for r in rasterize_hops(ev, zoom=2, tile_size=64).collect()}
+    # perfect diagonal: 5 cells, each traversed twice (there and back)
+    assert out == {(20 + i, 100 + i): 2 for i in range(5)}
