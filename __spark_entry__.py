@@ -4694,6 +4694,54 @@ def _cost_distance_oracle() -> str:
     return CD.cost_distance_oracle_sql(dom, [_CD_SRC], _CD_ROUNDS)
 
 
+def _q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewshed (operators/viewshed.py — GeoTrellis R2Viewshed
+    semantics, grazing=visible) from the hot-cluster centre over the
+    doc-count elevation window: exact-integer angle comparisons, no
+    trigonometry."""
+    from geotrellis_server_spark.operators import density as DN
+    from geotrellis_server_spark.operators.viewshed import viewshed
+
+    x0, y0, w, h = _CD_WIN
+    gpx, gpy = DN.global_pixel_sql("lon", "lat", 5, 64)
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.expr(gpx).alias("cx"), F.expr(gpy).alias("cy"))
+        .where(f"cx BETWEEN {x0} AND {x0 + w - 1} AND cy BETWEEN {y0} AND {y0 + h - 1}")
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dom = (
+        spark.range(w * h)
+        .select(F.expr(f"{x0} + id % {w}").alias("cx"),
+                F.expr(f"{y0} + id DIV {w}").alias("cy"))
+        .join(counts, ["cx", "cy"], "left")
+        .select("cx", "cy", F.expr("coalesce(cnt, 0)").alias("z"))
+    )
+    return viewshed(dom, _CD_SRC)
+
+
+def _viewshed_oracle() -> str:
+    from geotrellis_server_spark.operators import density as DN
+    from geotrellis_server_spark.operators.viewshed import viewshed_oracle_sql
+
+    x0, y0, w, h = _CD_WIN
+    gpx, gpy = DN.global_pixel_sql("lon", "lat", 5, 64)
+    pts = f"SELECT {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    dom = f"""
+      SELECT g.cx, g.cy, coalesce(pc.cnt, 0) AS z
+      FROM (SELECT {x0} + j.j AS cx, {y0} + i.i AS cy
+            FROM range({h}) i(i) CROSS JOIN range({w}) j(j)) g
+      LEFT JOIN (
+        SELECT cx, cy, count(*) AS cnt FROM (
+          SELECT {gpx} AS cx, {gpy} AS cy FROM ({pts}) p) q
+        WHERE cx BETWEEN {x0} AND {x0 + w - 1}
+          AND cy BETWEEN {y0} AND {y0 + h - 1}
+        GROUP BY 1, 2) pc
+      ON pc.cx = g.cx AND pc.cy = g.cy"""
+    return viewshed_oracle_sql(dom, _CD_SRC)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -4719,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_connected_components": _q_connected_components,
         "pipeline_c4_filter": _q_c4_filter,
         "geo_rasterize_hops_z2": _q_rasterize_hops,
+        "raster_viewshed_z5": _q_viewshed,
         "geo_idw_interpolate": _q_idw,
         "geo_tile_assign_z8": _q_tile_assign(8),
         "geo_tile_assign_z12": _q_tile_assign(12),
@@ -4855,6 +4904,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_connected_components": _connected_components_oracle(),
         "pipeline_c4_filter": _c4_filter_oracle(),
         "geo_rasterize_hops_z2": _rasterize_hops_oracle(),
+        "raster_viewshed_z5": _viewshed_oracle(),
         "geo_idw_interpolate": _idw_oracle(),
         "geo_tile_assign_z8": f"""
             SELECT {sqlgen.tile_x_sql('lon', 8)} AS tile_x, {sqlgen.tile_y_sql('lat', 8)} AS tile_y,
