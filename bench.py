@@ -292,6 +292,47 @@ def run_bench(cores: int, only: str | None = None) -> dict:
             .agg(F.count("*").alias("n_docs"))
             .write.mode("overwrite").format("noop").save(),
         )
+    # q25 — kernel density at z8 (operators/density.py): the classic
+    # heat-map surface — a row-local 9-way stamp explode collapsed by
+    # ONE map-side-combined pixel aggregate (9n rows in, never 9n out
+    # of the exchange; hot clusters pre-combine)
+    if wanted("q25_kernel_density"):
+        from geotrellis_server_spark.operators import density as _dn
+
+        timed(
+            "q25_kernel_density",
+            lambda: _dn.kernel_density(load(), 8, 64)
+            .write.mode("overwrite").format("noop").save(),
+        )
+    # q26 — trajectory linestring rasterization (rounded DDA,
+    # operators/trajectory.py): one user-keyed window exchange + a
+    # row-local per-hop explode (~96 cells/hop on the 256-px grid) +
+    # one map-side-combined pixel aggregate; events replicated by MULT
+    # with distinct synthetic users so the window state stays per-user
+    if wanted("q26_hops_rasterize"):
+        from geotrellis_server_spark import sqlgen as _sg
+        from geotrellis_server_spark.operators.trajectory import (
+            rasterize_hops as _rh)
+
+        ev_mult = max(MULT // 20, 1)  # ~38M line cells at the default sf
+
+        def _ev():
+            ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+            reps = spark.range(ev_mult).select(F.col("id").alias("rep"))
+            eid = f"(event_id * {ev_mult} + rep)"
+            return ev.crossJoin(reps).select(
+                F.expr(eid).alias("event_id"),
+                (F.col("user_id") * ev_mult + F.col("rep")).alias("user_id"),
+                "ts",
+                F.expr(_sg.lon_sql(eid)).alias("lon"),
+                F.expr(_sg.lat_sql(eid)).alias("lat"),
+            )
+
+        timed(
+            "q26_hops_rasterize",
+            lambda: _rh(_ev(), zoom=2, tile_size=64)
+            .write.mode("overwrite").format("noop").save(),
+        )
     timed(
         "q2_tile_counts_z8",
         lambda: tiling.tile_counts(load(), 8).write.mode("overwrite").format("noop").save(),
