@@ -524,3 +524,103 @@ def media_probe(media: DataFrame, payload_col: str = "payload",
                 "width", "height", "n_keyframes"])
 
     return media.select(*id_cols, payload_col).mapInPandas(run, out_schema)
+
+
+# --- perceptual hashing (image near-dup) -------------------------------------
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash (the classic pHash recipe, public since
+    Zauner 2010): grayscale → 32×32 area-mean resize → 2-D DCT-II
+    (explicit cosine matrix — no scipy) → low-frequency 8×8 block
+    (skipping the DC term, which only encodes brightness) → 1 bit per
+    coefficient vs the block median. Hamming distance between hashes
+    tracks visual similarity through resizing/compression/noise."""
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim == 3:
+        a = a[..., :3].mean(axis=-1)
+    h, w = a.shape
+    # area-mean resize to 32x32 via block averaging on an index grid
+    ys = (np.arange(33) * h) // 32
+    xs = (np.arange(33) * w) // 32
+    small = np.empty((32, 32))
+    for i in range(32):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(32):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            small[i, j] = a[y0:y1, x0:x1].mean()
+    n = 32
+    k = np.arange(n)
+    dct_m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    freq = dct_m @ small @ dct_m.T
+    block = freq[:8, :8].ravel()[1:]  # drop DC
+    med = np.median(block)
+    bits = 0
+    for i, v in enumerate(block >= med):
+        if v:
+            bits |= 1 << i
+    return bits
+
+
+def media_phash(media: DataFrame, ref_col: str = "media_ref",
+                payload_col: str = "payload") -> DataFrame:
+    """(media_ref, phash) via Arrow-batched mapInPandas over the REAL
+    decoders (PNG/GIF/baseline-JPEG; deterministic stub fallback is
+    honest elsewhere). phash emitted as BIGINT (two's-complement of the
+    64-bit hash)."""
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+                h = phash64(_decode_image(bytes(payload)))
+                rows.append((ref, h - (1 << 64) if h >= 1 << 63 else h))
+            yield pd.DataFrame(rows, columns=["media_ref", "phash"])
+
+    return media.mapInPandas(run, schema)
+
+
+def phash_near_pairs(hashes: DataFrame, max_hamming: int = 3,
+                     n_bands: int = 4) -> DataFrame:
+    """Near-duplicate image pairs by pHash Hamming distance ≤ k —
+    banded exactly like the text SimHash dedup (operators/dedup.py):
+    by pigeonhole, a pair within Hamming k shares at least one of the
+    ``n_bands`` bands whenever k < n_bands, so with the defaults
+    (k=3, 4 bands) candidate generation — an equi-join on
+    (band_idx, band_value), NEVER all-pairs — is EXHAUSTIVE, and the
+    exact popcount verify runs only on candidates. For larger k raise
+    n_bands to keep k < n_bands (8 bands of 8 bits covers k ≤ 7);
+    k ≥ n_bands degrades to LSH-style partial recall. Returns
+    (ref_a, ref_b, hamming) with ref_a < ref_b."""
+    if not 64 % n_bands == 0:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.expr(f"(phash >> {i * width}) & {mask}").alias("bval"),
+        ) for i in range(n_bands)
+    ])).alias("b")
+    t = hashes.select("media_ref", "phash", bands).select(
+        "media_ref", "phash", "b.band", "b.bval")
+    a, b = t.alias("a"), t.alias("b")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where("a.media_ref < b.media_ref")
+        .select(F.col("a.media_ref").alias("ref_a"),
+                F.col("b.media_ref").alias("ref_b"),
+                F.col("a.phash").alias("ha"),
+                F.col("b.phash").alias("hb"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming",
+                        F.expr("bit_count(ha ^ hb)").cast("int"))
+        .where(f"hamming <= {int(max_hamming)}")
+        .select("ref_a", "ref_b", "hamming")
+    )

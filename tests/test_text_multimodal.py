@@ -1338,3 +1338,73 @@ def test_c4_line_rules_no_kept_lines_md5_empty(spark):
     out = c4_line_rules(df).collect()[0]
     assert out.n_kept == 0 and not out.keep
     assert out.clean_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_phash_invariance_and_discrimination(spark):
+    """pHash of a real PNG round-trip: noise-perturbed copies hash
+    close, structurally different images hash far."""
+    import numpy as np
+
+    from geotrellis_server_spark.operators import multimodal as MM
+    from geotrellis_server_spark.styles.png import encode_png
+
+    rng = np.random.default_rng(3)
+    base = np.zeros((64, 64, 4), dtype=np.uint8)
+    base[..., 3] = 255
+    base[16:48, 8:56, 0] = 200         # red block
+    base[8:24, 40:60, 1] = 180         # green block
+    noisy = base.copy()
+    noisy[..., :3] = np.clip(
+        noisy[..., :3].astype(int) + rng.integers(-6, 7, noisy[..., :3].shape),
+        0, 255).astype(np.uint8)
+    other = np.zeros((64, 64, 4), dtype=np.uint8)
+    other[..., 3] = 255
+    other[::2, :, 2] = 255             # horizontal stripes
+    h_base = MM.phash64(MM._decode_image(encode_png(base)))
+    h_noisy = MM.phash64(MM._decode_image(encode_png(noisy)))
+    h_other = MM.phash64(MM._decode_image(encode_png(other)))
+    d = lambda a, b: bin(a ^ b).count("1")
+    assert d(h_base, h_noisy) <= 6
+    assert d(h_base, h_other) >= 20
+
+
+def test_phash_near_pairs_banded_exhaustive(spark):
+    from geotrellis_server_spark.operators import multimodal as MM
+
+    rows = [
+        ("a", 0x0123456789ABCDEF),
+        ("b", 0x0123456789ABCDED),  # hamming 1 from a
+        ("c", 0x0123456789ABCD00),  # hamming ~5 from a
+        ("d", -0x7FFFFFFFFFFFFFF0),  # far from everything
+    ]
+    df = spark.createDataFrame(
+        [(r, h if h < 1 << 63 else h - (1 << 64)) for r, h in rows],
+        "media_ref string, phash long")
+    out = {(r.ref_a, r.ref_b): r.hamming
+           for r in MM.phash_near_pairs(df, max_hamming=3).collect()}
+    assert out == {("a", "b"): 1}
+    # k=6 with 8 bands still exhaustive: catches the hamming-5 pair too
+    out2 = {(r.ref_a, r.ref_b): r.hamming
+            for r in MM.phash_near_pairs(df, max_hamming=6,
+                                         n_bands=8).collect()}
+    # a↔c is hamming 7 (popcount 0xEF) — correctly OUT at k=6;
+    # b↔c is hamming 6 (popcount 0xED) — in
+    assert out2 == {("a", "b"): 1, ("b", "c"): 6}
+
+
+def test_media_phash_spark_path(spark):
+    import numpy as np
+
+    from geotrellis_server_spark.operators import multimodal as MM
+    from geotrellis_server_spark.styles.png import encode_png
+
+    img = np.zeros((16, 16, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    img[4:12, 4:12, 0] = 255
+    payload = encode_png(img)
+    df = spark.createDataFrame([("m1", bytearray(payload))],
+                               "media_ref string, payload binary")
+    out = MM.media_phash(df).collect()
+    want = MM.phash64(MM._decode_image(payload))
+    got = out[0].phash % (1 << 64)
+    assert got == want and out[0].media_ref == "m1"
