@@ -175,3 +175,85 @@ def rasterize_hops(
         .groupBy("px", "py")
         .agg(F.count("*").alias("n_traversals"))
     )
+
+
+def simplify_trajectories(
+    events: DataFrame,
+    tolerance: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    x_col: str = "sx",
+    y_col: str = "sy",
+) -> DataFrame:
+    """Douglas–Peucker polyline simplification of per-user trajectories
+    (the standard track-thinning op; GeoTrellis exposes the same
+    algorithm via JTS ``DouglasPeuckerSimplifier``): keep a point iff
+    its perpendicular distance from the current chord exceeds
+    ``tolerance`` (in grid units on the integer pixel grid).
+
+    Exactness: the distance test is cross² > tol²·len² in BIGINTs
+    (cross = 2-D cross product of chord and offset — the distance
+    NUMERATOR; len² the chord length squared), and the split point is
+    argmax by (cross²·1 per-chord-constant, smallest index) — so the
+    retained set is a pure function of the input sequence: engine- and
+    partitioning-exact. Degenerate closed chords (start == end) fall
+    back to squared point distance vs tol².
+
+    Scale shape: ONE user-keyed exchange (applyInPandas group = one
+    trajectory — bounded state, the same shape as sessionize); the
+    recursion is per-group local and O(n²) worst case on pathological
+    tracks, O(n log n) typical."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    tol2 = int(tolerance) * int(tolerance)
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+    ])
+
+    def dp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col]).reset_index(drop=True)
+        xs = pdf[x_col].to_numpy(np.int64)
+        ys = pdf[y_col].to_numpy(np.int64)
+        n = len(xs)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j - i < 2:
+                continue
+            ax, ay, bx, by = xs[i], ys[i], xs[j], ys[j]
+            dx, dy = int(bx - ax), int(by - ay)
+            len2 = dx * dx + dy * dy
+            best, best_d = -1, -1
+            for k in range(i + 1, j):
+                px, py = int(xs[k] - ax), int(ys[k] - ay)
+                if len2 == 0:
+                    d = (px * px + py * py) * 1  # point distance², ×1·len2-norm
+                    over = d > tol2
+                    dcmp = d
+                else:
+                    cross = dx * py - dy * px
+                    dcmp = cross * cross
+                    over = dcmp > tol2 * len2
+                if over and dcmp > best_d:
+                    best, best_d = k, dcmp
+            if best >= 0:
+                keep[best] = True
+                stack.append((i, best))
+                stack.append((best, j))
+        out = pd.DataFrame({
+            "user_id": int(key[0]),
+            "seq": np.arange(n, dtype=np.int32)[keep],
+            "x": xs[keep],
+            "y": ys[keep],
+        })
+        return out
+
+    return events.groupBy(user_col).applyInPandas(dp, schema)

@@ -221,3 +221,47 @@ def test_rasterize_hops_diagonal_and_revisit(spark):
            for r in rasterize_hops(ev, zoom=2, tile_size=64).collect()}
     # perfect diagonal: 5 cells, each traversed twice (there and back)
     assert out == {(20 + i, 100 + i): 2 for i in range(5)}
+
+
+def test_simplify_trajectories_dp(spark):
+    """Douglas-Peucker: collinear points drop, the real corner stays,
+    endpoints always kept; matches a scalar reference."""
+    from datetime import datetime, timedelta
+
+    from geotrellis_server_spark.operators.trajectory import (
+        simplify_trajectories)
+
+    t0 = datetime(2024, 1, 1)
+    # L-shaped track with small jitter on the legs: (0,0)..(10,0)..(10,8)
+    pts = ([(i, 0) for i in range(0, 11, 2)]
+           + [(10, j) for j in range(2, 9, 2)])
+    rows = [(k, 1, t0 + timedelta(minutes=k), x, y)
+            for k, (x, y) in enumerate(pts)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, sx long, sy long")
+    out = sorted((r.x, r.y) for r in
+                 simplify_trajectories(ev, tolerance=1).collect())
+    # perfect L: only the two endpoints and the corner survive
+    assert out == [(0, 0), (10, 0), (10, 8)]
+
+
+def test_simplify_trajectories_tolerance_and_invariance(spark):
+    from datetime import datetime, timedelta
+
+    from geotrellis_server_spark.operators.trajectory import (
+        simplify_trajectories)
+
+    t0 = datetime(2024, 1, 1)
+    # zigzag with amplitude 3 around y=0
+    rows = [(k, 7, t0 + timedelta(minutes=k), k * 2,
+             3 if k % 2 else -3) for k in range(9)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, sx long, sy long")
+    keep_tight = simplify_trajectories(ev, tolerance=1).count()
+    keep_loose = simplify_trajectories(ev, tolerance=10).count()
+    assert keep_tight == 9      # every zig exceeds tolerance 1
+    assert keep_loose == 2      # only the endpoints
+    a = sorted(map(tuple, simplify_trajectories(ev, 1).collect()))
+    b = sorted(map(tuple,
+                   simplify_trajectories(ev.repartition(5), 1).collect()))
+    assert a == b
