@@ -4694,6 +4694,75 @@ def _cost_distance_oracle() -> str:
     return CD.cost_distance_oracle_sql(dom, [_CD_SRC], _CD_ROUNDS)
 
 
+def _q_direction_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movement direction rose (operators/trajectory.py:direction_rose):
+    per-user hops classified into 45° compass sectors by pure integer
+    comparisons (boundary-exact: the CASE is verified against float
+    azimuth on the full integer ring in tests)."""
+    from geotrellis_server_spark.operators.trajectory import direction_rose
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts",
+        F.expr(sqlgen.lon_sql("event_id")).alias("lon"),
+        F.expr(sqlgen.lat_sql("event_id")).alias("lat"))
+    return direction_rose(ev, zoom=2, tile_size=64)
+
+
+def _direction_rose_oracle() -> str:
+    from geotrellis_server_spark.operators.density import global_pixel_sql
+    from geotrellis_server_spark.operators.trajectory import (
+        direction_octant_sql)
+
+    gpx, gpy = global_pixel_sql(sqlgen.lon_sql("event_id"),
+                                sqlgen.lat_sql("event_id"), 2, 64)
+    oct_sql = direction_octant_sql("x1 - x0", "y0 - y1")
+    return f"""
+    WITH p AS (
+      SELECT user_id, ts, event_id, {gpx} AS x1, {gpy} AS y1 FROM events),
+    h AS (
+      SELECT x1, y1,
+             lag(x1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x0,
+             lag(y1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y0
+      FROM p)
+    SELECT ({oct_sql}) AS octant, count(*) AS n_hops
+    FROM h WHERE x0 IS NOT NULL GROUP BY 1
+    """
+
+
+def _q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user LOCF time-weighted average of event values
+    (operators/asof.py:time_weighted_avg — the TimescaleDB
+    time_weight('LOCF')/Influx integral aggregate): exact BIGINT
+    cent-second numerator and second denominator."""
+    from geotrellis_server_spark.operators.asof import time_weighted_avg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "value",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000").alias("t"))
+    return time_weighted_avg(ev, ["user_id"], "t", "value")
+
+
+def _time_weighted_avg_oracle() -> str:
+    return """
+    WITH e AS (
+      SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t,
+             max(value) AS v
+      FROM events GROUP BY 1, 2),
+    seg AS (
+      SELECT user_id, t,
+             CAST(floor(CAST(v AS DOUBLE) * 100.0) AS BIGINT) AS vq,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nxt
+      FROM e)
+    SELECT user_id,
+           CAST(coalesce(sum(CASE WHEN nxt IS NULL THEN 0
+                                  ELSE vq * (nxt - t) END), 0)
+                AS BIGINT) AS twa_num,
+           CAST(max(t) - min(t) AS BIGINT) AS twa_den,
+           count(*) AS n_obs
+    FROM seg GROUP BY 1
+    """
+
+
 def _q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viewshed (operators/viewshed.py — GeoTrellis R2Viewshed
     semantics, grazing=visible) from the hot-cluster centre over the
@@ -4768,6 +4837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_c4_filter": _q_c4_filter,
         "geo_rasterize_hops_z2": _q_rasterize_hops,
         "raster_viewshed_z5": _q_viewshed,
+        "events_time_weighted_avg": _q_time_weighted_avg,
+        "events_direction_rose": _q_direction_rose,
         "geo_idw_interpolate": _q_idw,
         "geo_tile_assign_z8": _q_tile_assign(8),
         "geo_tile_assign_z12": _q_tile_assign(12),
@@ -4905,6 +4976,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_c4_filter": _c4_filter_oracle(),
         "geo_rasterize_hops_z2": _rasterize_hops_oracle(),
         "raster_viewshed_z5": _viewshed_oracle(),
+        "events_time_weighted_avg": _time_weighted_avg_oracle(),
+        "events_direction_rose": _direction_rose_oracle(),
         "geo_idw_interpolate": _idw_oracle(),
         "geo_tile_assign_z8": f"""
             SELECT {sqlgen.tile_x_sql('lon', 8)} AS tile_x, {sqlgen.tile_y_sql('lat', 8)} AS tile_y,

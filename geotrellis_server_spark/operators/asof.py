@@ -255,3 +255,49 @@ def resample_ffill(
     out = as_of_join(slots, dedup, key_cols, time_col, [value_col])
     return out.select(*key_cols, F.col(time_col).alias("t"),
                       F.col(value_col).alias("value"))
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Time-weighted average with last-observation-carried-forward —
+    the TSDB aggregate (TimescaleDB ``time_weight('LOCF', ...)``,
+    InfluxDB integral): per key, each observation holds its value until
+    the next one, so
+
+        TWA = Σ vᵢ · (tᵢ₊₁ − tᵢ)  /  (t_last − t_first).
+
+    Returns (keys..., twa_num, twa_den, n_obs) with the value quantized
+    to ``value_scale`` units (cents by default) BEFORE weighting —
+    num/den are exact BIGINTs (value-seconds and seconds), so the
+    contract is engine- and partitioning-exact; the consumer divides.
+    Simultaneous observations (same key, same timestamp) collapse to
+    max(value) first — the same explicit tie rule as resample_ffill.
+    Keys with a single observation emit twa_den = 0 (no span; consumer
+    treats as instantaneous). Times are epoch seconds.
+
+    Scale shape: one key-partitioned window for lead() (free on a
+    key-partitioned log) + ONE map-side-combined per-key aggregate."""
+    from pyspark.sql import Window
+
+    S = int(value_scale)
+    dedup = events.groupBy(*key_cols, time_col).agg(
+        F.max(value_col).alias("_v"))
+    w = Window.partitionBy(*key_cols).orderBy(time_col)
+    seg = (dedup
+           .withColumn("_vq", F.expr(
+               f"CAST(floor(CAST(_v AS DOUBLE) * {float(S)!r}D) "
+               f"AS BIGINT)"))
+           .withColumn("_nxt", F.lead(time_col).over(w)))
+    return (seg.groupBy(*key_cols).agg(
+        F.sum(F.expr(f"CASE WHEN _nxt IS NULL THEN 0 "
+                     f"ELSE _vq * (_nxt - {time_col}) END"))
+        .alias("twa_num"),
+        F.expr(f"CAST(max({time_col}) - min({time_col}) AS BIGINT)")
+        .alias("twa_den"),
+        F.count("*").cast("long").alias("n_obs"),
+    ))

@@ -125,6 +125,7 @@ def rasterize_hops(
     id_col: str = "event_id",
     lon: str = "lon",
     lat: str = "lat",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Linestring rasterization of per-user trajectories (GeoTrellis
     rasterizes LineStrings cell-per-major-axis-step — Rasterizer
@@ -166,15 +167,75 @@ def rasterize_hops(
         .where("x0 IS NOT NULL")
         .withColumn("n", F.expr("greatest(abs(x1 - x0), abs(y1 - y0))"))
     )
-    px = _dda_coord_sql("x0", "x1", "n", "t")
-    py = _dda_coord_sql("y0", "y1", "n", "t")
-    return (
-        hops.select("x0", "y0", "x1", "y1", "n",
-                    F.expr("explode(sequence(0, n))").alias("t"))
-        .select(F.expr(px).alias("px"), F.expr(py).alias("py"))
-        .groupBy("px", "py")
-        .agg(F.count("*").alias("n_traversals"))
-    )
+    if impl == "sql":
+        px = _dda_coord_sql("x0", "x1", "n", "t")
+        py = _dda_coord_sql("y0", "y1", "n", "t")
+        return (
+            hops.select("x0", "y0", "x1", "y1", "n",
+                        F.expr("explode(sequence(0, n))").alias("t"))
+            .select(F.expr(px).alias("px"), F.expr(py).alias("py"))
+            .groupBy("px", "py")
+            .agg(F.count("*").alias("n_traversals"))
+        )
+
+    # Arrow kernel (default): the explode+CASE path evaluates ~85 ns/cell
+    # in codegen (measured: 331M cells = 31 s at sf0.1×40); the numpy DDA
+    # with a PER-BATCH dense bincount emits ≤ grid-size partials per
+    # batch, so the exchange carries combined counts, and the identical
+    # int64 floor arithmetic keeps the result bit-equal to the SQL path
+    # (tests assert equality) — the q22 Arrow-beats-codegen doctrine.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_px = (1 << zoom) * tile_size
+    dense_ok = n_px * n_px <= (1 << 24)
+    schema = T.StructType([
+        T.StructField("px", T.LongType()),
+        T.StructField("py", T.LongType()),
+        T.StructField("partial", T.LongType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x0 = pdf["x0"].to_numpy(np.int64)
+            y0 = pdf["y0"].to_numpy(np.int64)
+            x1 = pdf["x1"].to_numpy(np.int64)
+            y1 = pdf["y1"].to_numpy(np.int64)
+            n = np.maximum(np.abs(x1 - x0), np.abs(y1 - y0))
+            reps = n + 1
+            idx = np.repeat(np.arange(len(n)), reps)
+            # step index t within each hop: global arange minus run start
+            starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            t = np.arange(reps.sum(), dtype=np.int64) - starts[idx]
+            nn = n[idx]
+            safe = np.maximum(nn, 1)
+            px = np.where(
+                nn == 0, x0[idx],
+                (2 * (x0[idx] * safe + t * (x1 - x0)[idx]) + safe)
+                // (2 * safe))
+            py = np.where(
+                nn == 0, y0[idx],
+                (2 * (y0[idx] * safe + t * (y1 - y0)[idx]) + safe)
+                // (2 * safe))
+            key = px * n_px + py
+            if dense_ok:
+                counts = np.bincount(key, minlength=n_px * n_px)
+                nz = np.nonzero(counts)[0]
+                out_px, out_py = nz // n_px, nz % n_px
+                out_c = counts[nz]
+            else:
+                uk, out_c = np.unique(key, return_counts=True)
+                out_px, out_py = uk // n_px, uk % n_px
+            yield pd.DataFrame(
+                {"px": out_px, "py": out_py, "partial": out_c})
+
+    return (hops.select("x0", "y0", "x1", "y1")
+            .mapInPandas(kernel, schema)
+            .groupBy("px", "py")
+            .agg(F.sum("partial").alias("n_traversals")))
 
 
 def simplify_trajectories(
@@ -257,3 +318,62 @@ def simplify_trajectories(
         return out
 
     return events.groupBy(user_col).applyInPandas(dp, schema)
+
+
+def direction_rose(
+    events: DataFrame,
+    zoom: int = 2,
+    tile_size: int = 64,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Movement direction rose: every consecutive per-user hop is
+    classified into its 45° compass sector (0=N, 1=NE, … 7=NW; −1 =
+    stationary) and counted — the wind-rose of a mobility log. The
+    sector comes from pure integer sign/magnitude comparisons of the
+    hop vector in (east, north) grid components (north = −Δgy, rows
+    grow south), with boundaries assigned to the CLOCKWISE-lower sector
+    (az ∈ [k·45°, (k+1)·45°)) — no trigonometry, engine- and
+    partitioning-exact.
+
+    Scale shape: one user-keyed window exchange + ONE map-side-combined
+    count onto ≤ 9 rows."""
+    from pyspark.sql import Window
+
+    from .density import global_pixel_sql
+
+    gpx, gpy = global_pixel_sql(lon, lat, zoom, tile_size)
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    hops = (
+        events.select(
+            F.col(user_col), F.col(ts_col), F.col(id_col),
+            F.expr(gpx).alias("x1"), F.expr(gpy).alias("y1"))
+        .withColumn("x0", F.lag("x1").over(w))
+        .withColumn("y0", F.lag("y1").over(w))
+        .where("x0 IS NOT NULL")
+        .selectExpr("x1 - x0 AS e", "y0 - y1 AS n")
+    )
+    return (
+        hops.selectExpr(f"({direction_octant_sql('e', 'n')}) AS octant")
+        .groupBy("octant")
+        .agg(F.count("*").alias("n_hops"))
+    )
+
+
+def direction_octant_sql(e: str, n: str) -> str:
+    """45°-sector index of vector (east, north) with half-open
+    [k·45°, (k+1)·45°) boundaries, −1 for the zero vector — one
+    engine-portable integer CASE (shared by operator and oracle)."""
+    return f"""CASE
+      WHEN ({e}) = 0 AND ({n}) = 0 THEN -1
+      WHEN ({e}) >= 0 AND ({n}) > 0 AND ({e}) < ({n}) THEN 0
+      WHEN ({e}) > 0 AND ({n}) > 0 THEN 1
+      WHEN ({e}) > 0 AND ({n}) <= 0 AND ({e}) > -({n}) THEN 2
+      WHEN ({e}) > 0 AND ({n}) < 0 THEN 3
+      WHEN ({e}) <= 0 AND ({n}) < 0 AND -({e}) < -({n}) THEN 4
+      WHEN ({e}) < 0 AND ({n}) < 0 THEN 5
+      WHEN ({e}) < 0 AND ({n}) >= 0 AND -({e}) > ({n}) THEN 6
+      ELSE 7 END"""

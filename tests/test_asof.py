@@ -187,3 +187,35 @@ def test_retention_cohorts_offsets(spark):
            for r in retention_cohorts(ev, period_s=10).collect()}
     assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1,
                    (1, 0): 1, (1, 1): 1}
+
+
+def test_time_weighted_avg_locf(spark):
+    from geotrellis_server_spark.operators.asof import time_weighted_avg
+
+    rows = [
+        # key 1: v=2.0 for 10s, v=4.0 for 30s, last obs closes the span
+        (1, 100, 2.0), (1, 110, 4.0), (1, 140, 9.0),
+        # key 2: single observation → zero span
+        (2, 50, 7.0),
+        # key 3: simultaneous obs collapse to max first
+        (3, 10, 1.0), (3, 10, 3.0), (3, 20, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {r.k: r for r in
+           time_weighted_avg(df, ["k"], "t", "v").collect()}
+    assert out[1].twa_num == 200 * 10 + 400 * 30
+    assert out[1].twa_den == 40 and out[1].n_obs == 3
+    assert out[2].twa_den == 0 and out[2].twa_num == 0
+    assert out[3].twa_num == 300 * 10 and out[3].twa_den == 10
+    assert out[3].n_obs == 2  # tie collapsed
+
+
+def test_time_weighted_avg_partition_invariance(spark):
+    from geotrellis_server_spark.operators.asof import time_weighted_avg
+
+    rows = [(i % 5, 100 + i * 7, (i * 13 % 29) / 4.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    a = sorted(map(tuple, time_weighted_avg(df, ["k"], "t", "v").collect()))
+    b = sorted(map(tuple, time_weighted_avg(
+        df.repartition(7), ["k"], "t", "v").collect()))
+    assert a == b

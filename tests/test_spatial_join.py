@@ -265,3 +265,21 @@ def test_simplify_trajectories_tolerance_and_invariance(spark):
     b = sorted(map(tuple,
                    simplify_trajectories(ev.repartition(5), 1).collect()))
     assert a == b
+
+
+def test_rasterize_hops_arrow_equals_sql(spark):
+    """The Arrow DDA kernel and the pure-SQL explode path are
+    bit-identical (same int64 floor arithmetic)."""
+    from datetime import datetime, timedelta
+
+    from geotrellis_server_spark.operators.trajectory import rasterize_hops
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(k, k % 7, t0 + timedelta(minutes=k),
+             float(-170 + (k * 37) % 340), float(-80 + (k * 53) % 160))
+            for k in range(300)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, lon double, lat double")
+    a = sorted(map(tuple, rasterize_hops(ev, 2, 64, impl="arrow").collect()))
+    b = sorted(map(tuple, rasterize_hops(ev, 2, 64, impl="sql").collect()))
+    assert a == b and len(a) > 100
