@@ -4694,6 +4694,54 @@ def _cost_distance_oracle() -> str:
     return CD.cost_distance_oracle_sql(dom, [_CD_SRC], _CD_ROUNDS)
 
 
+def _q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares isoline segments (operators/contour.py —
+    GDAL/GeoTrellis contour parity, midpoint rule) of the doc-density
+    surface at level 3: endpoints in doubled grid coords, all exact
+    integers including the saddle conventions."""
+    from geotrellis_server_spark.operators import density as DN
+    from geotrellis_server_spark.operators.contour import contour_segments
+
+    x0, y0, w, h = _CD_WIN
+    gpx, gpy = DN.global_pixel_sql("lon", "lat", 5, 64)
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.expr(gpx).alias("cx"), F.expr(gpy).alias("cy"))
+        .where(f"cx BETWEEN {x0} AND {x0 + w - 1} AND cy BETWEEN {y0} AND {y0 + h - 1}")
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dom = (
+        spark.range(w * h)
+        .select(F.expr(f"{x0} + id % {w}").alias("cx"),
+                F.expr(f"{y0} + id DIV {w}").alias("cy"))
+        .join(counts, ["cx", "cy"], "left")
+        .select("cx", "cy", F.expr("coalesce(cnt, 0)").alias("v"))
+    )
+    return contour_segments(dom, level=3)
+
+
+def _contour_oracle() -> str:
+    from geotrellis_server_spark.operators import density as DN
+    from geotrellis_server_spark.operators.contour import contour_oracle_sql
+
+    x0, y0, w, h = _CD_WIN
+    gpx, gpy = DN.global_pixel_sql("lon", "lat", 5, 64)
+    pts = f"SELECT {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    dom = f"""
+      SELECT g.cx, g.cy, coalesce(pc.cnt, 0) AS v
+      FROM (SELECT {x0} + j.j AS cx, {y0} + i.i AS cy
+            FROM range({h}) i(i) CROSS JOIN range({w}) j(j)) g
+      LEFT JOIN (
+        SELECT cx, cy, count(*) AS cnt FROM (
+          SELECT {gpx} AS cx, {gpy} AS cy FROM ({pts}) p) q
+        WHERE cx BETWEEN {x0} AND {x0 + w - 1}
+          AND cy BETWEEN {y0} AND {y0 + h - 1}
+        GROUP BY 1, 2) pc
+      ON pc.cx = g.cx AND pc.cy = g.cy"""
+    return contour_oracle_sql(dom, level=3)
+
+
 def _q_direction_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Movement direction rose (operators/trajectory.py:direction_rose):
     per-user hops classified into 45° compass sectors by pure integer
@@ -4839,6 +4887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_viewshed_z5": _q_viewshed,
         "events_time_weighted_avg": _q_time_weighted_avg,
         "events_direction_rose": _q_direction_rose,
+        "raster_contour_z5": _q_contour,
         "geo_idw_interpolate": _q_idw,
         "geo_tile_assign_z8": _q_tile_assign(8),
         "geo_tile_assign_z12": _q_tile_assign(12),
@@ -4978,6 +5027,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_viewshed_z5": _viewshed_oracle(),
         "events_time_weighted_avg": _time_weighted_avg_oracle(),
         "events_direction_rose": _direction_rose_oracle(),
+        "raster_contour_z5": _contour_oracle(),
         "geo_idw_interpolate": _idw_oracle(),
         "geo_tile_assign_z8": f"""
             SELECT {sqlgen.tile_x_sql('lon', 8)} AS tile_x, {sqlgen.tile_y_sql('lat', 8)} AS tile_y,
