@@ -4694,6 +4694,78 @@ def _cost_distance_oracle() -> str:
     return CD.cost_distance_oracle_sql(dom, [_CD_SRC], _CD_ROUNDS)
 
 
+def _q_region_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed region labeling (operators/vectorize.py — the core
+    of GeoTrellis vectorize): maximal 4-connected equal-value regions
+    of the doc-count window, label = min packed (cx·2³²+cy). Engine =
+    block union-find + hash-min boundary merge; oracle = pointer-
+    DOUBLING hash-min over the cell graph (11 unrolled rounds cover
+    any diameter ≤ 2¹¹)."""
+    from geotrellis_server_spark.operators import density as DN
+    from geotrellis_server_spark.operators.vectorize import region_label
+
+    x0, y0, w, h = _CD_WIN
+    gpx, gpy = DN.global_pixel_sql("lon", "lat", 5, 64)
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.expr(gpx).alias("cx"), F.expr(gpy).alias("cy"))
+        .where(f"cx BETWEEN {x0} AND {x0 + w - 1} AND cy BETWEEN {y0} AND {y0 + h - 1}")
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dom = (
+        spark.range(w * h)
+        .select(F.expr(f"{x0} + id % {w}").alias("cx"),
+                F.expr(f"{y0} + id DIV {w}").alias("cy"))
+        .join(counts, ["cx", "cy"], "left")
+        .select("cx", "cy", F.expr("coalesce(cnt, 0)").alias("v"))
+    )
+    return region_label(dom, tile=8, n_iter=16)
+
+
+def _region_label_oracle(rounds: int = 11) -> str:
+    from geotrellis_server_spark.operators import density as DN
+
+    x0, y0, w, h = _CD_WIN
+    gpx, gpy = DN.global_pixel_sql("lon", "lat", 5, 64)
+    pts = f"SELECT {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    pack = 1 << 32
+    parts = [f"""
+    WITH dom AS MATERIALIZED (
+      SELECT g.cx, g.cy, coalesce(pc.cnt, 0) AS v
+      FROM (SELECT {x0} + j.j AS cx, {y0} + i.i AS cy
+            FROM range({h}) i(i) CROSS JOIN range({w}) j(j)) g
+      LEFT JOIN (
+        SELECT cx, cy, count(*) AS cnt FROM (
+          SELECT {gpx} AS cx, {gpy} AS cy FROM ({pts}) p) q
+        WHERE cx BETWEEN {x0} AND {x0 + w - 1}
+          AND cy BETWEEN {y0} AND {y0 + h - 1}
+        GROUP BY 1, 2) pc
+      ON pc.cx = g.cx AND pc.cy = g.cy),
+    und AS MATERIALIZED (
+      SELECT a.cx * {pack} + a.cy AS a, b.cx * {pack} + b.cy AS b
+      FROM dom a JOIN dom b
+        ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1 AND a.v = b.v),
+    r0 AS MATERIALIZED (
+      SELECT cx * {pack} + cy AS node, cx * {pack} + cy AS label
+      FROM dom)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    r{k} AS MATERIALIZED (
+      SELECT c.node,
+             least(c.label, coalesce(l2.label, c.label),
+                   coalesce((SELECT min(l.label) FROM und u
+                             JOIN r{k - 1} l ON l.node = u.b
+                             WHERE u.a = c.node), c.label)) AS label
+      FROM r{k - 1} c LEFT JOIN r{k - 1} l2 ON l2.node = c.label)""")
+    parts.append(f"""
+    SELECT CAST(node // {pack} AS BIGINT) AS cx,
+           CAST(node % {pack} AS BIGINT) AS cy,
+           CAST(label AS BIGINT) AS region
+    FROM r{rounds}""")
+    return "".join(parts)
+
+
 def _q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares isoline segments (operators/contour.py —
     GDAL/GeoTrellis contour parity, midpoint rule) of the doc-density
@@ -4888,6 +4960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_weighted_avg": _q_time_weighted_avg,
         "events_direction_rose": _q_direction_rose,
         "raster_contour_z5": _q_contour,
+        "raster_region_label_z5": _q_region_label,
         "geo_idw_interpolate": _q_idw,
         "geo_tile_assign_z8": _q_tile_assign(8),
         "geo_tile_assign_z12": _q_tile_assign(12),
@@ -5028,6 +5101,7 @@ def oracle_sql() -> dict[str, str]:
         "events_time_weighted_avg": _time_weighted_avg_oracle(),
         "events_direction_rose": _direction_rose_oracle(),
         "raster_contour_z5": _contour_oracle(),
+        "raster_region_label_z5": _region_label_oracle(),
         "geo_idw_interpolate": _idw_oracle(),
         "geo_tile_assign_z8": f"""
             SELECT {sqlgen.tile_x_sql('lon', 8)} AS tile_x, {sqlgen.tile_y_sql('lat', 8)} AS tile_y,
