@@ -3161,6 +3161,62 @@ def _c4_filter_oracle() -> str:
     """
 
 
+def _q_fineweb_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb custom quality rules (operators/text.py:fineweb_rules)
+    over the same decorated 10-token-line corpus as the C4 gate —
+    integer-cross-multiplied verdicts, exact."""
+    from geotrellis_server_spark.operators.text import (chunk_documents,
+                                                        fineweb_rules)
+
+    docs = _read_documents(spark, sf_dir)
+    lines = (
+        chunk_documents(docs, size=10, overlap=0)
+        .select("doc_id", F.col("chunk_id").alias("line_no"),
+                F.col("chunk").alias("line"))
+        .select("doc_id", "line_no", F.expr(_C4_DECORATE).alias("line"))
+    )
+    return fineweb_rules(lines)
+
+
+def _fineweb_filter_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1) AS nw
+          FROM t),
+    w AS (SELECT doc_id, toks, unnest(range(0, nw)) AS i FROM n),
+    raw AS (SELECT doc_id, CAST(i AS INT) AS line_no,
+                   array_to_string(toks[(i*10+1):((i+1)*10)], ' ') AS line
+            FROM w),
+    lines AS (SELECT doc_id, line_no, {_C4_DECORATE} AS line FROM raw),
+    pl AS (
+      SELECT doc_id, line AS l, count(*) AS n,
+             CAST(length(line) AS BIGINT) AS len,
+             right(rtrim(line), 1) IN ('.', '!', '?', '"') AS punct,
+             length(line) < 30 AS short
+      FROM lines GROUP BY doc_id, line),
+    d AS (
+      SELECT doc_id,
+             CAST(sum(n) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN punct THEN n ELSE 0 END) AS BIGINT)
+               AS n_punct_lines,
+             CAST(sum(CASE WHEN short THEN n ELSE 0 END) AS BIGINT)
+               AS n_short_lines,
+             CAST(sum(CASE WHEN n > 1 THEN n * len ELSE 0 END) AS BIGINT)
+               AS dup_chars,
+             CAST(sum(n * len) AS BIGINT) AS total_chars
+      FROM pl GROUP BY doc_id)
+    SELECT *,
+           25 * n_punct_lines >= 3 * n_lines AS ok_punct,
+           10 * dup_chars <= total_chars AS ok_dup,
+           3 * n_short_lines <= 2 * n_lines AS ok_short,
+           (25 * n_punct_lines >= 3 * n_lines)
+             AND (10 * dup_chars <= total_chars)
+             AND (3 * n_short_lines <= 2 * n_lines) AS keep
+    FROM d
+    """
+
+
 def _q_repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style repeated-span removal (operators/text.py:
     repeated_span_dedup): every 5-token window occurring >=2 times
@@ -4955,6 +5011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maml_faspect_octant_z2": _q_faspect,
         "graph_connected_components": _q_connected_components,
         "pipeline_c4_filter": _q_c4_filter,
+        "pipeline_fineweb_filter": _q_fineweb_filter,
         "geo_rasterize_hops_z2": _q_rasterize_hops,
         "raster_viewshed_z5": _q_viewshed,
         "events_time_weighted_avg": _q_time_weighted_avg,
@@ -5096,6 +5153,7 @@ def oracle_sql() -> dict[str, str]:
         "maml_faspect_octant_z2": _faspect_oracle(),
         "graph_connected_components": _connected_components_oracle(),
         "pipeline_c4_filter": _c4_filter_oracle(),
+        "pipeline_fineweb_filter": _fineweb_filter_oracle(),
         "geo_rasterize_hops_z2": _rasterize_hops_oracle(),
         "raster_viewshed_z5": _viewshed_oracle(),
         "events_time_weighted_avg": _time_weighted_avg_oracle(),

@@ -1125,3 +1125,51 @@ def c4_line_rules(
         "keep",
         F.expr("n_kept >= 3 AND NOT has_lorem AND NOT has_brace"),
     )
+
+
+def fineweb_rules(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    line_col: str = "line",
+) -> DataFrame:
+    """FineWeb custom quality filters (Penedo et al. 2024 §3.6 — the
+    three line-statistics rules they added on top of the Gopher/C4
+    battery), integer-cross-multiplied so every verdict is exact:
+
+    - punctuation-line ratio ≥ 0.12   → 25·punct_lines ≥ 3·n_lines
+    - duplicated-line char fraction ≤ 0.1 → 10·dup_chars ≤ total_chars
+      (a line duplicated WITHIN the document counts all its copies)
+    - short-line (<30 chars) ratio ≤ 0.67 → 3·short_lines ≤ 2·n_lines
+
+    Returns one audit row per doc with the counts, per-rule flags and
+    ``keep``. Scale shape: one (doc, line) aggregate collapses
+    duplicate lines map-side (the hot boilerplate line combines before
+    the exchange), then one map-side-combined per-doc aggregate."""
+    per_line = (
+        lines.groupBy(F.col(id_col), F.col(line_col).alias("_l"))
+        .agg(F.count("*").alias("_n"))
+        .select(
+            F.col(id_col), F.col("_n"),
+            F.expr("length(_l)").cast("long").alias("_len"),
+            F.expr("substr(rtrim(_l), -1, 1) IN ('.', '!', '?', '\"')")
+            .alias("_punct"),
+            F.expr("length(_l) < 30").alias("_short"),
+        )
+    )
+    d = per_line.groupBy(id_col).agg(
+        F.sum("_n").alias("n_lines"),
+        F.sum(F.expr("CASE WHEN _punct THEN _n ELSE 0 END"))
+        .alias("n_punct_lines"),
+        F.sum(F.expr("CASE WHEN _short THEN _n ELSE 0 END"))
+        .alias("n_short_lines"),
+        F.sum(F.expr("CASE WHEN _n > 1 THEN _n * _len ELSE 0 END"))
+        .alias("dup_chars"),
+        F.sum(F.expr("_n * _len")).alias("total_chars"),
+    )
+    rules = {
+        "ok_punct": "25 * n_punct_lines >= 3 * n_lines",
+        "ok_dup": "10 * dup_chars <= total_chars",
+        "ok_short": "3 * n_short_lines <= 2 * n_lines",
+    }
+    d = d.select("*", *[F.expr(e).alias(k) for k, e in rules.items()])
+    return d.withColumn("keep", F.expr(" AND ".join(rules)))

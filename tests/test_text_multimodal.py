@@ -1408,3 +1408,28 @@ def test_media_phash_spark_path(spark):
     want = MM.phash64(MM._decode_image(payload))
     got = out[0].phash % (1 << 64)
     assert got == want and out[0].media_ref == "m1"
+
+
+def test_fineweb_rules_battery(spark):
+    from geotrellis_server_spark.operators.text import fineweb_rules
+
+    long_p = "this line is comfortably longer than thirty characters."
+    long_n = "this line is comfortably longer than thirty characters too"
+    rows = (
+        # doc 1: clean — all long, punctuated, unique
+        [(1, f"{long_p[:-1]} variant {i}.") for i in range(10)]
+        # doc 2: no punctuation anywhere → punct ratio 0 < 0.12
+        + [(2, f"{long_n} variant {i}") for i in range(10)]
+        # doc 3: one line repeated 5 of 10 → dup chars 50% > 10%
+        + [(3, long_p)] * 5 + [(3, f"{long_p[:-1]} v{i}.") for i in range(5)]
+        # doc 4: 8 of 10 lines short → 0.8 > 0.67
+        + [(4, f"short {i}.") for i in range(8)]
+        + [(4, f"{long_p[:-1]} v{i}.") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, line string")
+    out = {r.doc_id: r for r in fineweb_rules(df).collect()}
+    assert out[1].keep
+    assert not out[2].keep and not out[2].ok_punct and out[2].ok_dup
+    assert not out[3].keep and not out[3].ok_dup and out[3].ok_punct
+    assert not out[4].keep and not out[4].ok_short
+    assert out[3].n_lines == 10 and out[3].dup_chars == 5 * len(long_p)
