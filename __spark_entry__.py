@@ -4822,6 +4822,78 @@ def _region_label_oracle(rounds: int = 11) -> str:
     return "".join(parts)
 
 
+def _cd_window_dom_sql(val_alias: str = "v") -> str:
+    """The shared 32×32 doc-count window domain (DuckDB SQL) used by
+    the cost-distance / viewshed / contour / region oracles."""
+    from geotrellis_server_spark.operators import density as DN
+
+    x0, y0, w, h = _CD_WIN
+    gpx, gpy = DN.global_pixel_sql("lon", "lat", 5, 64)
+    pts = f"SELECT {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    return f"""
+      SELECT g.cx, g.cy, coalesce(pc.cnt, 0) AS {val_alias}
+      FROM (SELECT {x0} + j.j AS cx, {y0} + i.i AS cy
+            FROM range({h}) i(i) CROSS JOIN range({w}) j(j)) g
+      LEFT JOIN (
+        SELECT cx, cy, count(*) AS cnt FROM (
+          SELECT {gpx} AS cx, {gpy} AS cy FROM ({pts}) p) q
+        WHERE cx BETWEEN {x0} AND {x0 + w - 1}
+          AND cy BETWEEN {y0} AND {y0 + h - 1}
+        GROUP BY 1, 2) pc
+      ON pc.cx = g.cx AND pc.cy = g.cy"""
+
+
+def _q_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region polygon statistics (operators/vectorize.py:
+    region_stats — the summary half of GeoTrellis vectorize): exact
+    integer area, exposed-edge perimeter and bbox per 4-connected
+    equal-count region of the doc-density window."""
+    from geotrellis_server_spark.operators import density as DN
+    from geotrellis_server_spark.operators.vectorize import region_stats
+
+    x0, y0, w, h = _CD_WIN
+    gpx, gpy = DN.global_pixel_sql("lon", "lat", 5, 64)
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.expr(gpx).alias("cx"), F.expr(gpy).alias("cy"))
+        .where(f"cx BETWEEN {x0} AND {x0 + w - 1} AND cy BETWEEN {y0} AND {y0 + h - 1}")
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dom = (
+        spark.range(w * h)
+        .select(F.expr(f"{x0} + id % {w}").alias("cx"),
+                F.expr(f"{y0} + id DIV {w}").alias("cy"))
+        .join(counts, ["cx", "cy"], "left")
+        .select("cx", "cy", F.expr("coalesce(cnt, 0)").alias("v"))
+    )
+    return region_stats(dom, tile=8, n_iter=16)
+
+
+def _region_stats_oracle() -> str:
+    lab = _region_label_oracle()
+    dom = _cd_window_dom_sql()
+    return f"""
+    WITH lab AS MATERIALIZED (SELECT * FROM ({lab}) q),
+    dom AS MATERIALIZED ({dom}),
+    same AS (
+      SELECT a.cx, a.cy, count(*) AS n_same
+      FROM dom a JOIN dom b
+        ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1 AND a.v = b.v
+      GROUP BY a.cx, a.cy)
+    SELECT l.region,
+           CAST(min(d.v) AS BIGINT) AS v,
+           count(*) AS n_cells,
+           CAST(sum(4 - coalesce(s.n_same, 0)) AS BIGINT) AS perimeter,
+           min(d.cx) AS xmin, min(d.cy) AS ymin,
+           max(d.cx) AS xmax, max(d.cy) AS ymax
+    FROM dom d
+    JOIN lab l ON l.cx = d.cx AND l.cy = d.cy
+    LEFT JOIN same s ON s.cx = d.cx AND s.cy = d.cy
+    GROUP BY l.region
+    """
+
+
 def _q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares isoline segments (operators/contour.py —
     GDAL/GeoTrellis contour parity, midpoint rule) of the doc-density
@@ -5018,6 +5090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_direction_rose": _q_direction_rose,
         "raster_contour_z5": _q_contour,
         "raster_region_label_z5": _q_region_label,
+        "raster_region_stats_z5": _q_region_stats,
         "geo_idw_interpolate": _q_idw,
         "geo_tile_assign_z8": _q_tile_assign(8),
         "geo_tile_assign_z12": _q_tile_assign(12),
@@ -5160,6 +5233,7 @@ def oracle_sql() -> dict[str, str]:
         "events_direction_rose": _direction_rose_oracle(),
         "raster_contour_z5": _contour_oracle(),
         "raster_region_label_z5": _region_label_oracle(),
+        "raster_region_stats_z5": _region_stats_oracle(),
         "geo_idw_interpolate": _idw_oracle(),
         "geo_tile_assign_z8": f"""
             SELECT {sqlgen.tile_x_sql('lon', 8)} AS tile_x, {sqlgen.tile_y_sql('lat', 8)} AS tile_y,

@@ -84,3 +84,23 @@ def test_partition_invariance(spark):
 
 def test_unpack_region():
     assert unpack_region(5 * _PACK + 9) == (5, 9)
+
+
+def test_region_stats_square_and_stripe(spark):
+    from geotrellis_server_spark.operators.vectorize import region_stats
+
+    # 3x3 block of 7s inside a field of 0s (10x10)
+    cells = {(x, y): 0 for x in range(10) for y in range(10)}
+    for x in range(4, 7):
+        for y in range(4, 7):
+            cells[(x, y)] = 7
+    out = {r.region: r for r in
+           region_stats(_grid(spark, cells), tile=4, n_iter=8).collect()}
+    assert len(out) == 2
+    sq = next(r for r in out.values() if r.v == 7)
+    assert sq.n_cells == 9 and sq.perimeter == 12
+    assert (sq.xmin, sq.ymin, sq.xmax, sq.ymax) == (4, 4, 6, 6)
+    bg = next(r for r in out.values() if r.v == 0)
+    assert bg.n_cells == 91
+    # background perimeter = outer boundary (40) + hole boundary (12)
+    assert bg.perimeter == 40 + 12
