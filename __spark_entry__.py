@@ -4597,6 +4597,58 @@ _IDW_WIN = (571, 743, 64, 64, 6)  # x0, y0, w, h, radius — z5/ts64 pixel
 # window over the (-74, 40) hot cluster (centre pixel ≈ (603, 775))
 
 
+_MARKER_ZOOMS = (3, 4, 5)
+
+
+def _q_cluster_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom cluster markers (the supercluster-style map-UI
+    aggregation, cell-bucketed): per zoom and tile, member count plus
+    exact integer sums of member global-pixel coordinates — the marker
+    renders at (sum_gx/n, sum_gy/n); sums gate exactly, the division
+    is presentation. One map-side-combined aggregate per zoom, unioned;
+    at scale the z_max aggregate feeds the coarser zooms as a rollup
+    (pyramid_up), here each zoom aggregates the source directly so the
+    oracle stays one expression per zoom."""
+    from geotrellis_server_spark.operators import density as DN
+
+    d = _docs(spark, sf_dir)
+    out = None
+    for z in _MARKER_ZOOMS:
+        gpx, gpy = DN.global_pixel_sql("lon", "lat", z, 64)
+        t = (
+            d.select(F.expr(gpx).alias("_gx"), F.expr(gpy).alias("_gy"))
+            .select(F.expr("_gx DIV 64").alias("tile_x"),
+                    F.expr("_gy DIV 64").alias("tile_y"), "_gx", "_gy")
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_gx").alias("sum_gx"),
+                 F.sum("_gy").alias("sum_gy"))
+            .select(F.lit(z).alias("zoom"), "tile_x", "tile_y",
+                    "n_docs", "sum_gx", "sum_gy")
+        )
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
+def _cluster_markers_oracle() -> str:
+    from geotrellis_server_spark.operators import density as DN
+
+    pts = f"SELECT {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    parts = []
+    for z in _MARKER_ZOOMS:
+        gpx, gpy = DN.global_pixel_sql("lon", "lat", z, 64)
+        parts.append(f"""
+        SELECT {z} AS zoom,
+               CAST(floor(gx / 64.0) AS BIGINT) AS tile_x,
+               CAST(floor(gy / 64.0) AS BIGINT) AS tile_y,
+               count(*) AS n_docs,
+               CAST(sum(gx) AS BIGINT) AS sum_gx,
+               CAST(sum(gy) AS BIGINT) AS sum_gy
+        FROM (SELECT {gpx} AS gx, {gpy} AS gy FROM ({pts}) p) q
+        GROUP BY 1, 2, 3""")
+    return " UNION ALL ".join(parts)
+
+
 def _q_kernel_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binomial-3×3 integer kernel density at z5 (operators/density.py —
     GeoTrellis raster.density.KernelDensity semantics: stamp, sum,
@@ -5079,6 +5131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_zoom_select": _q_zoom_select,
         "geo_cell_encode_r6": _q_cell_encode,
         "geo_kernel_density_z5": _q_kernel_density,
+        "geo_cluster_markers": _q_cluster_markers,
         "raster_cost_distance_z5": _q_cost_distance,
         "maml_faspect_octant_z2": _q_faspect,
         "graph_connected_components": _q_connected_components,
@@ -5222,6 +5275,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts}) GROUP BY 1
         """,
         "geo_kernel_density_z5": _kernel_density_oracle(),
+        "geo_cluster_markers": _cluster_markers_oracle(),
         "raster_cost_distance_z5": _cost_distance_oracle(),
         "maml_faspect_octant_z2": _faspect_oracle(),
         "graph_connected_components": _connected_components_oracle(),
