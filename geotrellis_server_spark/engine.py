@@ -190,6 +190,14 @@ class Engine:
         rows = self.catalog.filter(ogc_layer_predicate(query)).select("name").collect()
         return [r.name for r in rows]
 
+    def find_layers_cql(self, cql2_text: str) -> list[str]:
+        """CQL2-text filter (query/cql2.py) → the same pushdown-compiled
+        catalog scan as the typed AST — the textual surface an OGC-API/
+        STAC client speaks."""
+        from .query.cql2 import parse_cql2
+
+        return self.find_layers(parse_cql2(cql2_text))
+
     def _eval(self, layer: Layer, key_filter=None) -> DataFrame:
         """key_filter (a Column predicate over zoom/tile_x/tile_y) prunes
         EVERY raster var — layer.tiles AND all layer.sources — BEFORE

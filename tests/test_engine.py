@@ -91,6 +91,13 @@ def test_catalog_find(spark, density_engine):
     eng = Engine(spark, density_engine.layers, catalog=cat)
     assert eng.find_layers(Q.intersects((0, 0, 1, 1))) == ["density"]
     assert eng.find_layers(Q.with_name("nope")) == []
+    # the CQL2-text surface compiles to the same scan
+    assert eng.find_layers_cql(
+        "S_INTERSECTS(geom, BBOX(0, 0, 1, 1))") == ["density"]
+    assert eng.find_layers_cql(
+        "name = 'density' AND S_INTERSECTS(geom, BBOX(0, 0, 1, 1))"
+    ) == ["density"]
+    assert eng.find_layers_cql("name = 'nope'") == []
 
 
 def test_resumable_job_crash_and_resume(spark, tmp_path):
