@@ -278,3 +278,42 @@ def mvt_point_tiles(
     # mapInPandas could split one tile into two partial encodes)
     return per_px.groupBy("tile_x", "tile_y").applyInPandas(
         encode, MVT_SCHEMA)
+
+
+def tilejson(
+    name: str,
+    tiles_url_template: str,
+    bounds: tuple[float, float, float, float] = (-180.0, -85.051129, 180.0, 85.051129),
+    minzoom: int = 0,
+    maxzoom: int = 14,
+    layer_fields: dict[str, dict[str, str]] | None = None,
+    attribution: str | None = None,
+) -> dict:
+    """TileJSON 3.0.0 descriptor (public Mapbox spec — the discovery
+    document every MVT-serving endpoint publishes; the vector twin of
+    the WMTS capabilities the engine already renders in ogc_xml.py).
+    ``layer_fields`` maps layer id → {field: type} into the
+    ``vector_layers`` section. Deterministic key order (sorted) so the
+    document is golden-testable."""
+    if minzoom > maxzoom:
+        raise ValueError("minzoom must be <= maxzoom")
+    w, s, e, n = bounds
+    doc = {
+        "tilejson": "3.0.0",
+        "name": name,
+        "tiles": [tiles_url_template],
+        "bounds": [w, s, e, n],
+        "center": [(w + e) / 2.0, (s + n) / 2.0, minzoom],
+        "minzoom": minzoom,
+        "maxzoom": maxzoom,
+        "scheme": "xyz",
+        "vector_layers": [
+            {"id": lid, "fields": dict(sorted(fields.items())),
+             "minzoom": minzoom, "maxzoom": maxzoom}
+            for lid, fields in sorted((layer_fields or
+                                       {name: {"n": "Number"}}).items())
+        ],
+    }
+    if attribution is not None:
+        doc["attribution"] = attribution
+    return doc

@@ -80,3 +80,21 @@ def test_spark_sink_duplicate_pixels_collapse(spark):
     assert len(out) == 1 and out[0].n_features == 1
     lay = mvt.decode_tile(bytes(out[0].mvt))[0]
     assert mvt.decode_points(lay)[0][2]["n"] == 7
+
+
+def test_tilejson_document():
+    from geotrellis_server_spark.styles.mvt import tilejson
+
+    doc = tilejson("points", "https://example.com/{z}/{x}/{y}.mvt",
+                   bounds=(-10.0, 40.0, 5.0, 55.0), minzoom=2, maxzoom=9)
+    assert doc["tilejson"] == "3.0.0"
+    assert doc["tiles"] == ["https://example.com/{z}/{x}/{y}.mvt"]
+    assert doc["center"] == [-2.5, 47.5, 2]
+    assert doc["vector_layers"] == [
+        {"id": "points", "fields": {"n": "Number"},
+         "minzoom": 2, "maxzoom": 9}]
+    import json
+
+    json.dumps(doc)  # serializable
+    with pytest.raises(ValueError):
+        tilejson("x", "u", minzoom=5, maxzoom=3)
