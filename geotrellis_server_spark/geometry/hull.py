@@ -1,0 +1,93 @@
+"""Convex hull per group — Andrew's monotone chain (the textbook
+O(n log n) algorithm; GeoTrellis exposes the same via JTS
+``Geometry.convexHull``) in exact integer arithmetic over grid
+coordinates: every turn test is a BIGINT cross product, so the hull
+vertex set, its CCW order, and the doubled shoelace area are pure
+functions of the input point set — partition- and run-exact.
+
+Spark shape: one group-keyed applyInPandas (the same bounded-state
+exchange as sessionize/simplify); per-group work is sort + linear
+chain. For a 100-TB log the pragmatic pre-step is per-partition
+hull-of-hull reduction (a hull is ≤ the point count and hulls
+compose), which this module supports by simply running twice —
+``hull_points(hull_points(df))`` — since the operator's output is
+again a point table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def monotone_chain(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """CCW convex hull (y-up convention) of integer points; collinear
+    boundary points are DROPPED (strict turns only); degenerate inputs
+    (≤2 distinct points, or all collinear) return the sorted distinct
+    endpoints."""
+    P = sorted(set(map(tuple, pts)))
+    if len(P) <= 2:
+        return P
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in P:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(P):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    return hull if len(hull) >= 3 else P[:1] + P[-1:]
+
+
+def shoelace2(hull: list[tuple[int, int]]) -> int:
+    """Doubled signed area (exact integer; positive for CCW y-up)."""
+    s = 0
+    for (x1, y1), (x2, y2) in zip(hull, hull[1:] + hull[:1]):
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+HULL_SCHEMA = T.StructType([
+    T.StructField("group", T.LongType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("n_vertices", T.IntegerType()),
+    T.StructField("area2", T.LongType()),
+])
+
+
+def hull_points(
+    points: DataFrame,
+    group_col: str = "group",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group hull vertices in CCW order: (group, seq, x, y,
+    n_vertices, area2) — area2 the exact doubled shoelace area."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = list(zip(pdf[x_col].astype(np.int64),
+                       pdf[y_col].astype(np.int64)))
+        hull = monotone_chain([(int(x), int(y)) for x, y in pts])
+        a2 = shoelace2(hull) if len(hull) >= 3 else 0
+        return pd.DataFrame({
+            "group": int(key[0]),
+            "seq": range(len(hull)),
+            "x": [p[0] for p in hull],
+            "y": [p[1] for p in hull],
+            "n_vertices": len(hull),
+            "area2": a2,
+        })
+
+    return points.groupBy(group_col).applyInPandas(run, HULL_SCHEMA)
