@@ -5111,6 +5111,72 @@ def _viewshed_oracle() -> str:
     return viewshed_oracle_sql(dom, _CD_SRC)
 
 
+_HULL_PTS = """
+  SELECT DISTINCT (o_custkey % 8) AS g,
+         (o_orderkey * 17) % 1000 AS x,
+         (o_orderkey * 31) % 997 AS y
+  FROM orders WHERE o_orderkey % 23 = 3
+"""
+
+
+def _q_hull_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group convex hull (geometry/hull.py, Andrew monotone chain in
+    exact BIGINT arithmetic — GeoTrellis exposes the same via JTS
+    Geometry.convexHull) summarized as (n_vertices, doubled shoelace
+    area, vertex coordinate sums). The DuckDB oracle is a fully
+    independent formulation: the O(n^3) supporting-edge characterization
+    (directed pair (p,q) is a CCW hull edge iff every other point lies
+    strictly left, or collinear WITHIN the segment bbox — the latter
+    clause reproduces the chain's drop-collinear-vertices rule), with
+    area2 recovered as the shoelace sum over those directed edges."""
+    from geotrellis_server_spark.geometry.hull import hull_points
+
+    pts = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where("o_orderkey % 23 = 3")
+        .selectExpr("o_custkey % 8 AS g",
+                    "(o_orderkey * 17) % 1000 AS x",
+                    "(o_orderkey * 31) % 997 AS y")
+        .distinct()
+    )
+    return (
+        hull_points(pts, group_col="g")
+        .groupBy(F.col("group").alias("grp"))
+        .agg(F.first("n_vertices").alias("n_vertices"),
+             F.first("area2").alias("area2"),
+             F.sum("x").alias("sum_hx"),
+             F.sum("y").alias("sum_hy"))
+    )
+
+
+def _hull_summary_oracle() -> str:
+    return f"""
+    WITH p AS MATERIALIZED ({_HULL_PTS}),
+    e AS (
+      SELECT a.g, a.x AS px, a.y AS py, b.x AS qx, b.y AS qy
+      FROM p a JOIN p b ON a.g = b.g AND (a.x <> b.x OR a.y <> b.y)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p r
+        WHERE r.g = a.g
+          AND NOT (r.x = a.x AND r.y = a.y)
+          AND NOT (r.x = b.x AND r.y = b.y)
+          AND (
+            (b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) < 0
+            OR (
+              (b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) = 0
+              AND NOT (r.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x)
+                   AND r.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y))
+            )
+          )
+      )
+    )
+    SELECT g AS grp, count(*) AS n_vertices,
+           sum(px * qy - qx * py) AS area2,
+           sum(px) AS sum_hx, sum(py) AS sum_hy
+    FROM e GROUP BY g
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -5259,6 +5325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dataset_card": _q_dataset_card,
         "text_langid_confusion": _q_langid_confusion,
         "raster_hotspots_z2": _q_hotspots,
+        "geo_hull_summary": _q_hull_summary,
     }
 
 
@@ -5621,6 +5688,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_dataset_card": _dataset_card_oracle(),
         "text_langid_confusion": _langid_confusion_oracle(),
         "raster_hotspots_z2": _hotspots_oracle(),
+        "geo_hull_summary": _hull_summary_oracle(),
     }
 
 
