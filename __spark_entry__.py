@@ -5177,6 +5177,42 @@ def _hull_summary_oracle() -> str:
     """
 
 
+def _q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group farthest-pair squared distance (geometry/hull.py
+    hull_diameter): reduces through the convex hull (diameter endpoints
+    are always strict hull vertices) so the pair scan touches h≪n
+    points. The oracle brute-forces ALL C(n,2) pairs in SQL — a
+    completely different computation path that agrees exactly in BIGINT
+    arithmetic, including the tie count."""
+    from geotrellis_server_spark.geometry.hull import hull_diameter
+
+    pts = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where("o_orderkey % 23 = 3")
+        .selectExpr("o_custkey % 8 AS g",
+                    "(o_orderkey * 17) % 1000 AS x",
+                    "(o_orderkey * 31) % 997 AS y")
+        .distinct()
+    )
+    return hull_diameter(pts, group_col="g")
+
+
+def _hull_diameter_oracle() -> str:
+    return f"""
+    WITH p AS MATERIALIZED ({_HULL_PTS}),
+    d AS (
+      SELECT a.g,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM p a JOIN p b
+        ON a.g = b.g AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+    ),
+    m AS (SELECT g, max(d2) AS diam2 FROM d GROUP BY g)
+    SELECT m.g AS grp, m.diam2 AS diam2, count(*) AS n_pairs
+    FROM m JOIN d ON d.g = m.g AND d.d2 = m.diam2
+    GROUP BY 1, 2
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -5326,6 +5362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_confusion": _q_langid_confusion,
         "raster_hotspots_z2": _q_hotspots,
         "geo_hull_summary": _q_hull_summary,
+        "geo_hull_diameter": _q_hull_diameter,
     }
 
 
@@ -5689,6 +5726,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_confusion": _langid_confusion_oracle(),
         "raster_hotspots_z2": _hotspots_oracle(),
         "geo_hull_summary": _hull_summary_oracle(),
+        "geo_hull_diameter": _hull_diameter_oracle(),
     }
 
 

@@ -91,3 +91,44 @@ def hull_points(
         })
 
     return points.groupBy(group_col).applyInPandas(run, HULL_SCHEMA)
+
+
+DIAMETER_SCHEMA = T.StructType([
+    T.StructField("grp", T.LongType()),
+    T.StructField("diam2", T.LongType()),
+    T.StructField("n_pairs", T.IntegerType()),
+])
+
+
+def hull_diameter(
+    points: DataFrame,
+    group_col: str = "group",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group squared diameter (farthest pair) + the number of
+    unordered pairs achieving it. Reduces through the hull first: both
+    endpoints of any diameter are STRICT hull vertices (a point interior
+    to a segment is strictly closer to every q than one of the
+    endpoints), so the pair scan runs over h≪n vertices — brute force
+    here since h is tiny; rotating calipers is the O(h) drop-in if a
+    group's hull ever grows large. Exact BIGINT throughout."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = [(int(x), int(y))
+               for x, y in zip(pdf[x_col].astype(np.int64),
+                               pdf[y_col].astype(np.int64))]
+        hull = monotone_chain(pts)
+        best, n = 0, 0
+        for i in range(len(hull)):
+            xi, yi = hull[i]
+            for j in range(i + 1, len(hull)):
+                d = (xi - hull[j][0]) ** 2 + (yi - hull[j][1]) ** 2
+                if d > best:
+                    best, n = d, 1
+                elif d == best and d > 0:
+                    n += 1
+        return pd.DataFrame(
+            {"grp": [int(key[0])], "diam2": [best], "n_pairs": [n]})
+
+    return points.groupBy(group_col).applyInPandas(run, DIAMETER_SCHEMA)

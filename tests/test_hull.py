@@ -6,7 +6,8 @@ import random
 
 import pytest
 
-from geotrellis_server_spark.geometry.hull import (hull_points,
+from geotrellis_server_spark.geometry.hull import (hull_diameter,
+                                                   hull_points,
                                                    monotone_chain,
                                                    shoelace2)
 
@@ -72,6 +73,22 @@ def test_spark_hull_per_group(spark):
     assert _is_ccw_convex([(r.x, r.y) for r in g1])
     g2 = sorted(out[2], key=lambda r: r.seq)
     assert g2[0].n_vertices == 3 and g2[0].area2 == 8
+
+
+def test_diameter_vs_all_pairs_brute_force(spark):
+    rng = random.Random(7)
+    rows = []
+    for g in range(4):
+        rows += [(g, rng.randint(-40, 40), rng.randint(-40, 40))
+                 for _ in range(35)]
+    df = spark.createDataFrame(rows, "group long, x long, y long")
+    got = {r.grp: (r.diam2, r.n_pairs) for r in hull_diameter(df).collect()}
+    for g in range(4):
+        pts = sorted({(x, y) for gg, x, y in rows if gg == g})
+        d2 = [( (a[0]-b[0])**2 + (a[1]-b[1])**2 )
+              for a, b in itertools.combinations(pts, 2)]
+        best = max(d2)
+        assert got[g] == (best, d2.count(best))
 
 
 def test_spark_partition_invariance(spark):
