@@ -232,6 +232,34 @@ def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("zkey").agg(F.count("*").alias("n_docs")))
 
 
+def _q_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering keys (sources/hilbert.py) of the z8
+    tile assignment — the seam-free KeyIndex twin of geo_zorder_keys_z8
+    (GeoTrellis HilbertKeyIndex analog). Engine path is the vectorized
+    numpy rotate-and-accumulate UDF; the oracle re-derives every key
+    through 8 unrolled pure-BIGINT SQL rounds — two independent
+    formulations of the same state machine."""
+    from geotrellis_server_spark.sources.hilbert import hilbert_key_udf
+
+    d = _docs(spark, sf_dir)
+    tx = sqlgen.tile_x_sql("lon", 8)
+    ty = sqlgen.tile_y_sql("lat", 8)
+    k = hilbert_key_udf(8)
+    return (d.select(F.expr(tx).alias("tx"), F.expr(ty).alias("ty"))
+            .select(k("tx", "ty").alias("hkey"))
+            .groupBy("hkey").agg(F.count("*").alias("n_docs")))
+
+
+def _hilbert_keys_oracle() -> str:
+    from geotrellis_server_spark.sources.hilbert import hilbert_unrolled_sql
+
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    src = (f"SELECT {sqlgen.tile_x_sql('lon', 8)} AS x,"
+           f" {sqlgen.tile_y_sql('lat', 8)} AS y FROM ({pts}) p")
+    return (f"SELECT hkey, count(*) AS n_docs FROM ("
+            f"{hilbert_unrolled_sql(8, src)}) hk GROUP BY 1")
+
+
 def _q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Moran's I / LISA spatial autocorrelation
     (operators/zonal.py:local_moran) over the z2 rasterized doc-count
@@ -5363,6 +5391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_hotspots_z2": _q_hotspots,
         "geo_hull_summary": _q_hull_summary,
         "geo_hull_diameter": _q_hull_diameter,
+        "geo_hilbert_keys_z8": _q_hilbert_keys,
     }
 
 
@@ -5727,6 +5756,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_hotspots_z2": _hotspots_oracle(),
         "geo_hull_summary": _hull_summary_oracle(),
         "geo_hull_diameter": _hull_diameter_oracle(),
+        "geo_hilbert_keys_z8": _hilbert_keys_oracle(),
     }
 
 

@@ -1,0 +1,128 @@
+"""Hilbert-curve clustering keys — the locality-preserving upgrade of
+the Morton layout in sources/zorder.py (GeoTrellis ships both as layer
+KeyIndexes: Z/HilbertKeyIndex; store/.../index in the upstream stack).
+Unlike the Z curve, the Hilbert curve has no "seam" jumps: consecutive
+key values are always 4-adjacent cells, so a range of keys is a tighter
+spatial blob and parquet min/max file pruning for bbox predicates skips
+more files at the same file count.
+
+Two independent formulations, used as each other's oracle:
+
+- Engine path: :func:`hilbert_xy2d`, the classic iterative
+  rotate-and-accumulate algorithm (public domain; see Hamilton's
+  "Compact Hilbert Indices" tech report CS-2006-07 and the well-known
+  C version on the Hilbert-curve Wikipedia page), vectorized over numpy
+  int64 arrays and exposed as an Arrow-batched pandas UDF — no per-row
+  Python.
+- Oracle path: :func:`hilbert_unrolled_sql` emits the same state
+  machine as ``order`` chained SQL CTEs (pure BIGINT CASE arithmetic)
+  that DuckDB executes bit-for-bit; tests assert the two agree on every
+  cell of the full z8 grid.
+
+Validated invariants (tests/test_hilbert.py): bijective on the 2^n x
+2^n grid, starts at (0,0), and every consecutive pair of keys is
+Manhattan-distance 1 — the defining Hilbert property Z-order lacks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def hilbert_xy2d(order: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Hilbert distance d of grid cells (x, y) on the 2^order-side
+    grid; vectorized int64, exact for order <= 31."""
+    side = 1 << order
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = side >> 1
+    while s > 0:
+        rx = ((x & s) != 0).astype(np.int64)
+        ry = ((y & s) != 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate the frame: where ry==0, reflect (if rx==1) in the FULL
+        # side then swap axes — full-side reflection flips every lower
+        # bit at once, which is exactly the per-quadrant reflection the
+        # recursion needs (no borrow: side-1 is all-ones).
+        flip = (ry == 0) & (rx == 1)
+        x_f = np.where(flip, side - 1 - x, x)
+        y_f = np.where(flip, side - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        s >>= 1
+    return d
+
+
+def hilbert_key_udf(order: int = 8):
+    """Arrow-batched pandas UDF: (tile_x, tile_y) -> Hilbert key."""
+
+    @F.pandas_udf(T.LongType())
+    def k(tx: pd.Series, ty: pd.Series) -> pd.Series:
+        return pd.Series(
+            hilbert_xy2d(order, tx.to_numpy(np.int64), ty.to_numpy(np.int64)))
+
+    return k
+
+
+def hilbert_key_col(tx: Column, ty: Column, order: int = 8) -> Column:
+    return hilbert_key_udf(order)(tx, ty)
+
+
+def hilbert_unrolled_sql(order: int, src: str, keep: str = "") -> str:
+    """The same state machine as ``hilbert_xy2d`` unrolled into
+    ``order`` chained CTEs of pure BIGINT CASE arithmetic — an
+    independent execution path DuckDB (or Spark SQL) runs directly.
+    ``src`` must select columns ``x`` and ``y`` (plus any pass-through
+    columns named in ``keep``, e.g. ``"pid,"``); the returned query
+    yields those columns with ``hkey``."""
+    side = 1 << order
+    parts = [
+        f"h0 AS MATERIALIZED (SELECT {keep} CAST(x AS BIGINT) AS x,"
+        f" CAST(y AS BIGINT) AS y, CAST(0 AS BIGINT) AS d FROM ({src}) hsrc)"
+    ]
+    i, s = 0, side >> 1
+    while s > 0:
+        i += 1
+        rx = f"(CASE WHEN (x & {s}) <> 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) <> 0 THEN 1 ELSE 0 END)"
+        parts.append(f"""
+ h{i} AS MATERIALIZED (
+   SELECT {keep}
+     CASE WHEN (y & {s}) = 0
+          THEN (CASE WHEN (x & {s}) <> 0 THEN {side - 1} - y ELSE y END)
+          ELSE x END AS x,
+     CASE WHEN (y & {s}) = 0
+          THEN (CASE WHEN (x & {s}) <> 0 THEN {side - 1} - x ELSE x END)
+          ELSE y END AS y,
+     d + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry}) AS d
+   FROM h{i - 1})""")
+        s >>= 1
+    return ("WITH " + ",".join(parts)
+            + f" SELECT {keep} d AS hkey FROM h{i}")
+
+
+def write_hilbert_ordered(
+    df: DataFrame,
+    path: str,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    order: int = 8,
+    n_files: int = 16,
+    **writer_opts,
+) -> None:
+    """Hilbert twin of zorder.write_zordered: range-partition + sort by
+    the Hilbert key so each parquet file covers one contiguous curve
+    segment — a SQUARE-ish spatial blob (vs the Z curve's seam-crossing
+    segments), tightening per-file x/y min/max stats and therefore bbox
+    file pruning. Same single range exchange at 100 TB."""
+    key = hilbert_key_col(F.col(x_col), F.col(y_col), order)
+    (df.withColumn("_h", key)
+       .repartitionByRange(int(n_files), "_h")
+       .sortWithinPartitions("_h")
+       .drop("_h")
+       .write.mode("overwrite").options(**writer_opts).parquet(path))
