@@ -5147,6 +5147,58 @@ _HULL_PTS = """
 """
 
 
+def _q_hilbert_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyIndex.indexRanges parity (sources/hilbert.py
+    hilbert_index_ranges): the minimal contiguous Hilbert key ranges
+    covering the z8 tile bbox of a deterministic doc subset — the
+    planning step that turns a bbox query into contiguous scans of an
+    SFC-sorted layer (GeoTrellis store KeyIndex analog). The bbox is 4
+    scalars (documented bounded metadata collect, like the histogram
+    budget); the decomposition is driver-side dyadic descent. The
+    oracle re-derives every range independently: all cells in the same
+    bbox -> 8-round unrolled-SQL Hilbert keys -> gaps-and-islands
+    grouping."""
+    from geotrellis_server_spark.sources.hilbert import hilbert_index_ranges
+
+    d = _docs(spark, sf_dir)
+    tx = sqlgen.tile_x_sql("lon", 8)
+    ty = sqlgen.tile_y_sql("lat", 8)
+    sub = (d.select(F.expr(tx).alias("tx"), F.expr(ty).alias("ty"))
+           .where("(tx * 31 + ty * 17) % 97 = 5"))
+    row = sub.agg(F.min("tx"), F.max("tx"), F.min("ty"), F.max("ty")).first()
+    ranges = hilbert_index_ranges(8, row[0], row[2], row[1], row[3])
+    return spark.createDataFrame(
+        [(int(lo), int(hi)) for lo, hi in ranges],
+        "range_start long, range_end long")
+
+
+def _hilbert_ranges_oracle() -> str:
+    from geotrellis_server_spark.sources.hilbert import hilbert_unrolled_sql
+
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    tx = sqlgen.tile_x_sql("lon", 8)
+    ty = sqlgen.tile_y_sql("lat", 8)
+    hk = hilbert_unrolled_sql(8, "SELECT x, y FROM cells")
+    return f"""
+    WITH sub AS MATERIALIZED (
+      SELECT tx, ty
+      FROM (SELECT {tx} AS tx, {ty} AS ty FROM ({pts}) p) q
+      WHERE (tx * 31 + ty * 17) % 97 = 5),
+    bbox AS (SELECT min(tx) AS x0, max(tx) AS x1,
+                    min(ty) AS y0, max(ty) AS y1 FROM sub),
+    cells AS MATERIALIZED (
+      SELECT gx.i AS x, gy.j AS y
+      FROM range(256) gx(i) CROSS JOIN range(256) gy(j) CROSS JOIN bbox
+      WHERE gx.i BETWEEN bbox.x0 AND bbox.x1
+        AND gy.j BETWEEN bbox.y0 AND bbox.y1),
+    hkk AS MATERIALIZED ({hk})
+    SELECT min(hkey) AS range_start, max(hkey) + 1 AS range_end
+    FROM (SELECT hkey, hkey - row_number() OVER (ORDER BY hkey) AS grp
+          FROM hkk) g
+    GROUP BY grp
+    """
+
+
 def _q_hull_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group convex hull (geometry/hull.py, Andrew monotone chain in
     exact BIGINT arithmetic — GeoTrellis exposes the same via JTS
@@ -5392,6 +5444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_hull_summary": _q_hull_summary,
         "geo_hull_diameter": _q_hull_diameter,
         "geo_hilbert_keys_z8": _q_hilbert_keys,
+        "geo_hilbert_ranges_bbox": _q_hilbert_ranges,
     }
 
 
@@ -5757,6 +5810,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_hull_summary": _hull_summary_oracle(),
         "geo_hull_diameter": _hull_diameter_oracle(),
         "geo_hilbert_keys_z8": _hilbert_keys_oracle(),
+        "geo_hilbert_ranges_bbox": _hilbert_ranges_oracle(),
     }
 
 

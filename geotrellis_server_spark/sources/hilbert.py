@@ -106,6 +106,84 @@ def hilbert_unrolled_sql(order: int, src: str, keep: str = "") -> str:
             + f" SELECT {keep} d AS hkey FROM h{i}")
 
 
+def hilbert_d2xy(order: int, d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`hilbert_xy2d`: Hilbert distance -> (x, y).
+    Walks the quadrant digits low-to-high, undoing the rotation at each
+    scale; vectorized int64."""
+    side = 1 << order
+    d = d.astype(np.int64)
+    x = np.zeros_like(d)
+    y = np.zeros_like(d)
+    t = d.copy()
+    s = 1
+    while s < side:
+        rx = (t // 2) & 1
+        ry = (t ^ rx) & 1
+        # un-rotate the partial (x, y) built so far (frame of size s)
+        flip = (ry == 0) & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        x = x + s * rx
+        y = y + s * ry
+        t //= 4
+        s <<= 1
+    return x, y
+
+
+def hilbert_index_ranges(
+    order: int,
+    x0: int,
+    y0: int,
+    x1: int,
+    y1: int,
+) -> list[tuple[int, int]]:
+    """Minimal sorted list of half-open key ranges ``[lo, hi)`` whose
+    union is exactly the Hilbert keys of the cells in the inclusive
+    bbox — the KeyIndex.indexRanges planning step that turns a bbox
+    query into contiguous scans of an SFC-sorted layer (GeoTrellis
+    store KeyIndex; here it feeds parquet range predicates).
+
+    Uses the dyadic self-similarity of the curve: an axis-aligned
+    2^k-aligned square always maps to ONE aligned range of length 4^k
+    (fixing the first base-4 digits of d), so a quadrant descent emits
+    whole ranges for contained squares and recurses only along the bbox
+    boundary — O(perimeter · order) work, driver-side metadata math."""
+    side = 1 << order
+    x0, y0 = max(0, int(x0)), max(0, int(y0))
+    x1, y1 = min(side - 1, int(x1)), min(side - 1, int(y1))
+    if x0 > x1 or y0 > y1:
+        return []
+    out: list[tuple[int, int]] = []
+
+    def visit(cx: int, cy: int, k: int) -> None:
+        size = 1 << k
+        if cx > x1 or cy > y1 or cx + size - 1 < x0 or cy + size - 1 < y0:
+            return
+        if cx >= x0 and cy >= y0 and cx + size - 1 <= x1 and cy + size - 1 <= y1:
+            corner = hilbert_xy2d(
+                order, np.array([cx]), np.array([cy]))[0]
+            area = 1 << (2 * k)
+            lo = (int(corner) // area) * area
+            out.append((lo, lo + area))
+            return
+        h = size >> 1
+        for dx in (0, h):
+            for dy in (0, h):
+                visit(cx + dx, cy + dy, k - 1)
+
+    visit(0, 0, order)
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and merged[-1][1] == lo:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
 def write_hilbert_ordered(
     df: DataFrame,
     path: str,

@@ -4,7 +4,9 @@ cross-formulation agreement, Spark UDF path, layout locality."""
 import duckdb
 import numpy as np
 
-from geotrellis_server_spark.sources.hilbert import (hilbert_key_udf,
+from geotrellis_server_spark.sources.hilbert import (hilbert_d2xy,
+                                                     hilbert_index_ranges,
+                                                     hilbert_key_udf,
                                                      hilbert_unrolled_sql,
                                                      hilbert_xy2d)
 from pyspark.sql import functions as F
@@ -50,6 +52,37 @@ def test_unrolled_sql_matches_numpy_on_full_z8_grid():
     xs = (out["pid"] // 256).astype(np.int64)
     ys = (out["pid"] % 256).astype(np.int64)
     assert (out["hkey"] == hilbert_xy2d(8, xs, ys)).all()
+
+
+def test_d2xy_inverts_xy2d():
+    for order in (1, 2, 5, 8):
+        n = 1 << (2 * order)
+        d = np.arange(n)
+        x, y = hilbert_d2xy(order, d)
+        assert (hilbert_xy2d(order, x, y) == d).all()
+
+
+def test_index_ranges_exact_cover_random_bboxes():
+    import random
+    rng = random.Random(3)
+    order, side = 6, 64
+    xs, ys = _full_grid(order)
+    keys = hilbert_xy2d(order, xs, ys)
+    key_of = {(int(a), int(b)): int(k) for a, b, k in zip(xs, ys, keys)}
+    for _ in range(30):
+        x0, x1 = sorted(rng.randrange(side) for _ in range(2))
+        y0, y1 = sorted(rng.randrange(side) for _ in range(2))
+        ranges = hilbert_index_ranges(order, x0, y0, x1, y1)
+        want = {key_of[(a, b)]
+                for a in range(x0, x1 + 1) for b in range(y0, y1 + 1)}
+        got = {k for lo, hi in ranges for k in range(lo, hi)}
+        assert got == want
+        # minimal: sorted, disjoint, no two mergeable
+        for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+            assert h1 < l2
+    assert hilbert_index_ranges(order, 5, 5, 4, 9) == []
+    assert hilbert_index_ranges(order, 0, 0, side - 1, side - 1) == \
+        [(0, side * side)]
 
 
 def test_spark_udf_matches_numpy_and_partitioning(spark):
