@@ -98,6 +98,25 @@ def test_spark_udf_matches_numpy_and_partitioning(spark):
     assert sorted(got) == sorted(ref.tolist())
 
 
+def test_hilbert_layout_prunes_files(spark, tmp_path):
+    """Measured pruning: quarter-extent bbox over a 64x64 tile grid
+    written as 16 Hilbert-ordered files touches ~1/4 of them (parquet
+    min/max stats prune both axes; a quadrant is a PREFIX of the
+    Hilbert curve, so it can't do worse than the Z layout's seam
+    crossings)."""
+    from geotrellis_server_spark.sources.hilbert import write_hilbert_ordered
+
+    n = 64
+    rows = [(x, y, x * n + y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "tile_x long, tile_y long, v long")
+    hpath = str(tmp_path / "h")
+    write_hilbert_ordered(df, hpath, order=6, n_files=16)
+    hit = (spark.read.parquet(hpath)
+           .where("tile_x < 32 AND tile_y < 32")
+           .select(F.input_file_name().alias("f")).distinct().count())
+    assert hit <= 5, hit   # quarter bbox = curve prefix -> ~4 of 16
+
+
 def test_hilbert_segments_are_tighter_than_zorder(spark, tmp_path):
     """Locality claim, measured: split the full z8 grid into 64 equal
     key ranges; the summed bbox area of Hilbert segments must beat the
