@@ -5199,6 +5199,33 @@ def _hilbert_ranges_oracle() -> str:
     """
 
 
+def _q_quadtree_adapt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree binning (operators/quadtree.py): split any z8
+    tile subtree whose doc count exceeds 50, yielding the leaf layout
+    (z, x, y, n_docs) — hot cells get fine tiles, sparse areas stay
+    coarse. ONE data-sized exchange (the z8 groupBy); rollups and
+    top-down split flags are metadata-scale. Oracle: independent CTE
+    derivation (rollup chain + split chain + leaf union)."""
+    from geotrellis_server_spark.operators.quadtree import adaptive_quadtree
+
+    d = _docs(spark, sf_dir)
+    tx = sqlgen.tile_x_sql("lon", 8)
+    ty = sqlgen.tile_y_sql("lat", 8)
+    cells = (d.select(F.expr(tx).alias("x"), F.expr(ty).alias("y"))
+             .groupBy("x", "y").agg(F.count("*").alias("n")))
+    return adaptive_quadtree(cells, max_z=8, cap=50)
+
+
+def _quadtree_adapt_oracle() -> str:
+    from geotrellis_server_spark.operators.quadtree import quadtree_oracle_sql
+
+    pts = f"SELECT id, {_LON} AS lon, {_LAT} AS lat FROM {_IDS_SQL} t"
+    cells = (f"SELECT {sqlgen.tile_x_sql('lon', 8)} AS x,"
+             f" {sqlgen.tile_y_sql('lat', 8)} AS y, count(*) AS n"
+             f" FROM ({pts}) p GROUP BY 1, 2")
+    return quadtree_oracle_sql(cells, max_z=8, cap=50)
+
+
 def _q_hull_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group convex hull (geometry/hull.py, Andrew monotone chain in
     exact BIGINT arithmetic — GeoTrellis exposes the same via JTS
@@ -5445,6 +5472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_hull_diameter": _q_hull_diameter,
         "geo_hilbert_keys_z8": _q_hilbert_keys,
         "geo_hilbert_ranges_bbox": _q_hilbert_ranges,
+        "geo_quadtree_adapt_z8": _q_quadtree_adapt,
     }
 
 
@@ -5811,6 +5839,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_hull_diameter": _hull_diameter_oracle(),
         "geo_hilbert_keys_z8": _hilbert_keys_oracle(),
         "geo_hilbert_ranges_bbox": _hilbert_ranges_oracle(),
+        "geo_quadtree_adapt_z8": _quadtree_adapt_oracle(),
     }
 
 
