@@ -5320,6 +5320,58 @@ def _hull_diameter_oracle() -> str:
     """
 
 
+_HULL_TEST_PTS = """
+  SELECT DISTINCT (o_custkey % 8) AS g,
+         (o_orderkey * 13) % 1000 AS x,
+         (o_orderkey * 41) % 997 AS y
+  FROM orders WHERE o_orderkey % 29 = 1
+"""
+
+
+def _q_hull_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed point-in-convex-hull classification (geometry/hull.py
+    hull_contains): hull edges broadcast, min(cross) >= 0 per test
+    point, exact BIGINTs. The oracle never builds the hull: it uses the
+    dual characterization — p is inside conv(S) iff p violates no
+    SUPPORTING half-plane (directed pair (a,b) of S with every r of S
+    on the left) — an O(n^2)-pairs EXISTS formulation the engine never
+    executes."""
+    from geotrellis_server_spark.geometry.hull import hull_contains
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pts = (orders.where("o_orderkey % 23 = 3")
+           .selectExpr("o_custkey % 8 AS g",
+                       "(o_orderkey * 17) % 1000 AS x",
+                       "(o_orderkey * 31) % 997 AS y").distinct())
+    tps = (orders.where("o_orderkey % 29 = 1")
+           .selectExpr("o_custkey % 8 AS g",
+                       "(o_orderkey * 13) % 1000 AS x",
+                       "(o_orderkey * 41) % 997 AS y").distinct())
+    return hull_contains(pts, tps, group_col="g")
+
+
+def _hull_contains_oracle() -> str:
+    return f"""
+    WITH p AS MATERIALIZED ({_HULL_PTS}),
+    tp AS MATERIALIZED ({_HULL_TEST_PTS}),
+    sup AS MATERIALIZED (
+      SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+      FROM p a JOIN p b ON a.g = b.g AND (a.x <> b.x OR a.y <> b.y)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p r WHERE r.g = a.g
+          AND (b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) < 0
+      )
+    )
+    SELECT t.g AS grp, t.x AS px, t.y AS py,
+           CASE WHEN EXISTS (
+             SELECT 1 FROM sup s WHERE s.g = t.g
+               AND (s.bx - s.ax) * (t.y - s.ay)
+                 - (s.by - s.ay) * (t.x - s.ax) < 0)
+           THEN 0 ELSE 1 END AS inside
+    FROM tp t
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skew_salted_cell_agg": _q_salted_cell_agg,
@@ -5473,6 +5525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_hilbert_keys_z8": _q_hilbert_keys,
         "geo_hilbert_ranges_bbox": _q_hilbert_ranges,
         "geo_quadtree_adapt_z8": _q_quadtree_adapt,
+        "geo_hull_contains": _q_hull_contains,
     }
 
 
@@ -5840,6 +5893,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_hilbert_keys_z8": _hilbert_keys_oracle(),
         "geo_hilbert_ranges_bbox": _hilbert_ranges_oracle(),
         "geo_quadtree_adapt_z8": _quadtree_adapt_oracle(),
+        "geo_hull_contains": _hull_contains_oracle(),
     }
 
 

@@ -132,3 +132,54 @@ def hull_diameter(
             {"grp": [int(key[0])], "diam2": [best], "n_pairs": [n]})
 
     return points.groupBy(group_col).applyInPandas(run, DIAMETER_SCHEMA)
+
+
+def hull_contains(
+    points: DataFrame,
+    test_points: DataFrame,
+    group_col: str = "group",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Closed point-in-convex-hull test: for each row of ``test_points``
+    (same group/x/y columns), is it inside-or-on the hull of that
+    group's ``points``? Returns (grp, px, py, inside 0/1).
+
+    Spark shape: the hull is tiny (h ≪ n), so its CCW edge list —
+    built with one lead() window over the hull output — broadcasts;
+    the test points join it group-keyed and reduce min(cross) ≥ 0 per
+    point. Everything after the hull itself is JVM-side codegen on
+    exact BIGINTs (a point is inside a convex region iff it is left of
+    every CCW edge). Groups with degenerate hulls (< 3 vertices) are
+    not classified (no edges — callers with segment/point hulls should
+    special-case them)."""
+    from pyspark.sql import Window
+
+    h = hull_points(points, group_col, x_col, y_col)
+    w = Window.partitionBy("group").orderBy("seq")
+    edges = (
+        h.where(F.col("n_vertices") >= 3)
+        .select("group", "seq", "x", "y", "n_vertices",
+                F.lead("x", 1).over(w).alias("qx"),
+                F.lead("y", 1).over(w).alias("qy"))
+        # last edge wraps to seq 0: lead is NULL there, fill from first
+        .withColumn("qx", F.coalesce(
+            "qx", F.first("x").over(w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing))))
+        .withColumn("qy", F.coalesce(
+            "qy", F.first("y").over(w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing))))
+        .select(F.col("group").alias("eg"), "x", "y", "qx", "qy")
+    )
+    t = test_points.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py"))
+    cross = ((F.col("qx") - F.col("x")) * (F.col("py") - F.col("y"))
+             - (F.col("qy") - F.col("y")) * (F.col("px") - F.col("x")))
+    return (
+        t.join(F.broadcast(edges), t.grp == edges.eg)
+        .groupBy("grp", "px", "py")
+        .agg(F.when(F.min(cross) >= 0, F.lit(1)).otherwise(F.lit(0))
+             .alias("inside"))
+    )

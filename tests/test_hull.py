@@ -6,7 +6,8 @@ import random
 
 import pytest
 
-from geotrellis_server_spark.geometry.hull import (hull_diameter,
+from geotrellis_server_spark.geometry.hull import (hull_contains,
+                                                   hull_diameter,
                                                    hull_points,
                                                    monotone_chain,
                                                    shoelace2)
@@ -89,6 +90,31 @@ def test_diameter_vs_all_pairs_brute_force(spark):
               for a, b in itertools.combinations(pts, 2)]
         best = max(d2)
         assert got[g] == (best, d2.count(best))
+
+
+def test_hull_contains_vs_scalar(spark):
+    rng = random.Random(19)
+    rows, tests = [], []
+    for g in range(3):
+        rows += [(g, rng.randint(-30, 30), rng.randint(-30, 30))
+                 for _ in range(40)]
+        tests += [(g, rng.randint(-40, 40), rng.randint(-40, 40))
+                  for _ in range(60)]
+    pdf = spark.createDataFrame(rows, "group long, x long, y long")
+    tdf = spark.createDataFrame(sorted(set(tests)),
+                                "group long, x long, y long")
+    got = {(r.grp, r.px, r.py): r.inside
+           for r in hull_contains(pdf, tdf).collect()}
+
+    hulls = {g: monotone_chain([(x, y) for gg, x, y in rows if gg == g])
+             for g in range(3)}
+    for g, px, py in set(tests):
+        h = hulls[g]
+        want = int(all(_cross(h[i], h[(i + 1) % len(h)], (px, py)) >= 0
+                       for i in range(len(h))))
+        assert got[(g, px, py)] == want, (g, px, py)
+    # sanity: both classes occur
+    assert 0 < sum(got.values()) < len(got)
 
 
 def test_spark_partition_invariance(spark):
