@@ -702,13 +702,20 @@ def ngram_lm_logprob(
     invariant and cross-engine reproducible (divide by n_bigrams for
     the mean; docs with <2 tokens score 0 over 0 bigrams).
 
-    Scale shape: bigram extraction is row-local. The two model tables
-    are groupBy counts with map-side partials (bigram vocab and unigram
-    vocab rows — already far smaller than the corpus). Scoring joins
-    the doc-bigram stream to the model on the bigram string and the
-    first word — plain shuffle equi-joins that AQE converts to
-    broadcast when the model fits, skew-handled by AQE — and the final
-    per-doc sum is one map-side-combined exchange keyed by doc."""
+    Scale shape: bigram extraction is row-local. Both model tables and
+    the vocabulary scalar come out of ONE pass over the train corpus —
+    a row-local (token, bigram-or-NULL) pair stream aggregated by
+    (w1, bg) with map-side partials (bigram-vocab-sized), locally
+    checkpointed so every consumer reads the materialized table
+    instead of re-running the corpus pass. The bigram string embeds
+    its first word, so c2 is the non-NULL rows as-is and c1 is a
+    per-w1 sum over the tiny table. Scoring joins the doc-bigram stream to the model on the
+    bigram string and the first word — plain equi-joins that AQE
+    converts to broadcast when the model fits, skew-handled by AQE.
+    Every doc rides the scoring stream itself (docs with <2 tokens
+    contribute one NULL sentinel row via explode_outer), so the final
+    per-doc sum is one map-side-combined exchange keyed by doc with NO
+    corpus-sized join-back. Output: one row per distinct id."""
     train = train_docs if train_docs is not None else docs
 
     def _toks(d: DataFrame) -> DataFrame:
@@ -720,42 +727,53 @@ def ngram_lm_logprob(
         "element_at(toks, i) AS w1, concat(element_at(toks, i), ' ', "
         "element_at(toks, i + 1)) AS bg))")
 
-    def _bigrams(d: DataFrame) -> DataFrame:
-        return (_toks(d).where(F.size("toks") >= 2)
-                .select(F.col(id_col), F.explode(F.expr(bigram_expr))
-                        .alias("s"))
-                .select(id_col, F.col("s.w1").alias("w1"),
-                        F.col("s.bg").alias("bg")))
-
-    train_tok = (_toks(train)
-                 .select(F.explode("toks").alias("w1")))
-    c1 = train_tok.groupBy("w1").agg(F.count("*").alias("c1"))
-    c2 = _bigrams(train).groupBy("bg").agg(F.count("*").alias("c2"))
+    # one train pass: every token becomes (w1, bg) with bg = NULL for a
+    # doc's final token — c1 counts all w1 rows, c2 the non-NULL bgs
+    pair_expr = (
+        "transform(sequence(1, size(toks)), i -> struct("
+        "element_at(toks, i) AS w1, "
+        "CASE WHEN i < size(toks) THEN concat(element_at(toks, i), ' ', "
+        "element_at(toks, i + 1)) END AS bg))")
+    pairs = (_toks(train)
+             .select(F.explode(F.expr(pair_expr)).alias("s"))
+             .select(F.col("s.w1").alias("w1"), F.col("s.bg").alias("bg")))
+    # distinct (w1, bg) pairs collapse in the map-side partials; bg
+    # embeds w1 (tokens are space-split), so each non-NULL bg occurs in
+    # exactly one pair row — c2 needs no second aggregation
+    grouped = (pairs.groupBy("w1", "bg")
+               .agg(F.count("*").alias("c"))
+               .localCheckpoint(eager=True))
+    c1 = grouped.groupBy("w1").agg(F.sum("c").alias("c1"))
+    c2 = (grouped.where("bg IS NOT NULL")
+          .select("bg", F.col("c").alias("c2")))
     vocab = c1.agg(F.count("*").alias("v"))
 
-    scored = (
-        _bigrams(docs)
+    # docs with <2 tokens explode_outer to a single NULL row: they miss
+    # both model joins, score NULL (-> 0) and count 0 bigrams, and the
+    # per-doc aggregate covers EVERY doc without a second corpus join
+    doc_bg = (_toks(docs)
+              .select(F.col(id_col),
+                      F.explode_outer(
+                          F.when(F.size("toks") >= 2,
+                                 F.expr(bigram_expr))).alias("s"))
+              .select(id_col, F.col("s.w1").alias("w1"),
+                      F.col("s.bg").alias("bg")))
+    return (
+        doc_bg
         .join(c2, "bg", "left")
         .join(c1, "w1", "left")
         .join(F.broadcast(vocab))
         .select(
-            F.col(id_col),
+            F.col(id_col), F.col("bg"),
             F.expr(
+                "CASE WHEN bg IS NOT NULL THEN "
                 "CAST(floor((ln(CAST(coalesce(c2, 0) + 1 AS DOUBLE)) - "
                 "ln(CAST(coalesce(c1, 0) + v AS DOUBLE))) * 1048576.0D) "
-                "AS BIGINT)").alias("q"))
+                "AS BIGINT) END").alias("q"))
         .groupBy(id_col)
-        .agg(F.sum("q").alias("logprob_q"),
-             F.count("*").cast("long").alias("n_bigrams"))
-    )
-    return (
-        docs.select(id_col).join(scored, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("logprob_q", F.lit(0)).cast("long")
-            .alias("logprob_q"),
-            F.coalesce("n_bigrams", F.lit(0)).cast("long")
-            .alias("n_bigrams"))
+        .agg(F.coalesce(F.sum("q"), F.lit(0)).cast("long")
+             .alias("logprob_q"),
+             F.count("bg").cast("long").alias("n_bigrams"))
     )
 
 
