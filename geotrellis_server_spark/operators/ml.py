@@ -110,17 +110,31 @@ def kmeans(
     if checkpoint is not None and checkpoint.state(0) is not None:
         cents = [list(map(int, c)) for c in checkpoint.state(0)]
     else:
-        # bounded driver collect: exactly k rows (TakeOrderedAndProject)
-        init = (src.select("_id", F.expr(quantize_expr("_v", scale))
-                           .alias("q"))
-                .orderBy(F.expr("md5(CAST(_id AS STRING))"), F.col("_id"))
-                .limit(int(k)).collect())
+        # bounded driver collect: exactly k rows (TakeOrderedAndProject);
+        # quantize AFTER the limit so only k rows pay the transform
+        init = (src.orderBy(F.expr("md5(CAST(_id AS STRING))"),
+                            F.col("_id"))
+                .limit(int(k))
+                .select("_id", F.expr(quantize_expr("_v", scale))
+                        .alias("q"))
+                .collect())
         if len(init) < k:
             raise ValueError(f"need >= {k} rows, got {len(init)}")
         cents = [list(r["q"]) for r in init]
         if checkpoint is not None:
             checkpoint.commit_json(0, cents)
     fscale = float(scale)
+
+    def _mat(col):
+        """Zero-copy (n, dim) float matrix from an Arrow list column —
+        flatten() honours slice offsets; list lengths are uniform by
+        the dim contract, asserted here."""
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        if len(flat) != len(col) * dim:
+            raise ValueError(
+                f"ragged vector column: {len(flat)} values for "
+                f"{len(col)} rows of dim {dim}")
+        return flat.reshape(len(col), dim)
 
     def _dists(E, C, cc):
         """n x k exact integer distances (float64)."""
@@ -129,49 +143,65 @@ def kmeans(
         return qq[:, None] - 2.0 * (Q @ C.T) + cc[None, :], Q
 
     def _partials(cents):
+        import pyarrow as pa
+
         C = np.asarray(cents, dtype=np.float64)
         cc = (C * C).sum(axis=1)
+        k_ = len(C)
 
         def fn(batches):
-            for pdf in batches:
-                if not len(pdf):
+            # accumulate across the task's batches: exact float64
+            # integer sums (< 2^53) are order-invariant, so one k*dim
+            # partial per TASK replaces one per batch
+            sums = np.zeros((k_, dim), dtype=np.float64)
+            cnt = np.zeros(k_, dtype=np.int64)
+            for rb in batches:
+                if not rb.num_rows:
                     continue
-                E = np.stack(pdf["_v"].to_numpy())
+                E = _mat(rb.column(0))
                 D, Q = _dists(E, C, cc)
                 cid = D.argmin(axis=1)
-                out = []
-                for c in range(len(C)):
-                    m = cid == c
-                    n = int(m.sum())
-                    if n:
-                        s = Q[m].sum(axis=0)  # exact: integers < 2^53
-                        out.append((c + 1, n,
-                                    [int(v) for v in s]))
-                yield pd.DataFrame(out, columns=["cid", "n", "s"])
+                # one-hot matmul: exact integer per-cluster sums in one
+                # BLAS call instead of k masked passes
+                oh = np.zeros((k_, len(cid)), dtype=np.float64)
+                oh[cid, np.arange(len(cid))] = 1.0
+                sums += oh @ Q
+                cnt += np.bincount(cid, minlength=k_)
+            live = np.nonzero(cnt)[0]
+            if len(live):
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array((live + 1).astype(np.int32)),
+                     pa.array(cnt[live]),
+                     pa.array([[int(v) for v in sums[c]] for c in live],
+                              type=pa.list_(pa.int64()))],
+                    names=["cid", "n", "s"])
 
         # ship ONLY the vector column into the training rounds — the id
         # is dead weight there (the assign pass still carries it)
-        return src.select("_v").mapInPandas(
+        return src.select("_v").mapInArrow(
             fn, "cid int, n long, s array<long>")
 
     def _assign(cents):
+        import pyarrow as pa
+
         C = np.asarray(cents, dtype=np.float64)
         cc = (C * C).sum(axis=1)
 
         def fn(batches):
-            for pdf in batches:
-                if not len(pdf):
+            for rb in batches:
+                if not rb.num_rows:
                     continue
-                E = np.stack(pdf["_v"].to_numpy())
+                E = _mat(rb.column(1))
                 D, _ = _dists(E, C, cc)
                 cid = D.argmin(axis=1)
-                yield pd.DataFrame({
-                    "_id": pdf["_id"],
-                    "cid": (cid + 1).astype(np.int32),
-                    "dist_q": D[np.arange(len(D)), cid]
-                    .astype(np.int64)})
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0),
+                     pa.array((cid + 1).astype(np.int32)),
+                     pa.array(D[np.arange(len(D)), cid]
+                              .astype(np.int64))],
+                    names=["_id", "cid", "dist_q"])
 
-        return src.mapInPandas(fn, "_id long, cid int, dist_q long")
+        return src.mapInArrow(fn, "_id long, cid int, dist_q long")
 
     for it in range(n_iter):
         if checkpoint is not None:
