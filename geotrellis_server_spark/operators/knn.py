@@ -109,13 +109,19 @@ def knn_join_bulk(
     density via :func:`auto_res` — one metadata-cheap count() against
     the docs input. Exactness is resolution-INDEPENDENT (the ring
     guarantee terminates each query); res only moves the candidate-set
-    size, so callers pin it solely for benchmarking."""
+    size, so callers pin it solely for benchmarking.
+
+    Ring iterations re-read only the NARROW (id, lon, lat, cell)
+    projection of the corpus (explicit select below — column pruning
+    through the join); persisting that projection across rings was
+    measured a wash against the pruned columnar rescan, so no caching."""
     spark = docs.sparkSession
     if res is None:
         res = auto_res(docs.count())
     n = 1 << res
     max_ring = max_ring or n
-    docs_c = docs.withColumn("_cell", C.cell_key_col(lon, lat, res))
+    docs_c = docs.select(F.col(id_col), F.col(lon), F.col(lat)).withColumn(
+        "_cell", C.cell_key_col(lon, lat, res))
 
     pending = queries.select(
         "query_id",
@@ -172,16 +178,21 @@ def knn_join_bulk(
         dx = F.col(lon) - F.col("qlon")
         dy = F.col(lat) - F.col("qlat")
         w = Window.partitionBy("query_id").orderBy(F.asc("dist_sq"), F.asc(id_col))
+        # only (query_id, id, dist_sq) ride the window exchange+sort;
+        # the query coords re-attach to the tiny per-query aggregate
+        # from the broadcast pending table instead
         topk = (
             joined.withColumn("dist_sq", dx * dx + dy * dy)
-            .select("query_id", "qlon", "qlat", "_qcx", "_qcy", id_col, "dist_sq")
+            .select("query_id", id_col, "dist_sq")
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .persist()
         )
         cached.append(topk)
-        per_q = topk.groupBy("query_id", "qlon", "qlat", "_qcx", "_qcy").agg(
-            F.count("*").alias("_n"), F.max("dist_sq").alias("_kth")
+        per_q = (
+            topk.groupBy("query_id")
+            .agg(F.count("*").alias("_n"), F.max("dist_sq").alias("_kth"))
+            .join(F.broadcast(pending), "query_id")
         )
         done_pred = (
             ((F.col("_n") >= k) & (F.col("_kth") <= guarantee_sq(ring)))
