@@ -180,9 +180,19 @@ def jaccard_verify_arrays(
     tb = tok_arrays.select(F.col(id_col).alias("b"), F.col("toks").alias("_tb"))
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.size("_ta") + F.size("_tb") - inter
+    # size gate: J(A,B) <= min(|A|,|B|)/max(|A|,|B|) because the
+    # intersection is at most the smaller set and the union at least the
+    # larger — pairs that cannot reach the threshold skip the
+    # array_intersect entirely (CASE branches evaluate lazily in
+    # codegen), with no change to the surviving rows
+    sz_a, sz_b = F.size("_ta"), F.size("_tb")
+    gated = F.when(
+        F.least(sz_a, sz_b)
+        >= F.lit(float(threshold)) * F.greatest(sz_a, sz_b),
+        inter / union)
     return (
         pairs.join(ta, "a").join(tb, "b")
-        .withColumn("jaccard", inter / union)
+        .withColumn("jaccard", gated)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
