@@ -85,6 +85,10 @@ def kernel_density(
                  F.lit(w).alias("kw"))
         for dx, dy, w in offs
     ])
+    # the aggregation groups on ONE packed bigint (gx * n_px + gy,
+    # bijective after the bounds filter) and unpacks post-agg: a single
+    # 8-byte key through the stamp-stream exchange instead of two,
+    # fewer bytes and one hash per row (identical groups and sums)
     return (
         points.select(F.expr(gpx).alias("_gx"), F.expr(gpy).alias("_gy"))
         .select("_gx", "_gy", F.explode(stamps).alias("k"))
@@ -94,8 +98,12 @@ def kernel_density(
             F.col("k.kw").alias("kw"),
         )
         .where(f"gx >= 0 AND gx < {n_px} AND gy >= 0 AND gy < {n_px}")
-        .groupBy("gx", "gy")
+        .select((F.col("gx") * n_px + F.col("gy")).alias("_pk"), "kw")
+        .groupBy("_pk")
         .agg(F.sum("kw").alias("density"))
+        .select(F.expr(f"_pk DIV {n_px}").alias("gx"),
+                F.expr(f"_pk % {n_px}").alias("gy"),
+                "density")
     )
 
 
