@@ -463,13 +463,16 @@ def word_ngrams(docs: DataFrame, n: int = 8, text_col: str = "text",
     """(id, ngram) rows — distinct word n-grams per doc (JVM transform +
     explode; the standard decontamination unit is the 8-gram)."""
     toks = f"split({text_col}, ' ')"
+    # docs with < n tokens are dropped BEFORE the window transform, so
+    # every emitted slice is a full n-gram and no per-gram re-split
+    # validation is needed (the old post-explode size(split(ngram)) = n
+    # filter re-tokenized every gram — pure overhead at corpus scale)
     grams = (
-        f"array_distinct(transform(sequence(0, greatest(size({toks}) - {n}, 0)), "
+        f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
         f"i -> array_join(slice({toks}, CAST(i AS INT) + 1, {n}), ' ')))"
     )
-    return docs.select(
-        F.col(id_col), F.explode(F.expr(grams)).alias("ngram")
-    ).where(F.expr(f"size(split(ngram, ' ')) = {n}"))
+    return (docs.where(F.expr(f"size({toks}) >= {n}"))
+            .select(F.col(id_col), F.explode(F.expr(grams)).alias("ngram")))
 
 
 def decontaminate(
