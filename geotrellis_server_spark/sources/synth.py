@@ -85,8 +85,17 @@ def extract_geometry(docs_df: DataFrame, id_expr: str = "doc_id") -> DataFrame:
     regexp_extract ~1.6×, and wrapping both coords in one named_struct
     lets codegen CSE evaluate the span filter + parse ONCE per row even
     when downstream expressions reference lon/lat many times (~5× total:
-    20.6s → 3.9s for an extract→tile_counts pipeline)."""
-    geo = "filter(spans, s -> s.kind = 'geo')[0].text"
+    20.6s → 3.9s for an extract→tile_counts pipeline).
+
+    The geo span is located via array_position over the spans.kind
+    field array rather than a filter() lambda: lambda functions defeat
+    Parquet nested-schema pruning, so the filter form read every spans
+    field (media_ref included) off disk; the field-extraction form
+    prunes the scan to spans.kind + spans.text (ReadSchema-verified).
+    Same first-geo-span semantics, NULL when absent."""
+    pos = "array_position(spans.kind, 'geo')"
+    geo = (f"CASE WHEN ({pos}) > 0 "
+           f"THEN element_at(spans.text, CAST(({pos}) AS INT)) END")
     body = f"substring({geo}, 7, length({geo}) - 7)"
     lon = f"CAST(substring_index({body}, ' ', 1) AS DOUBLE)"
     lat = f"CAST(substring_index({body}, ' ', -1) AS DOUBLE)"
