@@ -422,26 +422,35 @@ def nb_classify(
                          .alias("tok"))
                 .where(F.col("tok") != ""))
 
-    tr = _toks(train.where(F.col(label_col).isNotNull()),
-               F.col(label_col).alias("_cls"))
+    # the train token stream carries one NULL-token sentinel row per
+    # doc, so per-class DOC counts (the priors) fall out of the same
+    # groupBy(tok) pass as the model — no separate prior scan
+    tr = (train.where(F.col(label_col).isNotNull())
+          .select(F.col(label_col).alias("_cls"),
+                  F.explode(F.expr(
+                      f"concat(coalesce(split({text_col}, ' '), array()),"
+                      f" array(CAST(NULL AS STRING)))")).alias("tok"))
+          .where(F.col("tok").isNull() | (F.col("tok") != "")))
     # one row per token: per-class counts (pivot via conditional aggs);
     # checkpointed so the stats pass below and the scoring join both
     # read the small materialized table, not the corpus lineage
-    model = tr.groupBy("tok").agg(
+    full = tr.groupBy("tok").agg(
         *[F.sum(F.when(F.col("_cls") == c, 1).otherwise(0))
           .alias(f"c{i}") for i, c in enumerate(classes)]
     ).localCheckpoint(eager=True)
+    model = full.where(F.col("tok").isNotNull())
     # class token totals + vocab fall out of the model table (no second
-    # corpus scan: N_c = column sum, V = row count)
+    # corpus scan: N_c = column sum, V = row count); priors from the
+    # sentinel row
     stats = model.agg(
         F.count("*").alias("_v"),
         *[F.sum(f"c{i}").alias(f"_n{i}") for i in range(k)]).head()
     n_c = {c: int(stats[f"_n{i}"] or 0) for i, c in enumerate(classes)}
     vocab = int(stats["_v"])
-    pri = (train.where(F.col(label_col).isNotNull())
-           .groupBy(label_col).agg(F.count("*").alias("n")).collect())
-    n_docs = sum(r["n"] for r in pri)
-    prior = {r[label_col]: r["n"] for r in pri}
+    prow = full.where(F.col("tok").isNull()).head()
+    prior = {c: int(prow[f"c{i}"]) if prow is not None else 0
+             for i, c in enumerate(classes)}
+    n_docs = sum(prior.values())
 
     # per-token per-class quantized log-prob columns; unseen-token
     # smoothing floor folded into the coalesce default
