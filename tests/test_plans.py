@@ -134,7 +134,7 @@ def test_kmeans_assignment_is_shuffle_free(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _plan(kmeans(emb, k=4, n_iter=0))
     assert "Exchange" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_nb_scoring_broadcasts_the_model(spark):
