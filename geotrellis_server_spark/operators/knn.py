@@ -75,7 +75,7 @@ def knn_join_bulk(
     queries: DataFrame,
     k: int,
     res: int | None = None,
-    initial_ring: int = 1,
+    initial_ring: int = 2,
     max_ring: int | None = None,
     lon: str = "lon",
     lat: str = "lat",
@@ -114,7 +114,17 @@ def knn_join_bulk(
     Ring iterations re-read only the NARROW (id, lon, lat, cell)
     projection of the corpus (explicit select below — column pruning
     through the join); persisting that projection across rings was
-    measured a wash against the pruned columnar rescan, so no caching."""
+    measured a wash against the pruned columnar rescan, so no caching.
+
+    ``initial_ring`` defaults to 2, NOT 1: every ring iteration costs a
+    full corpus pass, and with auto_res sizing the ring-1 disk at ~2k
+    candidates, real (non-uniform) corpora leave a tail of sparse-region
+    queries whose exactness guarantee fails at ring 1 — forcing a second
+    corpus pass for the whole call. A 5×5 first disk (~2.5× the
+    candidate target through the cheap narrow window) makes one-pass
+    termination the norm; measured at 4M docs / 1,000 queries:
+    ring 1 = 3.83 s (two corpus passes), ring 2 = 2.12 s (one). Results
+    are ring-schedule-independent (the guarantee is exact)."""
     spark = docs.sparkSession
     if res is None:
         res = auto_res(docs.count())
@@ -226,7 +236,7 @@ def knn_join(
     queries: list[tuple[int, float, float]],
     k: int,
     res: int | None = None,
-    initial_ring: int = 1,
+    initial_ring: int = 2,
     max_ring: int | None = None,
     lon: str = "lon",
     lat: str = "lat",
@@ -235,7 +245,8 @@ def knn_join(
     """queries: [(query_id, lon, lat)]. Returns (query_id, doc_id, dist_sq,
     rank) with exactly min(k, |docs in world|) rows per query.
     ``res=None`` → density-proportional :func:`auto_res` (same contract
-    as knn_join_bulk)."""
+    as knn_join_bulk, including the one-pass ``initial_ring=2``
+    default — each ring iteration is a full corpus pass here too)."""
     import numpy as np
 
     spark = docs.sparkSession
