@@ -28,7 +28,16 @@ from pyspark.sql import types as T
 from ..geometry.pip import envelope_cells, points_in_ring
 from ..grids import cells as C
 
-DEFAULT_PREFILTER_RES = 4
+# Cell-cover prefilter resolution. Res 4 cells (22.5° wide) straddle the
+# 36°×17° zone rectangles so often that the broadcast join emitted ~2.5
+# candidate rows per point (measured 13.4M candidates for 4M docs) that
+# the exact bounds filter then discarded; res 6 cells (5.6°) cut that to
+# 1.5× (5.9M) while the broadcast cover stays trivial (5.3k rows for the
+# 100-zone grid). Rule: prefilter cells ≲ zone_extent/4 — the cover table
+# grows O((zone/cell)²) per zone but stays metadata-sized, and the
+# candidate stream (the thing proportional to the CORPUS) shrinks.
+# Results are unchanged: the exact predicate runs either way.
+DEFAULT_PREFILTER_RES = 6
 
 
 def _zone_cells_df(zones_pdf: pd.DataFrame, res: int, spark, with_bounds: bool = False) -> DataFrame:
