@@ -471,6 +471,14 @@ def word_ngrams(docs: DataFrame, n: int = 8, text_col: str = "text",
         f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
         f"i -> array_join(slice({toks}, CAST(i AS INT) + 1, {n}), ' ')))"
     )
+    # gram building is the CPU-heavy map (window join + distinct per
+    # doc): parallelize when the input arrives as fewer splits than
+    # cores (a 5k-doc table is ONE parquet split — measured 1.3 s
+    # single-task vs 0.5 s spread; same guard as minhash_dedup_pairs).
+    # Wide inputs (the 100-TB case) are untouched — no shuffle added.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     return (docs.where(F.expr(f"size({toks}) >= {n}"))
             .select(F.col(id_col), F.explode(F.expr(grams)).alias("ngram")))
 
