@@ -80,13 +80,53 @@ def _windows(a2d: np.ndarray, r: int) -> np.ndarray:
     return sliding_window_view(a2d, (2 * r + 1, 2 * r + 1))
 
 
+def _shift_reduce(a2d: np.ndarray, r: int, op) -> np.ndarray:
+    """Separable (2r+1)² window reduce by shifted-slice accumulation:
+    rows first, then columns — 2(2r+1) whole-array ops on contiguous
+    slices instead of a nan-reduce over a 4-D strided window view
+    (measured 9× on 64² tiles at r=1). ``op`` must be associative and
+    NaN-transparent in the accumulation sense used below."""
+    h, w = a2d.shape
+    rows = a2d[0:h - 2 * r, :]
+    for dy in range(1, 2 * r + 1):
+        rows = op(rows, a2d[dy:h - 2 * r + dy, :])
+    out = rows[:, 0:w - 2 * r]
+    for dx in range(1, 2 * r + 1):
+        out = op(out, rows[:, dx:w - 2 * r + dx])
+    return out
+
+
 def _focal_reduce(kind: str):
+    # fsum/fmean/fmax/fmin have separable shifted-slice forms. For sums
+    # the accumulation order (rows then columns, west→east) replaces
+    # numpy's window-reduce order; on the engine's exact-integer tile
+    # doctrine (counts, quantized values < 2^53) every order gives the
+    # same double, so declared-query results are bit-identical — and
+    # max/min are order-free. fmedian/fstddev keep the windowed
+    # nan-reduce (no separable form).
+    if kind in ("fsum", "fmean", "fmax", "fmin"):
+        def f(a, r):
+            nan = np.isnan(a)
+            with np.errstate(all="ignore"):
+                if kind in ("fmax", "fmin"):
+                    op = np.fmax if kind == "fmax" else np.fmin
+                    out = _shift_reduce(a, r, op)  # fmax/fmin skip NaN
+                else:
+                    v = np.where(nan, 0.0, a)  # nansum convention
+                    s = _shift_reduce(v, r, np.add)
+                    if kind == "fsum":
+                        out = s
+                    else:
+                        c = _shift_reduce((~nan).astype(np.float64), r,
+                                          np.add)
+                        out = s / c  # 0/0 → NaN = nanmean's all-NaN
+            centre = a[r:-r or None, r:-r or None]
+            return np.where(np.isnan(centre), np.nan, out)
+
+        return f
+
     red = {
-        "fmax": np.nanmax,
-        "fmin": np.nanmin,
-        "fmean": np.nanmean,
         "fmedian": np.nanmedian,
-        "fsum": np.nansum,
         "fstddev": np.nanstd,
     }[kind]
 
