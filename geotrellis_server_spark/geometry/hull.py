@@ -150,16 +150,19 @@ def hull_contains(
     the test points join it group-keyed and reduce min(cross) ≥ 0 per
     point. Everything after the hull itself is JVM-side codegen on
     exact BIGINTs (a point is inside a convex region iff it is left of
-    every CCW edge). Groups with degenerate hulls (< 3 vertices) are
-    not classified (no edges — callers with segment/point hulls should
-    special-case them)."""
+    every CCW edge). Degenerate hulls classify too, with the dual
+    supporting-half-plane semantics (matching the gate oracle): a
+    2-vertex (collinear) hull emits BOTH directed edges (forward +
+    wrap-around), so min(cross) >= 0 holds exactly on the infinite
+    line through the points; a 1-vertex hull emits a self-edge whose
+    cross is identically 0, so every test point is inside — the only
+    supporting half-planes of a point set with no extent."""
     from pyspark.sql import Window
 
     h = hull_points(points, group_col, x_col, y_col)
     w = Window.partitionBy("group").orderBy("seq")
     edges = (
-        h.where(F.col("n_vertices") >= 3)
-        .select("group", "seq", "x", "y", "n_vertices",
+        h.select("group", "seq", "x", "y", "n_vertices",
                 F.lead("x", 1).over(w).alias("qx"),
                 F.lead("y", 1).over(w).alias("qy"))
         # last edge wraps to seq 0: lead is NULL there, fill from first

@@ -193,6 +193,13 @@ def parse_gsb(data: bytes) -> Ntv2Grid:
     hdr = dict(rd(i * 16) for i in range(11))
     if hdr.get("NUM_OREC") != 11 or hdr.get("NUM_SREC") != 11:
         raise ValueError("not an NTv2 .gsb file (bad overview header)")
+    # node shifts are interpreted as arcseconds below; a spec-conformant
+    # file declaring another unit would be silently mis-scaled — reject.
+    gs_type = str(hdr.get("GS_TYPE", "")).upper()
+    if gs_type != "SECONDS":
+        raise ValueError(
+            f"NTv2: unsupported GS_TYPE {gs_type!r} (only SECONDS shift "
+            "units are implemented)")
     n_file = int(hdr["NUM_FILE"])
     pos = 11 * 16
     grids: list[SubGrid] = []

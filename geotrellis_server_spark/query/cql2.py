@@ -124,6 +124,19 @@ class _Parser:
         self.next("lpar")
         self.next("ident")  # the geometry property name
         self.next("comma")
+        kind, val = self.peek()
+        if (fn == "S_CONTAINS" and kind == "ident"
+                and val.upper() == "POLYGON"):
+            # The catalog algebra evaluates geometry as its bbox. For
+            # S_INTERSECTS that is a sound (false-positive-only)
+            # pre-filter; for S_CONTAINS it OVER-constrains — a layer
+            # containing the polygon but not its bbox would be wrongly
+            # excluded. Refuse rather than silently deviate from CQL2.
+            raise ValueError(
+                "CQL2: POLYGON is not supported under S_CONTAINS (the "
+                "catalog evaluates geometry as its bbox, which is only "
+                "a sound approximation for S_INTERSECTS); pass "
+                "BBOX(xmin, ymin, xmax, ymax) explicitly")
         ext = self.geom()
         self.next("rpar")
         return Q.Intersects(ext) if fn == "S_INTERSECTS" else Q.Contains(ext)

@@ -38,10 +38,17 @@ def test_in_list_and_quote_escape():
     assert parse_cql2("id = 'it''s'") == Q.WithName("it's")
 
 
-def test_polygon_reduces_to_bbox():
+def test_polygon_reduces_to_bbox_for_intersects():
     q = parse_cql2(
-        "S_CONTAINS(geom, POLYGON((0 0, 4 0, 4 3, 1 5, 0 0)))")
-    assert q == Q.Contains((0.0, 0.0, 4.0, 5.0))
+        "S_INTERSECTS(geom, POLYGON((0 0, 4 0, 4 3, 1 5, 0 0)))")
+    assert q == Q.Intersects((0.0, 0.0, 4.0, 5.0))
+
+
+def test_polygon_under_contains_is_rejected():
+    # bbox is only a sound approximation for S_INTERSECTS; a bbox-based
+    # S_CONTAINS would wrongly exclude layers (over-constrained)
+    with pytest.raises(ValueError, match="S_CONTAINS"):
+        parse_cql2("S_CONTAINS(geom, POLYGON((0 0, 4 0, 4 3, 1 5, 0 0)))")
 
 
 def test_t_equals():

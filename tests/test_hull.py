@@ -117,6 +117,26 @@ def test_hull_contains_vs_scalar(spark):
     assert 0 < sum(got.values()) < len(got)
 
 
+def test_hull_contains_degenerate_groups(spark):
+    # supporting-half-plane semantics for degenerate hulls (the gate
+    # oracle's dual formulation): a collinear group classifies a test
+    # point inside iff it lies ON the infinite line through the points;
+    # a single-point group has no supporting half-plane of finite
+    # extent, so every test point is inside.
+    rows = ([(0, x, 2 * x + 1) for x in range(5)]      # collinear, slope 2
+            + [(1, 7, -3)])                            # single point
+    tests = [(0, 2, 5), (0, 10, 21), (0, 2, 6), (0, 0, 0),
+             (1, 7, -3), (1, 100, 100)]
+    pdf = spark.createDataFrame(rows, "group long, x long, y long")
+    tdf = spark.createDataFrame(tests, "group long, x long, y long")
+    got = {(r.grp, r.px, r.py): r.inside
+           for r in hull_contains(pdf, tdf).collect()}
+    assert got == {(0, 2, 5): 1,      # on the line (also on the segment)
+                   (0, 10, 21): 1,    # on the infinite line, off-segment
+                   (0, 2, 6): 0, (0, 0, 0): 0,   # off the line
+                   (1, 7, -3): 1, (1, 100, 100): 1}
+
+
 def test_spark_partition_invariance(spark):
     rows = [(i % 3, (i * 17) % 23, (i * 7) % 19) for i in range(90)]
     df = spark.createDataFrame(rows, "group long, x long, y long")

@@ -44,6 +44,16 @@ def test_write_parse_roundtrip(tmp_path):
     assert got.s_lat == sg.s_lat and got.w_long == sg.w_long
 
 
+def test_non_seconds_gs_type_rejected(tmp_path):
+    # shifts are interpreted as arcseconds; any other declared unit must
+    # raise rather than silently mis-scale the grid
+    sg = _linear_grid()
+    path = str(tmp_path / "t.gsb")
+    ntv2.write_gsb(path, [sg], gs_type="MINUTES")
+    with pytest.raises(ValueError, match="GS_TYPE"):
+        ntv2.parse_gsb(open(path, "rb").read())
+
+
 def test_bilinear_exact_on_linear_field(tmp_path):
     sg = _linear_grid()
     g = ntv2.Ntv2Grid([sg])
