@@ -178,11 +178,29 @@ def rasterize_count_layout(
 
 
 def pyramid_up(
-    tiles: DataFrame, agg: str = "sum", fill: float = 0.0
+    tiles: DataFrame, agg: str = "sum", fill: float = 0.0,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Pyramid rollup: build zoom z-1 tiles from zoom z by 2×2 pixel
     aggregation — GeoTrellis ``Pyramid.up`` (spark/.../pyramid/
-    Pyramid.scala) re-expressed as two pure-SQL steps, no Python:
+    Pyramid.scala). Two implementations, bit-identical (tests assert
+    equality):
+
+    - ``impl="arrow"`` (default): the per-cell work (2×2 downsample,
+      quadrant assembly) runs as numpy slices inside two mapInPandas
+      kernels around the one parent-key shuffle. Spark's higher-order
+      array functions (transform/slice/flatten) never enter whole-stage
+      codegen — they run on the interpreted expression evaluator, whose
+      JIT-compiled speed depends on which OTHER queries ran first in
+      the session (measured: the same pyramid query runs 0.8 s with a
+      clean profile and a persistent 2-5 s when the interpreter's call
+      sites were first compiled against a session that had run other
+      HOF-heavy operators — every suite run, in practice). numpy is
+      immune to that hazard and equally fast on the clean profile.
+    - ``impl="sql"``: the original pure-SQL form below (also the shape
+      the oracle mirrors), kept as the equality witness.
+
+    The SQL formulation:
 
     1. each child tile downsamples to a quarter-size quadrant
        (``transform(sequence)`` + O(1) array indexing — JVM-side), with
@@ -201,6 +219,148 @@ def pyramid_up(
     Iterating z..1 materializes the whole pyramid in log2 rounds, each
     a narrow shuffle of quarter-size quadrants (¼ the naive volume of
     re-keying raw points per level)."""
+    if agg not in ("sum", "mean", "max"):
+        raise ValueError("agg must be one of ['max', 'mean', 'sum']")
+    if impl == "arrow":
+        return _pyramid_up_arrow(tiles, agg, fill)
+    return _pyramid_up_sql(tiles, agg, fill)
+
+
+def _pyramid_up_arrow(tiles: DataFrame, agg: str, fill: float) -> DataFrame:
+    """numpy-kernel pyramid_up. FP-order parity with the SQL form:
+    sum/mean accumulate ((TL + TR) + BL) + BR element-wise — the same
+    left-to-right order as the SQL ``a + b + c + d`` — and max uses
+    np.maximum (NaN-propagating, matching Spark ``greatest`` where NaN
+    compares greater than every value), so doubles are bit-identical."""
+    import pyarrow as pa
+
+    sql_schema = _pyramid_up_sql(tiles, agg, fill).schema  # analysis only
+
+    def _list_rows(col):
+        """(null_mask, offsets, flat float64 values) of a list column.
+        Built from the raw buffers so NaN elements stay NaN (pandas
+        round-trips would coerce them to null)."""
+        mask = np.asarray(col.is_null())
+        offs = np.asarray(col.offsets)
+        vals = np.asarray(col.values, dtype=np.float64)
+        return mask, offs, vals
+
+    def _list_col(arr2d):
+        """numpy (n, k) float64 -> pa list<double> rows, NaN-preserving."""
+        n, k = arr2d.shape
+        return pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * k),
+            pa.array(arr2d.reshape(-1), type=pa.float64()))
+
+    def down_kernel(batches):
+        for b in batches:
+            n = b.num_rows
+            if not n:
+                continue
+            w = b.column("width")[0].as_py()
+            h = b.column("height")[0].as_py()
+            if w % 2 or h % 2:
+                raise ValueError("pyramid_up requires even tile size")
+            _, _, vals = _list_rows(b.column("cells"))
+            cells = vals.reshape(n, h, w)
+            a = cells[:, 0::2, 0::2]
+            bb = cells[:, 0::2, 1::2]
+            c = cells[:, 1::2, 0::2]
+            d = cells[:, 1::2, 1::2]
+            if agg == "sum":
+                q = ((a + bb) + c) + d
+            elif agg == "mean":
+                q = (((a + bb) + c) + d) / 4.0
+            else:
+                q = np.maximum(np.maximum(np.maximum(a, bb), c), d)
+            tx = np.asarray(b.column("tile_x"))
+            ty = np.asarray(b.column("tile_y"))
+            yield pa.record_batch(
+                [pa.array(np.asarray(b.column("zoom")) - 1),
+                 pa.array((tx - np.mod(tx, 2)) // 2),
+                 pa.array((ty - np.mod(ty, 2)) // 2),
+                 pa.array(np.mod(tx, 2).astype(np.int32)),
+                 pa.array(np.mod(ty, 2).astype(np.int32)),
+                 pa.array(np.full(n, w, np.int32)),
+                 pa.array(np.full(n, h, np.int32)),
+                 _list_col(q.reshape(n, -1))],
+                names=["zoom", "tile_x", "tile_y", "qx", "qy",
+                       "width", "height", "qcells"])
+
+    quad_schema = T.StructType([
+        T.StructField("zoom", T.LongType()),
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+        T.StructField("qx", T.IntegerType()),
+        T.StructField("qy", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("qcells", T.ArrayType(T.DoubleType())),
+    ])
+    quads = tiles.select(
+        F.col("zoom").cast("long").alias("zoom"),
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "cells",
+    ).mapInArrow(down_kernel, quad_schema)
+
+    def pick(qx: int, qy: int) -> F.Column:
+        return F.any_value(
+            F.when((F.col("qx") == qx) & (F.col("qy") == qy),
+                   F.col("qcells")), True).alias(f"q_{qx}{qy}")
+
+    per_parent = quads.groupBy("zoom", "tile_x", "tile_y").agg(
+        pick(0, 0), pick(1, 0), pick(0, 1), pick(1, 1),
+        F.any_value(F.col("width"), True).alias("width"),
+        F.any_value(F.col("height"), True).alias("height"),
+    )
+
+    out_schema = T.StructType([
+        T.StructField("zoom", T.LongType()),
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("cells", T.ArrayType(T.DoubleType())),
+    ])
+
+    def asm_kernel(batches):
+        for b in batches:
+            nrow = b.num_rows
+            if not nrow:
+                continue
+            w = b.column("width")[0].as_py()
+            h = b.column("height")[0].as_py()
+            h2, w2 = h // 2, w // 2
+            out = np.empty((nrow, h, w), dtype=np.float64)
+            missing = np.full((h2, w2), fill, dtype=np.float64)
+            views = {"00": (slice(None, h2), slice(None, w2)),
+                     "10": (slice(None, h2), slice(w2, None)),
+                     "01": (slice(h2, None), slice(None, w2)),
+                     "11": (slice(h2, None), slice(w2, None))}
+            for k, (rs, cs) in views.items():
+                mask, offs, vals = _list_rows(b.column(f"q_{k}"))
+                for i in range(nrow):
+                    out[i, rs, cs] = (missing if mask[i] else
+                                      vals[offs[i]:offs[i + 1]]
+                                      .reshape(h2, w2))
+            yield pa.record_batch(
+                [b.column("zoom"), b.column("tile_x"), b.column("tile_y"),
+                 pa.array(np.full(nrow, w, np.int32)),
+                 pa.array(np.full(nrow, h, np.int32)),
+                 _list_col(out.reshape(nrow, -1))],
+                names=["zoom", "tile_x", "tile_y",
+                       "width", "height", "cells"])
+
+    out = per_parent.mapInArrow(asm_kernel, out_schema)
+    # column order + types exactly as the SQL form produces them
+    return out.select(
+        *(F.col(f.name).cast(f.dataType) for f in sql_schema.fields))
+
+
+def _pyramid_up_sql(tiles: DataFrame, agg: str, fill: float) -> DataFrame:
     ops = {
         "sum": lambda a, b, c, d: f"{a} + {b} + {c} + {d}",
         "mean": lambda a, b, c, d: f"({a} + {b} + {c} + {d}) / 4.0",

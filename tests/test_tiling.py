@@ -120,15 +120,55 @@ def test_pyramid_up_equals_direct_rasterize(spark):
     assert a == b
 
 
-def test_pyramid_up_plan_no_python(spark):
+def test_pyramid_up_plan_shapes(spark):
     from geotrellis_server_spark.operators.tiling import pyramid_up
 
     df = spark.createDataFrame(
         [(3, 0, 0, 4, 4, [0.0] * 16)],
         "zoom INT, tile_x BIGINT, tile_y BIGINT, width INT, height INT, cells ARRAY<DOUBLE>",
     )
-    plan = pyramid_up(df)._jdf.queryExecution().executedPlan().toString()
+    # sql impl: pure JVM, no Python nodes
+    plan = pyramid_up(df, impl="sql")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInArrow" not in plan
+    # arrow impl (default): Arrow-batched kernels, never row-at-a-time
+    plan_a = pyramid_up(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan_a
+    assert "BatchEvalPython" not in plan_a
+
+
+def test_pyramid_up_arrow_equals_sql(spark):
+    """The Arrow kernels must be bit-identical to the SQL form on all
+    aggs, including missing quadrants, NaN fill, and negative tile
+    coordinates (the FP accumulation order is the same by design)."""
+    import random
+
+    from geotrellis_server_spark.operators.tiling import pyramid_up
+
+    rng = random.Random(7)
+    rows = []
+    for tx in range(-3, 3):
+        for ty in range(-3, 3):
+            if rng.random() < 0.35:
+                continue  # leave holes -> missing quadrants
+            rows.append((5, tx, ty, 8, 8,
+                         [rng.uniform(-100, 100) for _ in range(64)]))
+    df = spark.createDataFrame(
+        rows,
+        "zoom INT, tile_x BIGINT, tile_y BIGINT, width INT, height INT, cells ARRAY<DOUBLE>",
+    )
+    for agg, fill in (("sum", 0.0), ("mean", float("nan")), ("max", 0.0)):
+        a = {(r.zoom, r.tile_x, r.tile_y):
+             (r.width, r.height, tuple(r.cells))
+             for r in pyramid_up(df, agg=agg, fill=fill,
+                                 impl="arrow").collect()}
+        b = {(r.zoom, r.tile_x, r.tile_y):
+             (r.width, r.height, tuple(r.cells))
+             for r in pyramid_up(df, agg=agg, fill=fill,
+                                 impl="sql").collect()}
+        # NaN != NaN: compare via repr which preserves bit-level doubles
+        assert {k: repr(v) for k, v in a.items()} == \
+               {k: repr(v) for k, v in b.items()}, agg
 
 
 def test_pyramid_up_negative_tile_coords(spark):
